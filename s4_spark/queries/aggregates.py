@@ -1,0 +1,333 @@
+"""B4 — aggregations (SURVEY.md §2-B4, Q030-Q040).
+
+All built-in Spark hash aggregates: partial (map-side combine) + final agg
+is automatic, so at 100 TB each groupBy here shuffles only the grouped
+partials, never raw rows. Double sums go through the decimal-exact path
+(helpers.dsum) for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s4_spark.catalog import register_views
+from s4_spark.queries.helpers import davg, dsum, sql_davg, sql_dsum, t
+from s4_spark.queries.registry import query
+
+
+@query(
+    "q030_hash_agg_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty} AS sum_qty,
+           {sum_base} AS sum_base_price,
+           {sum_disc} AS sum_disc_price,
+           {sum_charge} AS sum_charge,
+           {avg_qty} AS avg_qty,
+           {avg_price} AS avg_price,
+           {avg_disc} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=sql_dsum("l_quantity"),
+        sum_base=sql_dsum("l_extendedprice"),
+        sum_disc=sql_dsum("l_extendedprice * (1 - l_discount)"),
+        sum_charge=sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        avg_qty=sql_davg("l_quantity"),
+        avg_price=sql_davg("l_extendedprice"),
+        avg_disc=sql_davg("l_discount"),
+    ),
+    section="B4-aggregations",
+)
+def q030(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> filter -> project -> hash agg -> sort.
+
+    Parity note: the reference has no aggregation beyond byte-concat
+    (/root/reference/river/jsonr.go:81-86); this is the §2-B capability
+    surface exercised through Catalyst (pushdown + partial agg for free).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q031_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    section="B4-aggregations",
+)
+def q031(spark, sf_dir):
+    """count(DISTINCT) — Spark expands to a two-phase distinct aggregate."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q032_approx_count_distinct",
+    # Self-validating: the Spark side computes the HLL estimate AND checks it
+    # against the exact distinct count; the oracle asserts the same bound.
+    oracle="SELECT true AS within_5pct FROM (SELECT 1)",
+    section="B4-aggregations",
+)
+def q032(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) with a declared 5% error bound.
+
+    The sketch value is engine-specific, so the hash-matched contract is the
+    bound itself (tol row per SURVEY §2-B methodology).
+    """
+    res = (
+        t(spark, sf_dir, "orders")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .select(
+            (
+                (F.abs(F.col("approx") - F.col("exact")) / F.col("exact")) < F.lit(0.05)
+            ).alias("within_5pct")
+        )
+    )
+    return res
+
+
+@query(
+    "q033_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           {s} AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.format(s=sql_dsum("l_quantity")),
+    section="B4-aggregations",
+)
+def q033(spark, sf_dir):
+    """GROUP BY GROUPING SETS with GROUPING() markers (expand + single agg)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q034_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    section="B4-aggregations",
+)
+def q034(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q035_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, {s} AS sum_qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """.format(s=sql_dsum("l_quantity")),
+    section="B4-aggregations",
+)
+def q035(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q036_filtered_agg",
+    oracle="""
+    SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (WHERE event_type <> 'error') AS BIGINT) AS n_ok,
+           {s} AS sum_value_error
+    FROM events GROUP BY bucket ORDER BY bucket
+    """.format(
+        s="CAST(COALESCE(SUM(CAST(value AS DECIMAL(30,6))) FILTER (WHERE event_type = 'error'), 0) AS DOUBLE)"
+    ),
+    section="B4-aggregations",
+)
+def q036(spark, sf_dir):
+    """Conditional aggregation — sum(when(...)) compiles to a single pass."""
+    ev = t(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.when(is_err, 1)).alias("n_error"),
+            F.count(F.when(~is_err, 1)).alias("n_ok"),
+            F.coalesce(
+                F.sum(F.when(is_err, F.col("value")).cast("decimal(30,6)")),
+                F.lit(0).cast("decimal(30,6)"),
+            )
+            .cast("double")
+            .alias("sum_value_error"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q037_collect_set_sorted",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS names
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    section="B4-aggregations",
+)
+def q037(spark, sf_dir):
+    """collect_set made deterministic via sort_array."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_set("n_name")).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q038_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    section="B4-aggregations",
+)
+def q038(spark, sf_dir):
+    """Exact interpolated percentile (Spark `percentile` == quantile_cont)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q039_stats_agg",
+    # stddev/corr computed from decimal-exact moments so both engines do the
+    # same final double arithmetic on identical inputs.
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT round(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS std_price,
+           round(sqrt((syy - sy * sy / n) / (n - 1)), 4) AS std_disc,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6) AS corr_pd,
+           n
+    FROM m
+    """,
+    section="B4-aggregations",
+)
+def q039(spark, sf_dir):
+    """stddev_samp / corr via exact moments (deterministic across engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    y = F.col("l_discount")
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(30,6)")).cast("double").alias("sx"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(30,6)")).cast("double").alias("sy"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("syy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 4).alias("std_price"),
+        F.round(F.sqrt((syy - sy * sy / n) / (n - 1)), 4).alias("std_disc"),
+        F.round(
+            (sxy - sx * sy / n) / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_pd"),
+        n.alias("n"),
+    )
+
+
+@query(
+    "q040_partial_final_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, {s} AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """.format(s=sql_dsum("l_quantity")),
+    section="B4-aggregations",
+)
+def q040(spark, sf_dir):
+    """Partial+final agg invariance: identical result under a different
+    shuffle-partition count (the physical property that makes the agg
+    scale — map-side combine means the shuffle carries one row per
+    group per partition, not raw rows)."""
+    li = t(spark, sf_dir, "lineitem").repartition(17)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -1,0 +1,59 @@
+"""Cross-engine determinism helpers.
+
+Floating-point aggregation is order-dependent; Spark (partial + final agg
+over 32 shuffle partitions) and DuckDB (its own parallel order) will not
+produce bit-identical double sums. The driver hash-compares values, so sums
+over doubles are computed EXACTLY by casting each addend to a wide decimal
+(exact, associative addition) and casting the exact result back to double
+at the end. Identical exact decimal -> identical double in both engines.
+
+This is also the right thing at 100 TB: a decimal-sum is still one
+partial+final hash aggregate (map-side combine intact); only the addend
+type widens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s4_spark.catalog import table
+
+# 4 fractional digits is enough for the 2-decimal TPC-H-ish money/discount
+# columns and the events.value payloads; 38-18 integer digits of headroom.
+DEC = "decimal(30,6)"
+
+
+def dsum(col: str | Column) -> Column:
+    """Exact (decimal-path) sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def sql_dsum(expr: str) -> str:
+    """DuckDB-side mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def davg(col: str | Column) -> Column:
+    """Exact-sum average: decimal sum / count, evaluated in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+
+
+def sql_davg(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )
+
+
+def csum(col: str | Column) -> Column:
+    """Sum of an integer column as bigint (DuckDB sums to HUGEINT — the
+    oracle must CAST back to BIGINT to match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c).cast("long")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)

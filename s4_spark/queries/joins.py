@@ -1,0 +1,248 @@
+"""B3 — joins (SURVEY.md §2-B3, Q020-Q029).
+
+Join strategy is left to Catalyst + AQE except where we know better
+statically: fixed-size dims (region=5, nation=25 rows at every SF) are
+explicitly broadcast so no shuffle of the fact side ever happens for them.
+Non-equi conditions ride on an equi key wherever possible (q026/q027) so
+the planner uses a hash/sort-merge join with a residual filter instead of
+a nested-loop cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s4_spark.operators.asof import asof_join
+from s4_spark.queries.helpers import dsum, sql_dsum, t
+from s4_spark.queries.registry import query
+
+
+@query(
+    "q020_inner_join_tpch_q3",
+    oracle="""
+    SELECT o.o_orderkey, {rev} AS revenue, o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """.format(rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+    section="B3-joins",
+)
+def q020(spark, sf_dir):
+    """TPC-H Q3 skeleton: 3-way equi-join + agg + top-k.
+
+    customer is the small side of customer⋈orders (AQE converts to
+    broadcast under the 64 MB threshold at bench SF); orders⋈lineitem
+    shuffles on the shared orderkey so the agg reuses the partitioning.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q021_broadcast_join",
+    oracle="""
+    SELECT r.r_name, count(*) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    section="B3-joins",
+)
+def q021(spark, sf_dir):
+    """Explicit broadcast of fixed-size dims — zero shuffle of the fact
+    side regardless of scale factor."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "q022_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL
+    ORDER BY c.c_custkey LIMIT 100
+    """,
+    section="B3-joins",
+)
+def q022(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q023_full_outer_join",
+    oracle="""
+    WITH ck AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         sk AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT count(*) AS n,
+           count(CASE WHEN ck.k IS NULL THEN 1 END) AS only_supplier,
+           count(CASE WHEN sk.k IS NULL THEN 1 END) AS only_customer
+    FROM ck FULL OUTER JOIN sk ON ck.k = sk.k
+    """,
+    section="B3-joins",
+)
+def q023(spark, sf_dir):
+    """Full outer over distinct keys (pre-dedup keeps it 1:1, no blowup)."""
+    ck = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    sk = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k2")).distinct()
+    j = ck.join(sk, ck.k == sk.k2, "full")
+    return j.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("only_supplier"),
+        F.count(F.when(F.col("k2").isNull(), 1)).alias("only_customer"),
+    )
+
+
+@query(
+    "q024_left_semi_join",
+    oracle="""
+    SELECT count(*) AS n FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+    section="B3-joins",
+)
+def q024(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "q025_left_anti_join",
+    oracle="""
+    SELECT count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    section="B3-joins",
+)
+def q025(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "q026_theta_join",
+    oracle="""
+    SELECT count(*) AS n FROM part p JOIN part q
+    ON p.p_brand = q.p_brand AND p.p_size < q.p_size
+    """,
+    section="B3-joins",
+)
+def q026(spark, sf_dir):
+    """Non-equi condition riding an equi key: hash join on brand with a
+    residual size predicate — NOT a nested-loop cross product."""
+    p = t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("b1"), F.col("p_size").alias("s1")
+    )
+    q = t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("b2"), F.col("p_size").alias("s2")
+    )
+    return p.join(q, (p.b1 == q.b2) & (p.s1 < q.s2)).agg(F.count("*").alias("n"))
+
+
+@query(
+    "q027_range_join",
+    oracle="""
+    SELECT count(*) AS n_pairs FROM events a JOIN events b
+    ON a.user_id = b.user_id
+    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    """,
+    section="B3-joins",
+)
+def q027(spark, sf_dir):
+    """Interval self-join per user — equi on user_id bounds the pair space;
+    at 100 TB this would additionally bucket by time to cap per-key fanout."""
+    a = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u1"), F.col("ts").alias("ts1")
+    )
+    b = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("ts2")
+    )
+    cond = (
+        (a.u1 == b.u2)
+        & (b.ts2 > a.ts1)
+        & (b.ts2 <= a.ts1 + F.expr("INTERVAL 1 MINUTE"))
+    )
+    return a.join(b, cond).agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "q028_asof_join",
+    oracle="""
+    SELECT p.event_id, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+    section="B3-joins",
+)
+def q028(spark, sf_dir):
+    """As-of join: for each purchase, the latest prior-or-equal click of the
+    same user. Uses the union-merge operator (operators/asof.py) — one
+    shuffle, no pair explosion — matching DuckDB ASOF `<=` semantics."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", suffix="_click"
+    )
+    return joined.select(
+        "event_id", F.col("ts_click").alias("click_ts")
+    ).orderBy("event_id")
+
+
+@query(
+    "q029_cross_join",
+    oracle="""
+    SELECT count(*) AS n,
+           count(DISTINCT r_name || '/' || n_name) AS n_pairs
+    FROM region CROSS JOIN nation
+    """,
+    section="B3-joins",
+)
+def q029(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.concat_ws("/", "r_name", "n_name")).alias("n_pairs"),
+    )

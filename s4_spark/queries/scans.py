@@ -1,0 +1,216 @@
+"""B1 — scans / sources / sinks (SURVEY.md §2-B1, Q001-Q008).
+
+Round-trip queries (csv/json/text/partitioned-parquet/gzip) write to a
+scratch dir and read back through the engine; the oracle validates against
+the original table, so the check covers the full write→read cycle.
+
+S4 parity notes: gzip sink = A16 (/root/reference/lake/lake.go:66-73),
+Hive-style date partitioning = A17 (lake.go:75-81), text line records =
+A4 framing (input/unix.go:91-103), console sink = A19 (lake.go:42-45).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from s4_spark.catalog import EVENTS_RAW_SCHEMA
+from s4_spark.queries.helpers import csum, dsum, sql_dsum, t
+from s4_spark.queries.registry import query
+
+
+def _scratch(tag: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "s4_spark_scratch")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, tag)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def events_landing_dir(sf_dir: str) -> str:
+    """The streaming file source requires a directory; stage the events
+    parquet into a per-SF landing dir (the batch/stream shared layout the
+    north star describes: S3 prefix as a stream)."""
+    path = os.path.join(
+        tempfile.gettempdir(), "s4_spark_scratch", f"landing_{os.path.basename(sf_dir)}"
+    )
+    os.makedirs(path, exist_ok=True)
+    dst = os.path.join(path, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    return path
+
+
+@query(
+    "q001_parquet_scan",
+    oracle="""
+    SELECT count(*) AS n, {s} AS sum_qty FROM lineitem
+    """.format(s=sql_dsum("l_quantity")),
+    section="B1-scans",
+)
+def q001(spark, sf_dir):
+    """Vectorized parquet scan with aggregate pushdown-friendly shape."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "q002_csv_roundtrip",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+    FROM lineitem
+    """,
+    section="B1-scans",
+)
+def q002(spark, sf_dir):
+    """lineitem → csv (header) → schema-ful read → agg; csv scan is
+    splittable per file so parallelism survives the round trip."""
+    path = _scratch(f"csv_{os.path.basename(sf_dir)}")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema("l_orderkey long, l_quantity double").option(
+        "header", "true"
+    ).csv(path)
+    return back.agg(F.count("*").alias("n"), csum("l_orderkey").alias("sum_ok"))
+
+
+@query(
+    "q003_jsonl_roundtrip",
+    oracle="""
+    SELECT count(*) AS n, count(DISTINCT event_type) AS n_types
+    FROM events
+    """,
+    section="B1-scans",
+)
+def q003(spark, sf_dir):
+    """events → json-lines → read with explicit schema (no inference pass —
+    at 100 TB schema inference is a full extra scan, never do it)."""
+    path = _scratch(f"jsonl_{os.path.basename(sf_dir)}")
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, user_id long").json(path)
+    return back.agg(
+        F.count("*").alias("n"), F.countDistinct("event_type").alias("n_types")
+    )
+
+
+@query(
+    "q004_text_scan",
+    oracle="""
+    SELECT count(*) AS n, min(text) AS min_line, max(text) AS max_line
+    FROM documents
+    """,
+    section="B1-scans",
+)
+def q004(spark, sf_dir):
+    """S4 line-record parity (A4): newline-framed opaque text lines."""
+    path = _scratch(f"text_{os.path.basename(sf_dir)}")
+    docs = t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_line"),
+        F.max("value").alias("max_line"),
+    )
+
+
+@query(
+    "q005_partitioned_parquet_sink",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n
+    FROM orders GROUP BY o_year ORDER BY o_year
+    """,
+    section="B1-scans",
+)
+def q005(spark, sf_dir):
+    """Hive-style partitioned write (A17 parity: year=/...) + partition-
+    pruned re-read; the read groups by the partition column only, so the
+    scan lists directories, it does not decode row data for the key."""
+    path = _scratch(f"part_{os.path.basename(sf_dir)}")
+    o = t(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    o.write.mode("overwrite").partitionBy("o_year").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_year").agg(F.count("*").alias("n")).orderBy("o_year")
+
+
+@query(
+    "q006_gzip_text_sink",
+    oracle="""
+    SELECT count(*) AS n, min(text) AS min_v, max(text) AS max_v
+    FROM documents
+    """,
+    section="B1-scans",
+)
+def q006(spark, sf_dir):
+    """Gzip-compressed text sink (A16 parity) and re-read."""
+    path = _scratch(f"gz_{os.path.basename(sf_dir)}")
+    docs = t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    docs.write.mode("overwrite").option("compression", "gzip").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@query(
+    "q007_streaming_file_source",
+    oracle="""
+    SELECT count(*) AS n, {s} AS sum_value FROM events
+    """.format(s=sql_dsum("value")),
+    section="B1-scans",
+)
+def q007(spark, sf_dir):
+    """Streaming file source (the north-star 'S3 as a stream' core):
+    readStream over the events parquet, availableNow trigger, complete-mode
+    aggregate into a memory sink — batch-equivalent by construction.
+
+    At 100 TB: the same code with `maxFilesPerTrigger` caps per-batch
+    work and checkpointing makes the listing incremental."""
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_landing_dir(sf_dir))
+    )
+    agg = stream.agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+    sink_name = f"q007_sink_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch(f"q007_ckpt_{os.path.basename(sf_dir)}"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
+
+
+@query("q008_console_sink", oracle=None, section="B1-scans")
+def q008(spark, sf_dir):
+    """Console sink smoke (A19 parity) — rows-only check by design."""
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_landing_dir(sf_dir))
+    )
+    q = (
+        stream.writeStream.format("console")
+        .option("numRows", 5)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _scratch(f"q008_ckpt_{os.path.basename(sf_dir)}"))
+        .start()
+    )
+    q.awaitTermination()
+    n_rows = sum(p["numInputRows"] for p in (q.recentProgress or []))
+    return spark.createDataFrame([(int(n_rows > 0),)], "streamed int")

@@ -1,0 +1,247 @@
+"""B5 — window functions (SURVEY.md §2-B5, Q050-Q054) and B6 — sorts /
+limits / top-k (Q060-Q062).
+
+Window partitions shuffle once on the partition key; all functions over
+the same (partitionBy, orderBy) share a single sort. Every orderBy is
+fully tie-broken so results are deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from s4_spark.queries.helpers import t
+from s4_spark.queries.registry import query
+
+
+@query(
+    "q050_ranking",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rk,
+             dense_rank() OVER w AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+    section="B5-windows",
+)
+def q050(spark, sf_dir):
+    """row_number/rank/dense_rank — top-3 orders per customer."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q051_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+    section="B5-windows",
+)
+def q051(spark, sf_dir):
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q052_lag_lead",
+    oracle="""
+    SELECT event_id,
+           value - lag(value) OVER w AS delta,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id LIMIT 2000
+    """,
+    section="B5-windows",
+)
+def q052(spark, sf_dir):
+    """lag/lead per user ordered by (ts, event_id) — per-user deltas."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+@query(
+    "q053_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running,
+           first_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_ord
+    FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
+    """,
+    section="B5-windows",
+)
+def q053(spark, sf_dir):
+    """Running sum with explicit ROWS frame (decimal-exact for hashing)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .over(wf)
+            .cast("double")
+            .alias("running"),
+            F.first("o_orderkey").over(w).alias("first_ord"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "q054_range_frame",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_7d
+    FROM events ORDER BY event_id LIMIT 2000
+    """,
+    section="B5-windows",
+)
+def q054(spark, sf_dir):
+    """7-day trailing sum via RANGE frame on epoch seconds."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts").cast("long")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_7d"),
+        )
+        .orderBy("event_id")
+        .limit(2000)
+    )
+
+
+# ── B6: sorts / limits / top-k ──────────────────────────────────────────
+
+
+@query(
+    "q060_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate
+    FROM orders
+    ORDER BY o_orderpriority DESC, o_orderdate ASC, o_orderkey LIMIT 500
+    """,
+    section="B6-sorts",
+)
+def q060(spark, sf_dir):
+    """Multi-key global sort — range-partitioned exchange + local sort;
+    with LIMIT, Spark plans TakeOrderedAndProject (no full sort at scale)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .orderBy(
+            F.col("o_orderpriority").desc(),
+            F.col("o_orderdate").asc(),
+            "o_orderkey",
+        )
+        .limit(500)
+    )
+
+
+@query(
+    "q061_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+    section="B6-sorts",
+)
+def q061(spark, sf_dir):
+    """Top-k: per-partition heap + driver merge (TakeOrderedAndProject) —
+    never a full global sort."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@query(
+    "q062_per_group_topk",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) WHERE rn <= 2 ORDER BY p_brand, p_partkey
+    """,
+    section="B6-sorts",
+)
+def q062(spark, sf_dir):
+    """Per-group top-k via ranked window; Spark 3.5+ pushes a per-partition
+    top-k limit below the shuffle (WindowGroupLimit) automatically."""
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+        .orderBy("p_brand", "p_partkey")
+    )

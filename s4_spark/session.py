@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Local test mode runs ``local[N]`` in one JVM, but every config here is
+chosen to also hold on a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast conversion) — the main defense against skew and
+  mis-sized shuffles at scale.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; at cluster
+  scale AQE coalesces from a high initial number, so the same code runs
+  unchanged.
+- Arrow enabled — all pandas-UDF paths (LLM operators) batch through
+  Arrow instead of per-row pickling.
+- UTC session timezone — partition keys and timestamp semantics never
+  depend on a host's wall clock (the reference used the local clock for
+  S3 keys, /root/reference/lake/lake.go:79 — a known quirk we fix).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "s4_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    In a cluster deployment the ``master`` is supplied by spark-submit;
+    locally we default to ``local[N]``.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # The events table stores timestamp[ns]; Spark has no nanosecond
+        # timestamp type, so read the raw int64 and truncate to µs in the
+        # catalog (FIXTURES.md §1.2 — lossless on this data, sub-µs == 0).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
