@@ -1,0 +1,204 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2-B11 and
+the training-data mandate): exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All hot-path computation is JVM-side (higher-order array functions +
+xxhash64); Python never touches row data. Scale design:
+
+- shingle/minhash/simhash signatures are embarrassingly parallel per doc;
+- candidate generation joins on (band_id, band_key) — a plain shuffle
+  hash join whose key space is uniform by construction (hash buckets),
+  so no skew; AQE handles residual imbalance;
+- exact verification touches only candidate pairs (LSH recall makes the
+  quadratic all-pairs scan unnecessary at 100 TB).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (a*h + b) % P universal-hash family; P prime > 2^32, h < 2^32 and
+# a < 2^31 keep a*h+b inside int64.
+_P = 4294967311
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 31), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles of a text column (JVM-side only)."""
+    w = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+    )
+    return df.withColumn(out, F.array_distinct(grams))
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    num_hashes: int = 96,
+    seed: int = 42,
+    out: str = "sig",
+) -> DataFrame:
+    """MinHash signature: one xxhash64 pass per shingle, then ``num_hashes``
+    cheap (a*h+b) % P permutations — not ``num_hashes`` rehashes."""
+    params = _hash_params(num_hashes, seed)
+    base = F.transform(
+        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    )
+    df = df.withColumn("__h", base)
+
+    def perm(a: int, b: int):
+        # single-arg closure (a lambda with default args would be mistaken
+        # for a 3-arg higher-order lambda by the PySpark binder)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__h"), perm(a, b))) for a, b in params]
+    )
+    return df.withColumn(out, sig).drop("__h")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 24,
+    rows: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a
+    candidate pair. Returns distinct (id_a, id_b) with id_a < id_b."""
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(
+                    F.lit(j),
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col(sig_col), j * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    ),
+                ).alias("band_key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    bd = df.select(F.col(id_col), F.explode(band_entries).alias("b")).select(
+        id_col, "b.band_id", "b.band_key"
+    )
+    a = bd.alias("a")
+    b = bd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, shingle_col: str = "shingles"
+) -> DataFrame:
+    """Join candidate pairs back to shingle sets and compute exact Jaccard
+    (the verification step that makes LSH results exact-thresholded)."""
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__sh_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jac", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .drop("__sh_a", "__sh_b")
+    )
+
+
+def with_simhash64(
+    df: DataFrame, id_col: str, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-token xxhash64, each bit
+    contributes ±1 weighted by token multiplicity; sign of the per-bit sum
+    forms the fingerprint. One explode + one groupBy (map-side combined)."""
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        # shiftleft keeps bit 63 in-range (1<<63 overflows a long literal)
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return agg.select(F.col(id_col), packed.alias(out))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, sim_col: str = "simhash", band_bits: int = 8
+) -> DataFrame:
+    """Banded SimHash join: 64/band_bits bands; pairs agreeing on any band
+    are candidates. With 8-bit bands, any pair within Hamming distance 7
+    is guaranteed caught (pigeonhole). Exact Hamming distance attached."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.shiftright(F.col(sim_col), j * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    bd = df.select(F.col(id_col), F.col(sim_col), F.explode(entries).alias("b")).select(
+        id_col, sim_col, "b.band_id", "b.band_key"
+    )
+    a, b = bd.alias("a"), bd.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

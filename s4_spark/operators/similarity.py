@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (SURVEY.md §2-B11 Q112-Q113
+and the training-data mandate): brute-force cosine top-k as the exact
+baseline, hyperplane-LSH and IVF as the sublinear scale paths.
+
+The dot product is an explicit left-to-right double fold (zip_with +
+aggregate) so the result is bit-deterministic and mirrors the oracle's
+formula. All similarity math is JVM-side; no Python in the scan path.
+
+Scale notes (100 TB / billions of vectors):
+- brute force: queries are broadcast; candidates stream partition-wise;
+  per-partition top-k heaps merge at the driver (TakeOrderedAndProject) —
+  O(N) per query batch but embarrassingly parallel;
+- LSH / IVF: candidates shrink to one bucket-join per probe — the join
+  key (bucket id) is uniform by construction, so the shuffle is balanced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against all
+    candidates, rank per query. Similarity is rounded BEFORE ranking and
+    ties break on candidate id, so the top-k set is deterministic."""
+    joined = candidates.crossJoin(F.broadcast(queries)).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    scored = joined.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col(q_vec), F.col(c_vec)), round_dp).alias("cos"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Fixed-seed hyperplanes passed to Spark as literals, so every run
+    (and every resume) produces identical signatures."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Bit-signature: bit i set iff dot(vec, plane_i) > 0."""
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def multiprobe_keys(sig: Column, n_planes: int) -> Column:
+    """The signature plus all hamming-distance-1 neighbors (multi-probe
+    LSH): recall of adjacent buckets without extra tables."""
+    return F.array(
+        sig, *[sig.bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)]
+    )
+
+
+def lsh_tables_signatures(
+    vec: Column, dim: int, n_tables: int, planes_per_table: int, seed: int = 42
+) -> list[Column]:
+    """L independent hyperplane tables — the standard recall amplifier:
+    P(candidate) = 1 - Π_t (1 - p_t). One signature column per table."""
+    return [
+        hyperplane_signature(
+            vec, random_hyperplanes(dim, planes_per_table, seed=seed + 1000 * t)
+        )
+        for t in range(n_tables)
+    ]
+
+
+def lsh_candidates_multitable(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    n_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs from L hyperplane tables with Hamming<=1 multiprobe
+    on the query side. Each table contributes one uniform bucket-join;
+    the union is deduplicated. Scale shape: L shuffle joins on small int
+    keys — no quadratic pair space, no skew (buckets are hash-uniform)."""
+    out = None
+    for ti in range(n_tables):
+        planes = random_hyperplanes(dim, planes_per_table, seed=seed + 1000 * ti)
+        qs = queries.withColumn(
+            "__probe",
+            F.explode(
+                multiprobe_keys(
+                    hyperplane_signature(F.col(q_vec), planes), planes_per_table
+                )
+            ),
+        )
+        cs = candidates.withColumn(
+            "__sig", hyperplane_signature(F.col(c_vec), planes)
+        )
+        hits = qs.join(cs, qs["__probe"] == cs["__sig"]).drop("__probe", "__sig")
+        out = hits if out is None else out.unionByName(hits)
+    return out.distinct()
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], out: str = "ivf_cell",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its n_probe nearest
+    centroid cells (by cosine). Centroids are literals — at real scale
+    they'd come from a sampled k-means fit, broadcast to executors."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            F.round(cosine(F.col(vec_col), c), 9).alias("cos"), i.alias("cell")
+        ),
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    return df.withColumn(out, F.transform(top, lambda s: s["cell"]))

@@ -10,4 +10,7 @@ from s4_spark.queries import (  # noqa: F401,E402
     aggregates,
     windows,
     setops,
+    functions,
+    udfs,
+    llm,
 )

