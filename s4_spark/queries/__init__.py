@@ -13,4 +13,5 @@ from s4_spark.queries import (  # noqa: F401,E402
     functions,
     udfs,
     llm,
+    streaming,
 )

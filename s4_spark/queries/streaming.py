@@ -1,0 +1,348 @@
+"""B9 — streaming (SURVEY.md §2-B9, Q090-Q099): S4 pipeline parity plus
+the Structured Streaming operator surface. All checks are batch-equiv
+(availableNow over the static events table) except the q094 watermark
+replay rig, which no batch oracle can express (rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from s4_spark.queries.helpers import dsum, sql_dsum, t
+from s4_spark.queries.registry import query
+from s4_spark.streaming.rigs import events_stream, run_to_memory, scratch
+
+
+@query(
+    "q090_s4_pipeline_parity",
+    oracle="""
+    WITH feed AS (SELECT * FROM events),
+    out AS (
+      SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+             CAST(day(ts) AS INT) AS day, event_id, value
+      FROM feed)
+    SELECT count(*) AS n_records,
+           count(DISTINCT (year, month, day)) AS n_partitions,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           {sv} AS sum_value
+    FROM out
+    """.format(sv=sql_dsum("value")),
+    section="B9-streaming",
+)
+def q090(spark, sf_dir):
+    """S4 pipeline parity, end to end (mirrors A4+A8+A12+A16-A18):
+
+    events → JSON-lines feed (+4 malformed records: top-level array,
+    scalar, string, truncated object — the reference's drop cases,
+    /root/reference/river/jsonr.go:106-109) → streaming text source →
+    JSON validation (malformed silently dropped) → gzip text sink
+    partitioned year=/month=/day= by event time → re-read and aggregate.
+    The oracle sees only the original events table: equality proves the
+    malformed records were dropped and everything else survived the
+    gzip/partition round trip byte-exactly."""
+    from s4_spark.pipeline.s4 import S4Config, run_once
+
+    landing = scratch(f"q090_landing_{os.path.basename(sf_dir)}")
+    os.makedirs(landing, exist_ok=True)
+    ev = t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props")
+        ).alias("value")
+    )
+    ev.coalesce(4).write.mode("overwrite").text(landing)
+    with open(os.path.join(landing, "malformed.txt"), "w") as f:
+        f.write('[1, 2]\n42\n"str"\n{"event_id":\n')  # FIXTURES.md §2 drop cases
+
+    out_dir = scratch(f"q090_out_{os.path.basename(sf_dir)}")
+    cfg = S4Config(
+        input_path=landing,
+        output_path=out_dir,
+        checkpoint_path=scratch(f"q090_ckpt_{os.path.basename(sf_dir)}"),
+        record_type="json",
+        json_schema="event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+        event_time_col="ts",
+    )
+    run_once(spark, cfg)
+
+    parsed_back = spark.read.text(out_dir).withColumn(
+        "__row",
+        F.from_json(
+            "value",
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ),
+    )
+    return parsed_back.agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct(
+            F.struct(
+                F.year("__row.ts").alias("year"),
+                F.month("__row.ts").alias("month"),
+                F.dayofmonth("__row.ts").alias("day"),
+            )
+        ).alias("n_partitions"),
+        F.sum("__row.event_id").cast("long").alias("sum_ids"),
+        dsum(F.col("__row.value")).alias("sum_value"),
+    )
+
+
+@query(
+    "q091_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start,
+           count(*) AS n, {sv} AS sum_value
+    FROM events GROUP BY w_start ORDER BY w_start
+    """.format(sv=sql_dsum("value")),
+    section="B9-streaming",
+)
+def q091(spark, sf_dir):
+    """Streaming tumbling-window aggregate (10 min), complete mode,
+    availableNow — batch-equivalent to DuckDB time_bucket."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
+    return run_to_memory(agg, mode="complete", tag="q091").orderBy("w_start")
+
+
+@query(
+    "q092_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE, value
+      FROM events)
+    SELECT w_start, count(*) AS n, {sv} AS sum_value
+    FROM b GROUP BY w_start ORDER BY w_start
+    """.format(sv=sql_dsum("value")),
+    section="B9-streaming",
+)
+def q092(spark, sf_dir):
+    """Sliding window (10 min width, 5 min slide): every event belongs to
+    two windows; the oracle materializes both memberships explicitly."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+    )
+    return run_to_memory(agg, mode="complete", tag="q092").orderBy("w_start")
+
+
+@query(
+    "q093_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, min(ts) AS session_start, count(*) AS n
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+    section="B9-streaming",
+)
+def q093(spark, sf_dir):
+    """Session windows (30-min gap) per user — checked against the
+    classic gaps-and-islands SQL."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    return run_to_memory(agg, mode="complete", tag="q093").orderBy(
+        "user_id", "session_start"
+    )
+
+
+@query("q094_watermark_late_drop", oracle=None, section="B9-streaming")
+def q094(spark, sf_dir):
+    """Watermark semantics via the two-phase replay rig (SURVEY §7 risk 2;
+    no batch oracle can express this — rows-only check, deterministic by
+    construction).
+
+    Phase 1: events in [00:00, 01:00) → watermark advances to
+    max(ts)-10min. Phase 2: replays rows at 00:05 (far behind the
+    watermark → dropped) plus fresh rows at 02:00. The append-mode
+    output therefore contains phase-1 windows exactly once and no
+    window containing ONLY the late 00:05 replays beyond those already
+    emitted — the dropped set is the difference vs a batch run, which
+    the test asserts explicitly."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    base = F.lit(lo).cast("timestamp")
+    p1 = ev.filter(F.col("ts") < F.timestamp_add("HOUR", F.lit(1), base))
+    late = p1.limit(50).withColumn("ts", F.timestamp_add("MINUTE", F.lit(5), base))
+    fresh = (
+        ev.filter(F.col("ts") >= F.timestamp_add("HOUR", F.lit(1), base))
+        .limit(100)
+        .withColumn("ts", F.timestamp_add("HOUR", F.lit(2), base))
+    )
+    p2 = late.unionByName(fresh)
+
+    from s4_spark.streaming.rigs import two_phase_replay
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+
+    return two_phase_replay(spark, p1, p2, build, tag="q094").orderBy("w_start")
+
+
+@query(
+    "q095_streaming_dedup",
+    oracle="""
+    SELECT count(*) AS n_after_dedup FROM events
+    """,
+    section="B9-streaming",
+)
+def q095(spark, sf_dir):
+    """Streaming dropDuplicates over a doubled feed: the source replays
+    every event twice; state-backed dedup on event_id restores exactly
+    the distinct set. (Distinct AGGREGATES are unsupported on streams —
+    dedup state is the streaming-native spelling.)"""
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.agg(F.count("*").alias("n_after_dedup"))
+    return run_to_memory(agg, mode="complete", tag="q095")
+
+
+@query(
+    "q096_output_modes",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    section="B9-streaming",
+)
+def q096(spark, sf_dir):
+    """Stateful agg output modes: complete-mode final state equals the
+    batch aggregate (update mode exercised by the q094 rig; append mode
+    by q099's file sink)."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return run_to_memory(agg, mode="complete", tag="q096").orderBy("event_type")
+
+
+@query(
+    "q097_arbitrary_stateful",
+    oracle="""
+    SELECT user_id, max(value) AS running_max, count(*) AS n_seen
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    section="B9-streaming",
+)
+def q097(spark, sf_dir):
+    """Arbitrary stateful op via applyInPandasWithState: per-user running
+    max + seen-count kept in explicit GroupState; the availableNow final
+    snapshot equals the batch aggregate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def running_max(key, pdfs, state: GroupState):
+        mx, n = state.get if state.exists else (float("-inf"), 0)
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += len(pdf)
+        state.update((mx, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "running_max": [mx], "n_seen": [n]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        running_max,
+        outputStructType="user_id long, running_max double, n_seen long",
+        stateStructType="mx double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, mode="update", tag="q097").orderBy("user_id")
+
+
+@query(
+    "q098_stream_static_join",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_events
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    section="B9-streaming",
+)
+def q098(spark, sf_dir):
+    """Stream-static join: streaming events against the static customer/
+    nation dims (broadcast — the dims are loaded per micro-batch, so at
+    100 TB they must be broadcast-sized or pre-bucketed)."""
+    ev = events_stream(spark, sf_dir)
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_memory(joined, mode="complete", tag="q098").orderBy("n_name")
+
+
+@query(
+    "q099_foreachbatch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, {sv} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """.format(sv=sql_dsum("value")),
+    section="B9-streaming",
+)
+def q099(spark, sf_dir):
+    """foreachBatch custom sink: each micro-batch is written as parquet
+    keyed by batchId (idempotent on retry — the exactly-once upgrade of
+    the reference's log-and-drop error policy, main.go:88-104); the
+    re-read equals the batch aggregate."""
+    out_dir = scratch(f"q099_out_{os.path.basename(sf_dir)}")
+    ev = events_stream(spark, sf_dir)
+
+    def write_batch(batch_df, batch_id: int):
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={batch_id}")
+            )
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"q099_ckpt_{os.path.basename(sf_dir)}"))
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir + "/batch=*")
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )

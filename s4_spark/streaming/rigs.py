@@ -1,0 +1,110 @@
+"""Streaming test rigs: batch-equivalence runners (SURVEY.md §2-B
+methodology — run the streaming query with availableNow over static data,
+compare with batch SQL) and the deterministic two-phase replay rig for
+watermark semantics (the one category no batch oracle can express).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s4_spark.catalog import EVENTS_RAW_SCHEMA
+
+_counter = itertools.count()
+
+
+def scratch(tag: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), "s4_spark_scratch", "stream")
+    os.makedirs(base, exist_ok=True)
+    path = os.path.join(base, tag)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a streaming DataFrame (file source over a landing dir),
+    with the ns→µs timestamp fixup applied in-stream."""
+    from s4_spark.queries.scans import events_landing_dir
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(events_landing_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    df: DataFrame, mode: str = "complete", tag: str = "q"
+) -> DataFrame:
+    """Run a streaming DataFrame to a memory sink with availableNow and
+    return the sink contents as a batch DataFrame."""
+    name = f"s4_mem_{tag}_{next(_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def two_phase_replay(
+    spark: SparkSession,
+    phase1: DataFrame,
+    phase2: DataFrame,
+    build_query,
+    tag: str = "replay",
+) -> DataFrame:
+    """Deterministic watermark replay: write phase-1 rows to a landing
+    dir, process to completion (watermark advances to max(ts) - delay at
+    the NEXT batch), then write phase-2 (containing late rows) and
+    process again. Append-mode results show exactly which windows closed
+    and which late rows were dropped. Fully deterministic because batch
+    boundaries are forced by processAllAvailable() between phases."""
+    landing = scratch(f"{tag}_landing")
+    os.makedirs(landing, exist_ok=True)
+    name = f"s4_mem_{tag}_{next(_counter)}"
+
+    def drop_file(df: DataFrame, fname: str) -> None:
+        # stage as one flat parquet file so each phase is exactly one
+        # source file (one micro-batch with maxFilesPerTrigger=1)
+        tmp = scratch(f"{tag}_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        )
+        shutil.copyfile(os.path.join(tmp, part), os.path.join(landing, fname))
+
+    drop_file(phase1, "p1.parquet")
+    stream = (
+        spark.readStream.schema(phase1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = build_query(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    drop_file(phase2, "p2.parquet")
+    q.processAllAvailable()
+    # a final tick (empty file) applies the watermark computed from
+    # phase 2 so its non-late windows close deterministically
+    drop_file(phase2.limit(0), "p3.parquet")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,41 @@
+"""Streaming-specific semantics that the oracle harness can't express:
+watermark late-drop behavior (q094) and the pipeline CLI surface."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from s4_spark.queries.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_q094_watermark_drops_late_rows(spark):
+    out = REGISTRY["q094_watermark_late_drop"].fn(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # phase 2 replays 50 rows at base+5min — far behind the watermark
+    # (phase-1 max is ~1h ahead). If they had been accepted, the window
+    # containing base+5min would appear again / with inflated counts.
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # batch ground truth for the phase-1 portion only:
+    lo = ev.select(F.timestamp_micros(F.expr("min(ts) div 1000"))).collect()[0][0]
+    lo_floor = pd.Timestamp(lo).floor("10min")
+    w0 = out[out.w_start == lo_floor]
+    assert len(w0) == 1, "first window must be emitted exactly once"
+    # windows are emitted only once (append mode): no duplicates at all
+    assert out.w_start.is_unique
+
+
+def test_cli_mock_smoke(capsys):
+    from s4_spark.pipeline.cli import main
+
+    assert main(["mock", "--seconds", "3"]) == 0
+
+
+def test_cli_requires_options():
+    import pytest as _pytest
+
+    from s4_spark.pipeline.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["run"])  # missing --input/--output/--checkpoint
