@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md §3): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], one JSON line on stdout.
+
+Two metric families:
+- relational/LLM headline queries: wall-clock seconds each (collect()d);
+- S4-parity streaming ingest (BASELINE.md §3.2): n line records replayed
+  through the q090-shaped pipeline with availableNow, reported as
+  `stream_ingest_1m` seconds (records/s derivable: n / sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s4_spark.queries import REGISTRY
+from s4_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+STREAM_N = int(os.environ.get("S4_BENCH_STREAM_N", "1000000"))
+
+# Headline set: one per family — scan, agg, join, asof, window, top-k,
+# setop, functions, UDF, dedup (exact + LSH), similarity, text, stream e2e.
+HEADLINE = [
+    "q001_parquet_scan",
+    "q030_hash_agg_tpch_q1",
+    "q031_count_distinct",
+    "q020_inner_join_tpch_q3",
+    "q021_broadcast_join",
+    "q024_left_semi_join",
+    "q028_asof_join",
+    "q050_ranking",
+    "q054_range_frame",
+    "q061_topk",
+    "q070_union",
+    "q080_string_functions",
+    "q101_pandas_udf",
+    "q110_exact_dedup",
+    "q111_minhash_lsh_neardup",
+    "q112_cosine_topk_bruteforce",
+    "q115_token_df_topk",
+    "q090_s4_pipeline_parity",
+]
+
+
+def bench_stream_ingest(spark, n: int) -> float:
+    """Replay n generated line records (the UnixBenchmarkServer corpus
+    shape, /root/reference/test/tool.go:72-97 scaled up) through the
+    line-mode pipeline: text stream -> gzip partitioned sink."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.pipeline.s4 import S4Config, run_once
+    from s4_spark.streaming.rigs import scratch
+
+    landing = scratch("bench_stream_landing")
+    (
+        spark.range(n)
+        .select(F.concat(F.lit("benchmaking: "), F.col("id")).alias("value"))
+        .coalesce(8)
+        .write.mode("overwrite")
+        .text(landing)
+    )
+    cfg = S4Config(
+        input_path=landing,
+        output_path=scratch("bench_stream_out"),
+        checkpoint_path=scratch("bench_stream_ckpt"),
+        record_type="line",
+    )
+    t0 = time.time()
+    run_once(spark, cfg)
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="s4_bench", cpus=CPUS)
+    # warm up JVM / codegen so query 1 isn't charged for session startup
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        results[name] = round(time.time() - t0, 3)
+
+    results["stream_ingest_1m"] = round(bench_stream_ingest(spark, STREAM_N), 3)
+
+    total = round(sum(results.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf else SF_DIR,
+                "env": {
+                    "cpus": CPUS,
+                    "spark": spark.version,
+                    "stream_records": STREAM_N,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

