@@ -83,12 +83,20 @@ def main() -> None:
     # warm up JVM / codegen so query 1 isn't charged for session startup
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
 
+    # min of N runs: single-shot numbers at this scale carry 10-20%
+    # machine-load noise plus first-run codegen compilation; the min is
+    # the stable, comparable statistic for a regression bound.
+    runs = int(os.environ.get("S4_BENCH_RUNS", "2"))
     results: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        results[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
 
     results["stream_ingest_1m"] = round(bench_stream_ingest(spark, STREAM_N), 3)
 

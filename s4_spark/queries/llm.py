@@ -320,10 +320,17 @@ def q120(spark, sf_dir):
     fingerprints, not band-collision noise."""
     docs = t(spark, sf_dir, "documents")
     sh = D.with_simhash64(docs, "doc_id")
-    cands = D.simhash_candidate_pairs(sh, "doc_id", band_bits=8).filter(
-        F.col("hamming") <= 12
+    # cache: simhash banding is the expensive stage here (≈1M surviving
+    # candidates from a 5M-pair band join) and verification references the
+    # pair set twice — materialize once rather than recompute (measured
+    # 20s vs 63s at sf0.1; contrast q111, where candidate gen is cheap and
+    # ReusedExchange alone is faster than a cache barrier).
+    cands = (
+        D.simhash_candidate_pairs(sh, "doc_id", band_bits=8, max_hamming=12)
+        .select("id_a", "id_b")
+        .cache()
     )
-    verified = D.verify_pairs_jaccard(cands.select("id_a", "id_b"), docs, "doc_id")
+    verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
         verified.withColumn("jac", F.round("jac", 6))
         .filter(F.col("jac") >= 0.5)

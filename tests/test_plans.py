@@ -1,0 +1,122 @@
+"""Physical-plan audit: assert the plan properties that make each family
+scale, not just that results match.
+
+Correctness tests prove WHAT is computed; these prove HOW — a broadcast
+that silently degrades to a sort-merge join, a filter that stops reaching
+the parquet scan, or a projection that stops pruning columns would still
+pass the oracle gate at sf0.01 while becoming the bottleneck at 100 TB.
+Plans are inspected via ``explain`` output only (no job execution), so the
+whole module runs in seconds.
+
+AQE note: with adaptive execution the initial plan prints ``AdaptiveSparkPlan
+isFinalPlan=false`` — join-strategy and scan nodes are still visible in the
+initial plan, which is what these assertions read.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from s4_spark.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_broadcast_join_dims_broadcast(spark):
+    """q021: both dims (nation, region) must hash-broadcast — the fact
+    side (customer) is never shuffled."""
+    p = plan(spark, "q021_broadcast_join")
+    # formatted output lists each node twice (tree + details)
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_tpch_q3_join_shape(spark):
+    """q020: customer (small side) broadcasts; orders⋈lineitem may shuffle
+    (both large) but must be a hash or sort-merge join on the key, never a
+    nested-loop."""
+    p = plan(spark, "q020_inner_join_tpch_q3")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q011: comparison predicates reach the parquet reader as
+    PushedFilters (row-group statistics skipping at scale)."""
+    p = plan(spark, "q011_filter_comparison")
+    assert "PushedFilters: [" in p, p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan" in pushed or "l_quantity" in pushed, pushed
+
+
+def test_column_pruning_reaches_scan(spark):
+    """q010: a 3-column projection over the 16-column lineitem must read
+    only the referenced columns (ReadSchema pruning)."""
+    p = plan(spark, "q010_projection")
+    schema_line = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_shipdate" not in schema_line, schema_line
+    assert "l_comment" not in schema_line, schema_line
+
+
+def test_partial_aggregation_present(spark):
+    """q030 (TPC-H Q1): two HashAggregate nodes (partial + final) so the
+    shuffle carries one row per (partition, group), not raw rows."""
+    p = plan(spark, "q030_hash_agg_tpch_q1")
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_semi_join_stays_semi(spark):
+    """q024: EXISTS compiles to a semi join (never materializes the
+    probe side's matches)."""
+    p = plan(spark, "q024_left_semi_join")
+    assert "LeftSemi" in p, p
+
+
+def test_topk_uses_take_ordered(spark):
+    """q061: ORDER BY + LIMIT must plan as TakeOrderedAndProject — a
+    per-partition heap + driver merge, never a global sort."""
+    p = plan(spark, "q061_topk")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_minhash_shuffles_signatures_not_shingles(spark):
+    """q111: the MinHash aggregation partial-aggregates before its
+    shuffle — the exchange carries 96-column signature rows, never raw
+    shingle rows (the property that bounds shuffle volume by doc count,
+    not token count)."""
+    p = plan(spark, "q111_minhash_lsh_neardup")
+    # partial HashAggregate (min columns) must appear below an Exchange
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    """q030: the scan→filter→partial-agg pipeline runs inside whole-stage
+    codegen (interpreted expression trees are 5-10x slower). Codegen stage
+    markers (``*(n)``) only appear in the AQE final plan, so execute first."""
+    df = REGISTRY["q030_hash_agg_tpch_q1"].fn(spark, SF_DIR)
+    df.collect()
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "*(1) HashAggregate" in simple or "*(1) Filter" in simple, simple
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q022_left_outer_join",
+        "q023_full_outer_join",
+        "q025_left_anti_join",
+        "q028_asof_join",
+    ],
+)
+def test_equi_joins_never_nested_loop(spark, name):
+    """Equi-joinable forms must never degrade to a nested-loop plan."""
+    p = plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in p, f"{name}: {p}"
