@@ -331,3 +331,71 @@ def q040(spark, sf_dir):
         .agg(dsum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q041_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS R
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+    section="B4-aggregations",
+)
+def q041(spark, sf_dir):
+    """Pivot with EXPLICIT value list — the scale-correct form: without it
+    Spark runs an extra distinct job over the pivot column to discover
+    values (a full shuffle just to name output columns). Compiles to one
+    conditional aggregate, same shape as the CASE-WHEN oracle."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity"))
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q042_unpivot",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, 'totalprice' AS measure,
+             CAST(o_totalprice AS DOUBLE) AS value FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+      FROM orders
+    )
+    SELECT measure, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM u GROUP BY measure ORDER BY measure
+    """,
+    section="B4-aggregations",
+)
+def q042(spark, sf_dir):
+    """Unpivot (wide→long melt) — a zero-shuffle Expand node: each input
+    row emits one row per measure; the only shuffle is the downstream agg."""
+    long = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["totalprice", "custkey"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+    )
+    return (
+        long.groupBy("measure")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total"))
+        .orderBy("measure")
+    )

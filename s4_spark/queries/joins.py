@@ -246,3 +246,139 @@ def q029(spark, sf_dir):
         F.count("*").alias("n"),
         F.countDistinct(F.concat_ws("/", "r_name", "n_name")).alias("n_pairs"),
     )
+
+
+@query(
+    "q043_scalar_subquery",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    section="B3-joins",
+)
+def q043(spark, sf_dir):
+    """Uncorrelated scalar subquery: Catalyst evaluates the subquery once
+    and injects the result as a literal into the filter — one extra tiny
+    job, no join, no per-row re-evaluation."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q044_correlated_subquery",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n
+    FROM customer c
+    WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 10
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    section="B3-joins",
+)
+def q044(spark, sf_dir):
+    """Correlated COUNT subquery: Catalyst decorrelates to an aggregate +
+    (outer) join — verify-by-oracle that the rewrite preserves the
+    COUNT(*)-over-empty-group = 0 edge case."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer c
+        WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 10
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "q045_bucketed_join",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    section="B3-joins",
+)
+def q045(spark, sf_dir):
+    """Bucketed co-located join — THE shuffle eliminator for repeated
+    large⋈large joins at 100 TB: both sides written bucketed by the join
+    key (sorted within buckets), so the sort-merge join reads bucket i ⋈
+    bucket i directly with NO Exchange on either side (asserted in
+    tests/test_plans.py). The `merge` hint pins SMJ so the demonstration
+    doesn't silently degrade to broadcast at small SF."""
+    import os as _os
+
+    from s4_spark.queries.scans import _scratch
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    warehouse = _scratch(f"bucketed_{tag}")
+    o_name, c_name = f"orders_b_{tag}", f"customer_b_{tag}"
+    if not spark.catalog.tableExists(o_name):
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", _os.path.join(warehouse, "orders_b"))
+            .mode("overwrite")
+            .saveAsTable(o_name)
+        )
+        (
+            t(spark, sf_dir, "customer")
+            .select("c_custkey")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", _os.path.join(warehouse, "customer_b"))
+            .mode("overwrite")
+            .saveAsTable(c_name)
+        )
+    o = spark.table(o_name)
+    c = spark.table(c_name).hint("merge")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q046_salted_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    section="B3-joins",
+)
+def q046(spark, sf_dir):
+    """Salted join (operators/skew.py): orders' hot custkeys scattered
+    across 8 deterministic sub-keys, customer replicated 8x, joined on
+    (key, salt). The oracle is the UNSALTED join — salting must be
+    result-invariant."""
+    from s4_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = salted_join(
+        o, c, on=[("o_custkey", "c_custkey")], skewed_row_col="o_orderkey", n_salts=8
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("c_mktsegment")
+    )

@@ -214,3 +214,27 @@ def q008(spark, sf_dir):
     q.awaitTermination()
     n_rows = sum(p["numInputRows"] for p in (q.recentProgress or []))
     return spark.createDataFrame([(int(n_rows > 0),)], "streamed int")
+
+
+@query(
+    "q009_orc_roundtrip",
+    oracle="""
+    SELECT count(*) AS n, CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    """,
+    section="B1-scans",
+)
+def q009(spark, sf_dir):
+    """lineitem → ORC (zlib) → read → agg. ORC is the second columnar
+    format the engine speaks natively (vectorized reader, predicate
+    pushdown, column pruning — same scan contract as parquet)."""
+    path = _scratch(f"orc_{os.path.basename(sf_dir)}")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").cast("long").alias("sum_ok"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

@@ -120,3 +120,23 @@ def test_equi_joins_never_nested_loop(spark, name):
     """Equi-joinable forms must never degrade to a nested-loop plan."""
     p = plan(spark, name)
     assert "BroadcastNestedLoopJoin" not in p, f"{name}: {p}"
+
+
+def test_bucketed_join_no_exchange(spark):
+    """q045: both sides bucketed by the join key — the sort-merge join
+    must have NO Exchange (shuffle) on either input. This is the property
+    that makes repeated large⋈large joins free of shuffle at 100 TB."""
+    p = plan(spark, "q045_bucketed_join")
+    join_part = p.split("SortMergeJoin", 1)[0]
+    # the only exchanges allowed are AFTER the join (agg/sort); before the
+    # join node's inputs there must be none
+    assert "Exchange hashpartitioning" not in join_part, p
+    assert "SortMergeJoin" in p, p
+
+
+def test_pivot_no_values_discovery_job(spark):
+    """q041: explicit pivot values — no distinct-values discovery job.
+    Expected exchanges: the two-phase pivot aggregation (2) + final sort
+    (1), each printed twice in formatted mode = 6 mentions max."""
+    p = plan(spark, "q041_pivot")
+    assert p.count("Exchange") <= 6, p
