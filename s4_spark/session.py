@@ -57,7 +57,26 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
-    if not os.environ.get("SPARK_GRAFT_CLUSTER"):
+    if os.environ.get("SPARK_GRAFT_CLUSTER"):
+        # Cluster deployment against S3 (the north-star source/sink).
+        # Inert locally — hadoop-aws isn't on the test classpath; on a
+        # real cluster these are the settings that matter at 100 TB:
+        for k, v in {
+            # never rename on S3: task/job commits become metadata ops
+            "spark.sql.sources.commitProtocolClass":
+                "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+            "spark.sql.parquet.output.committer.class":
+                "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+            "spark.hadoop.fs.s3a.committer.name": "magic",
+            # parallel multipart uploads sized for large part-files
+            "spark.hadoop.fs.s3a.fast.upload": "true",
+            "spark.hadoop.fs.s3a.multipart.size": "128M",
+            "spark.hadoop.fs.s3a.connection.maximum": "256",
+            # bound the driver-side listing cost of huge landing prefixes
+            "spark.sql.streaming.fileSource.log.compactInterval": "10",
+        }.items():
+            builder = builder.config(k, v)
+    else:
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): operator invariants that must hold
+for ALL inputs, not just the fixture tables.
+
+Each property runs a bounded number of examples (Spark job per example is
+~0.5s); properties are chosen to be deterministic — no statistical
+assertions that could flake.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from s4_spark.operators.skew import salted_join
+from s4_spark.operators import dedup as D
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=9)
+rows = st.lists(st.tuples(st.integers(0, 1000), keys), min_size=0, max_size=40)
+dim_rows = st.lists(keys, min_size=0, max_size=12)
+
+
+@given(fact=rows, dim=dim_rows, n_salts=st.integers(1, 8))
+@SETTINGS
+def test_salted_join_equals_plain_join(spark, fact, dim, n_salts):
+    """salted_join is result-invariant vs the plain join for any fact/dim
+    multiset and any salt count (including dup keys on both sides)."""
+    f = spark.createDataFrame(
+        [(i, k) for i, k in fact] or [(None, None)], "row_id int, k int"
+    ).filter(F.col("row_id").isNotNull())
+    d = spark.createDataFrame(
+        [(k,) for k in dim] or [(None,)], "dk int"
+    ).filter(F.col("dk").isNotNull())
+    salted = salted_join(f, d, on=[("k", "dk")], skewed_row_col="row_id", n_salts=n_salts)
+    plain = f.join(d, f.k == d.dk)
+    got = sorted(map(tuple, salted.select("row_id", "k", "dk").collect()))
+    want = sorted(map(tuple, plain.select("row_id", "k", "dk").collect()))
+    assert got == want
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=30), min_size=1, max_size=25
+)
+
+
+@given(docs=texts)
+@SETTINGS
+def test_exact_dedup_keeps_one_per_distinct_text(spark, docs):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id long, text string")
+    deduped = df.dropDuplicates(["text"])
+    assert deduped.count() == len(set(docs))
+    # kept rows are a subset of the input and cover every distinct text
+    kept = {r["text"] for r in deduped.collect()}
+    assert kept == set(docs)
+
+
+@given(docs=st.lists(st.text(alphabet="abc xyz", min_size=12, max_size=60),
+                     min_size=2, max_size=10))
+@SETTINGS
+def test_minhash_signature_deterministic_and_injective_on_equal_sets(spark, docs):
+    """Same shingle set ⟹ same MinHash signature (determinism is what
+    makes LSH resumable and retry-safe); signatures have the declared
+    length and value range."""
+    rows = [(i, t) for i, t in enumerate(docs)] + [(len(docs) + i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = D.shingles_exploded(df, "doc_id", n=2)
+    sig = D.with_minhash_signature(ex, "doc_id", num_hashes=16)
+    out = {r["doc_id"]: tuple(r["sig"]) for r in sig.collect()}
+    for i, t in enumerate(docs):
+        a, b = out.get(i), out.get(len(docs) + i)
+        assert a == b  # duplicate text ⟹ identical signature
+        if a is not None:
+            assert len(a) == 16
+            assert all(0 <= v for v in a)
+
+
+@given(pairs=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                      min_size=1, max_size=30))
+@SETTINGS
+def test_jaccard_bounds_and_self_similarity(spark, pairs):
+    """Exact Jaccard ∈ [0,1]; a set with itself is exactly 1."""
+    df = spark.createDataFrame(
+        [(u, f"tok{v} tok{v+1} tok{u}") for u, v in pairs], "doc_id long, text string"
+    ).dropDuplicates(["doc_id"])
+    sets = D.shingle_sets(df, "doc_id", n=1)
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb"))
+    j = a.crossJoin(b).withColumn("jac", D.jaccard(F.col("sa"), F.col("sb")))
+    for r in j.collect():
+        assert 0.0 <= r["jac"] <= 1.0
+        if r["id_a"] == r["id_b"]:
+            assert r["jac"] == 1.0
