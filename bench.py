@@ -45,6 +45,7 @@ HEADLINE = [
     "q110_exact_dedup",
     "q111_minhash_lsh_neardup",
     "q112_cosine_topk_bruteforce",
+    "q129_cosine_topk_blocked",
     "q115_token_df_topk",
     "q090_s4_pipeline_parity",
 ]

@@ -140,6 +140,83 @@ def lsh_candidates_multitable(
     return out.distinct()
 
 
+def block_topk_cosine(
+    candidates: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Block-partitioned exact cosine top-k — the 100 TB shape of brute
+    force (SURVEY.md §4.3): the query set ships to every task as a numpy
+    matrix; each Arrow batch of candidates is scored with vectorized
+    per-dimension accumulation and reduced to ≤ Q×k rows IN the task, so
+    the shuffle/merge stage sees Q × k × n_batches rows — never the
+    Q × N scored space that the crossJoin+window formulation
+    materializes. The global merge is a window over that tiny remainder.
+
+    Per-batch top-k under the total order (cos desc, c_id asc) — the same
+    order the final window uses — is a lossless pre-filter, so the result
+    is bit-identical to the crossJoin formulation (q129 shares q112's
+    oracle). Accumulation is per-dimension left-to-right, matching the
+    sequential-fold semantics of :func:`dot` and the DuckDB oracle, so
+    rounding at ``round_dp`` agrees across engines."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [int(q) for q, _ in queries]
+    Q = np.asarray([v for _, v in queries], dtype=np.float64)
+
+    def seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        # A: Q×d, B: B×d -> Q×B, accumulated dim-by-dim (left-to-right,
+        # same fp order as a sequential fold)
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            acc += np.outer(A[:, j], B[:, j])
+        return acc
+
+    def seq_norm(A: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        return np.sqrt(acc)
+
+    qn = seq_norm(Q)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.asarray(pdf[c_vec].tolist(), dtype=np.float64)
+            ids = pdf[c_id].to_numpy()
+            cos = np.round(
+                seq_dot(Q, C) / np.outer(qn, seq_norm(C)), round_dp
+            )
+            out_q: list[int] = []
+            out_c: list[int] = []
+            out_s: list[float] = []
+            for i, qid in enumerate(qids):
+                mask = ids != qid
+                s, cid = cos[i][mask], ids[mask]
+                kk = min(k, len(s))
+                if not kk:
+                    continue
+                order = np.lexsort((cid, -s))[:kk]
+                out_q += [qid] * kk
+                out_c += cid[order].tolist()
+                out_s += s[order].tolist()
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos": out_s})
+
+    partial = candidates.select(c_id, c_vec).mapInPandas(
+        score_batches, "q_id long, c_id long, cos double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_assign(
     df: DataFrame, vec_col: str, centroids: list[list[float]], out: str = "ivf_cell",
     n_probe: int = 1,

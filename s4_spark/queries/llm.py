@@ -624,3 +624,42 @@ def q128(spark, sf_dir):
         F.lit(10).cast("long").alias("n_queries"),
         (F.col("r") >= 0.5).alias("recall_ok"),
     )
+
+
+@query(
+    "q129_cosine_topk_blocked",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.q_id, b.vec_id AS c_id, {_DUCK_COS.replace("a.embedding", "q.embedding")} AS cos
+      FROM q JOIN embeddings b ON b.vec_id <> q.q_id
+    ),
+    ranked AS (
+      SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+      FROM scored)
+    SELECT q_id, c_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+    """,
+    section="B11-llm",
+)
+def q129(spark, sf_dir):
+    """Block-partitioned exact cosine top-k (operators/similarity.py
+    block_topk_cosine) — the 100 TB formulation of q112: per-Arrow-batch
+    numpy scoring with in-task top-k, so the merge stage sees Q x k x
+    n_batches rows instead of the full Q x N scored space. Shares q112's
+    oracle: the block path must be bit-identical to brute force."""
+    e = t(spark, sf_dir, "embeddings")
+    qvecs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in e.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return (
+        S.block_topk_cosine(cands, qvecs, k=5)
+        .select("q_id", "c_id", "cos", "rank")
+        .orderBy("q_id", "rank")
+    )
