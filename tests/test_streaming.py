@@ -39,3 +39,50 @@ def test_cli_requires_options():
 
     with _pytest.raises(SystemExit):
         main(["run"])  # missing --input/--output/--checkpoint
+
+
+def test_exactly_once_across_restarts(spark):
+    """The headline upgrade over the reference (SURVEY.md Appendix B:
+    LevelDB delete-before-send loses data on crash; LineRiver truncate
+    races writers): run the pipeline, add more input, run AGAIN through
+    the SAME checkpoint — every record delivered exactly once, the
+    already-committed batch never re-emitted."""
+    import glob
+    import gzip
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s4_spark.pipeline.s4 import S4Config, run_once
+    from s4_spark.streaming.rigs import scratch
+
+    landing = scratch("eo_landing")
+    out = scratch("eo_out")
+    ckpt = scratch("eo_ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    def feed(lo, hi, fname):
+        with open(os.path.join(landing, fname), "w") as f:
+            for i in range(lo, hi):
+                f.write(f"rec-{i}\n")
+
+    def committed():
+        rows = []
+        for f in glob.glob(os.path.join(out, "**", "*.gz"), recursive=True):
+            with gzip.open(f, "rt") as fh:
+                rows += [line.strip() for line in fh]
+        return rows
+
+    cfg = S4Config(
+        input_path=landing, output_path=out, checkpoint_path=ckpt,
+        record_type="line",
+    )
+    feed(0, 500, "a.txt")
+    run_once(spark, cfg)
+    assert sorted(committed()) == sorted(f"rec-{i}" for i in range(500))
+
+    feed(500, 800, "b.txt")
+    run_once(spark, cfg)  # same checkpoint: resumes, must not re-emit a.txt
+    got = committed()
+    assert sorted(got) == sorted(f"rec-{i}" for i in range(800))
+    assert len(got) == len(set(got))  # no duplicates
