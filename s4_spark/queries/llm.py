@@ -663,3 +663,84 @@ def q129(spark, sf_dir):
         .select("q_id", "c_id", "cos", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+@query(
+    "q130_corpus_prep",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             round(CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS DOUBLE) / length(text), 6) AS punct_ratio
+      FROM documents),
+    quality AS (
+      SELECT * FROM feat WHERE n_tokens >= 5 AND punct_ratio <= 0.5),
+    exact_kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text)
+                                     ORDER BY doc_id) AS rn
+        FROM quality) WHERE rn = 1),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM exact_kept),
+    sh AS (SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS ws
+           FROM w),
+    neardup AS (
+      SELECT DISTINCT b.doc_id AS removed
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.5),
+    final AS (
+      SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT removed FROM neardup))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM final GROUP BY lang ORDER BY lang
+    """,
+    section="B11-llm",
+)
+def q130(spark, sf_dir):
+    """Flagship corpus-prep pipeline — the end-to-end training-data job
+    this engine exists for, every stage a tested operator:
+
+      quality filter (n_tokens ≥ 5, punct_ratio ≤ 0.5; operators/text.py)
+      → exact dedup keeping the lowest doc_id per content hash
+      → near-dup removal: drop the larger id of every exact-verified
+        trigram-Jaccard ≥ 0.5 pair (non-cascading keep-first policy, so
+        the result is deterministic and SQL-mirrorable)
+      → per-language corpus stats.
+
+    At 100 TB the near-dup stage swaps the exact inverted-index join for
+    MinHash-LSH (q111) — same verify + removal policy, same contract."""
+    d = X.quality_features(t(spark, sf_dir, "documents")).filter(
+        (F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.5)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    kept = (
+        d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    inv = (
+        D.shingles_exploded(kept, "doc_id")
+        .withColumnRenamed("shingle", "s")
+        .distinct()
+    )
+    a, b = inv.alias("a"), inv.alias("b")
+    cands = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    removed = (
+        D.verify_pairs_jaccard(cands, kept, "doc_id")
+        .filter(F.col("jac") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    final = kept.join(removed, "doc_id", "left_anti")
+    return (
+        final.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("sum_tokens"))
+        .orderBy("lang")
+    )
