@@ -14,4 +14,5 @@ from s4_spark.queries import (  # noqa: F401,E402
     udfs,
     llm,
     streaming,
+    training,
 )

@@ -346,3 +346,43 @@ def q099(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q106_stream_stream_join",
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+    ON a.user_id = b.user_id
+    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+    GROUP BY a.user_id ORDER BY a.user_id
+    """,
+    section="B9-streaming",
+)
+def q106(spark, sf_dir):
+    """Stream-stream inner join: two event streams joined per user within
+    a 1-minute time bound, both sides watermarked so the state store can
+    evict rows older than (watermark - bound) — THE requirement for an
+    unbounded join at 100 TB. Batch-equiv check: availableNow over the
+    static events file, joined pairs land in a memory sink and are
+    summarized per user (single source file -> single micro-batch, so
+    the initial watermark drops nothing and the result equals the batch
+    self-join)."""
+    a = events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("a_user"), F.col("ts").alias("a_ts")
+    ).withWatermark("a_ts", "1 hour")
+    b = events_stream(spark, sf_dir).select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+    ).withWatermark("b_ts", "1 hour")
+    pairs = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 MINUTE")),
+    )
+    sunk = run_to_memory(pairs, mode="append", tag="q106")
+    return (
+        sunk.groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
