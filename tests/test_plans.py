@@ -140,3 +140,37 @@ def test_pivot_no_values_discovery_job(spark):
     (1), each printed twice in formatted mode = 6 mentions max."""
     p = plan(spark, "q041_pivot")
     assert p.count("Exchange") <= 6, p
+
+
+def test_tfidf_broadcasts_idf_and_takes_topk(spark):
+    """q138: the idf table (|terms| rows) broadcasts onto the tf side and
+    the final top-k is TakeOrderedAndProject, never a global sort; the
+    token explode is pre-filtered so only matching terms are aggregated."""
+    p = plan(spark, "q138_tfidf_retrieval")
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "IN (hash,merge,vector)" in p, p
+
+
+def test_hash_sampling_is_narrow(spark):
+    """q132: the deterministic hash-sample filter evaluates at the scan
+    stage (before any exchange) and the scan prunes to the two referenced
+    columns — sampling 100 TB must not shuffle the corpus."""
+    p = plan(spark, "q132_stratified_sample")
+    filter_pos = p.index("md5")
+    first_exchange = p.index("Exchange")
+    # the md5 filter appears in the scan-side stage of the details section;
+    # cheap structural proxy: scans prune to text+lang only
+    assert "struct<text:string,lang:string>" in p, p
+    assert "doc_id" not in p.split("ReadSchema: ", 1)[1].splitlines()[0], p
+    assert filter_pos and first_exchange  # both present
+
+
+def test_chunking_has_no_shuffle_before_agg(spark):
+    """q131: chunking is explode+slice (narrow); the only exchange in the
+    plan is the final per-lang aggregation's."""
+    p = plan(spark, "q131_doc_chunking")
+    tree = p.split("(1) Scan", 1)[0]
+    # exactly one shuffle exchange pair (partial->final agg) + one for sort
+    assert tree.count("Exchange") <= 2, tree
+    assert "Generate" in tree, tree
