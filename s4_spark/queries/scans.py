@@ -238,3 +238,38 @@ def q009(spark, sf_dir):
         F.sum("l_orderkey").cast("long").alias("sum_ok"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "q107_unix_socket_source",
+    oracle="SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    section="B1-scans",
+)
+def q107(spark, sf_dir):
+    """Batch read through the custom unix-socket Python DataSource
+    (s4_spark/sources/unix_socket.py — the Spark-4 rebuild of the
+    reference's socket input, /root/reference/input/unix.go:19-34): a
+    mock server (test/tool.go:109-147 analog) serves documents.lang as
+    newline records; the source must frame and deliver every record, so
+    the per-language counts match the table exactly. The driver-side
+    collect feeds the MOCK PRODUCER only — the consuming path is the
+    registered data source."""
+    import tempfile as _tf
+
+    import s4_spark.sources as sources
+    from s4_spark.sources.mock import serve_payload_forever
+
+    sources.register(spark)
+    langs = [r[0] for r in t(spark, sf_dir, "documents").select("lang").collect()]
+    payload = "".join(v + "\n" for v in langs).encode()
+    sock = os.path.join(
+        _tf.gettempdir(), f"s4_q107_{os.path.basename(sf_dir)}_{os.getpid()}.sock"
+    )
+    serve_payload_forever(sock, payload)
+    df = spark.read.format("s4_unixline").option("path", sock).load()
+    return (
+        df.select(F.col("value").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
