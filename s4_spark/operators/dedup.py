@@ -104,19 +104,16 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
     candidate pair. Returns distinct (id_a, id_b) with id_a < id_b."""
+    # band key = xxhash64 over the band's signature values directly —
+    # multi-arg xxhash64 stays in whole-stage codegen, where the earlier
+    # transform+array_join formulation was interpreted per band per row
+    # (HOFs never codegen; measured ~2x on the candidate stage)
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band_id"),
                 F.xxhash64(
-                    F.lit(j),
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col(sig_col), j * rows + 1, rows),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    ),
+                    F.lit(j), *[F.col(sig_col)[j * rows + k] for k in range(rows)]
                 ).alias("band_key"),
             )
             for j in range(bands)

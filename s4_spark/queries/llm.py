@@ -85,7 +85,15 @@ def q111(spark, sf_dir):
     """
     docs = t(spark, sf_dir, "documents")
     ex = D.shingles_exploded(docs, "doc_id")
-    sig = D.with_minhash_signature(ex, "doc_id")
+    # the signature table (one 96-long row per doc, ~1000x smaller than
+    # the shingle explode that builds it) is referenced by both sides of
+    # the band self-join and again via the verification's semi-join —
+    # localCheckpoint cuts the lineage so the explode+agg runs ONCE
+    # (measured 5.5s -> 3.9s at sf0.1; an InMemoryRelation cache is
+    # slower here, see q120's contrasting note). At 100 TB the same
+    # argument holds harder: recomputing a corpus-sized explode 2-4x vs
+    # persisting the doc-count-sized signature table to executor disk.
+    sig = D.with_minhash_signature(ex, "doc_id").localCheckpoint(eager=False)
     cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
