@@ -399,3 +399,31 @@ def q042(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("total"))
         .orderBy("measure")
     )
+
+
+@query(
+    "q048_recursive_cte",
+    oracle="""
+    WITH RECURSIVE series(m) AS (
+      SELECT 1 UNION ALL SELECT m + 1 FROM series WHERE m < 12)
+    SELECT m, (SELECT count(*) FROM orders
+               WHERE month(o_orderdate) = m) AS n_orders
+    FROM series ORDER BY m
+    """,
+    section="B4-aggregations",
+)
+def q048(spark, sf_dir):
+    """Recursive CTE (Spark 4 SQL): a 12-row month series generated
+    recursively, each month counting its orders via a correlated scalar
+    subquery. Iterative SQL the reference's pipeline (and pre-4.0 Spark)
+    could not express at all."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE series(m) AS (
+          SELECT 1 UNION ALL SELECT m + 1 FROM series WHERE m < 12)
+        SELECT m, (SELECT count(*) FROM orders
+                   WHERE month(o_orderdate) = m) AS n_orders
+        FROM series ORDER BY m
+        """
+    )

@@ -307,3 +307,39 @@ def q087(spark, sf_dir):
         .orderBy("p_partkey")
         .limit(300)
     )
+
+
+@query(
+    "q109_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           count(*) AS n
+    FROM events
+    WHERE props IS NOT NULL AND props <> ''
+    GROUP BY event_type ORDER BY event_type
+    """,
+    section="B8-functions",
+)
+def q109(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4): props parsed once into a
+    binary variant, fields typed-extracted with variant_get. At scale
+    this is the schema-on-read answer for the reference's opaque JSON
+    records (river/jsonr.go:106-109 validated but never inspected them):
+    shredded variant columns scan ~an order of magnitude faster than
+    re-parsing JSON strings per query."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull() & (F.col("props") != "")
+    )
+    v = ev.withColumn("v", F.parse_json("props"))
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("variant_get(v, '$.k', 'int')"))
+            .cast("long")
+            .alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

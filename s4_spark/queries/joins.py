@@ -382,3 +382,37 @@ def q046(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q047_lateral_join",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+    LIMIT 200
+    """,
+    section="B3-joins",
+)
+def q047(spark, sf_dir):
+    """Correlated LATERAL join (Spark 4 SQL): per-customer top-2 orders
+    expressed as a lateral subquery — the SQL-standard spelling of
+    per-group top-k. Catalyst decorrelates it into a ranked window join,
+    so it scales exactly like q062's explicit window formulation."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        ORDER BY c.c_custkey, l.o_totalprice DESC, l.o_orderkey
+        LIMIT 200
+        """
+    )
