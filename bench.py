@@ -48,6 +48,12 @@ HEADLINE = [
     "q129_cosine_topk_blocked",
     "q115_token_df_topk",
     "q090_s4_pipeline_parity",
+    # training-data pipeline ops (SURVEY §2-B12)
+    "q130_corpus_prep",
+    "q131_doc_chunking",
+    "q132_stratified_sample",
+    "q137_embedding_quantize",
+    "q138_tfidf_retrieval",
 ]
 
 

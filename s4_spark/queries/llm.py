@@ -713,13 +713,16 @@ def q130(spark, sf_dir):
 
       quality filter (n_tokens ≥ 5, punct_ratio ≤ 0.5; operators/text.py)
       → exact dedup keeping the lowest doc_id per content hash
-      → near-dup removal: drop the larger id of every exact-verified
-        trigram-Jaccard ≥ 0.5 pair (non-cascading keep-first policy, so
-        the result is deterministic and SQL-mirrorable)
+      → near-dup removal via MinHash-LSH candidates (q111's scale path:
+        signature/band/verify — candidates are exact-Jaccard-verified, so
+        the emitted pair set equals the exact join's; see q111 for the
+        recall bound) — drop the larger id of every verified ≥ 0.5 pair
+        (non-cascading keep-first policy, so the result is deterministic
+        and SQL-mirrorable)
       → per-language corpus stats.
 
-    At 100 TB the near-dup stage swaps the exact inverted-index join for
-    MinHash-LSH (q111) — same verify + removal policy, same contract."""
+    The SQL oracle is the exact all-pairs formulation — the pipeline must
+    land on identical rows through the approximate-then-verify path."""
     d = X.quality_features(t(spark, sf_dir, "documents")).filter(
         (F.col("n_tokens") >= 5) & (F.col("punct_ratio") <= 0.5)
     )
@@ -729,17 +732,10 @@ def q130(spark, sf_dir):
     kept = (
         d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
-    inv = (
-        D.shingles_exploded(kept, "doc_id")
-        .withColumnRenamed("shingle", "s")
-        .distinct()
-    )
-    a, b = inv.alias("a"), inv.alias("b")
-    cands = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    sig = D.with_minhash_signature(
+        D.shingles_exploded(kept, "doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
     removed = (
         D.verify_pairs_jaccard(cands, kept, "doc_id")
         .filter(F.col("jac") >= 0.5)
