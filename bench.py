@@ -54,6 +54,8 @@ HEADLINE = [
     "q132_stratified_sample",
     "q137_embedding_quantize",
     "q138_tfidf_retrieval",
+    "q139_contamination_check",
+    "q140_repetition_signals",
 ]
 
 

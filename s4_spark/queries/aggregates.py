@@ -427,3 +427,34 @@ def q048(spark, sf_dir):
         FROM series ORDER BY m
         """
     )
+
+
+@query(
+    "q049_pipe_sql",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem WHERE l_quantity > 20
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    section="B4-aggregations",
+)
+def q049(spark, sf_dir):
+    """SQL pipe syntax (Spark 4): the same filtered revenue aggregation
+    written as a |>-chained pipeline — each stage is a complete relational
+    step, so the textual order matches the dataflow order. Compiles to the
+    identical logical plan as the nested-SQL spelling (same partial+final
+    hash aggregate); the oracle is that spelling."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 20
+        |> AGGREGATE count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )

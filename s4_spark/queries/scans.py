@@ -241,6 +241,36 @@ def q009(spark, sf_dir):
 
 
 @query(
+    "q019_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    section="B1-scans",
+)
+def q019(spark, sf_dir):
+    """nation → XML → read → agg, using Spark 4's NATIVE XML source (no
+    external spark-xml package — built into spark-sql since 4.0, with
+    schema inference and rowTag framing). XML is the interchange format
+    the engine accepts for small dimension/config feeds; columnar formats
+    remain the bulk path."""
+    path = _scratch(f"xml_{os.path.basename(sf_dir)}")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").format("xml").option("rowTag", "nation").save(path)
+    back = spark.read.format("xml").option("rowTag", "nation").load(path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_name").alias("first_name"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
     "q107_unix_socket_source",
     oracle="SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
     section="B1-scans",

@@ -1,8 +1,9 @@
-"""Training-data pipeline queries (q131-q138) — the corpus-preparation
+"""Training-data pipeline queries (q131-q141) — the corpus-preparation
 stages a 100 TB LLM data pipeline runs between raw ingest (the
 reference's whole job, /root/reference/main.go:106-140) and tokenized
 shards: chunking, deterministic sampling/mixing, sequence packing, PII
-redaction, embedding quantization, tf-idf retrieval.
+redaction, embedding quantization, tf-idf retrieval, benchmark
+contamination checks, repetition-based quality signals, semantic dedup.
 
 Every query is a thin aggregation over one operator in
 ``s4_spark.operators.corpus`` so the oracle checks the operator's full
@@ -16,7 +17,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s4_spark.operators import corpus as C
-from s4_spark.queries.helpers import t
+from s4_spark.operators import dedup as D
+from s4_spark.operators import similarity as S
+from s4_spark.queries.helpers import davg, sql_davg, t
 from s4_spark.queries.registry import query
 
 # DuckDB mirror of operators/corpus.hash_bucket (md5-prefix bucket).
@@ -338,3 +341,212 @@ def q138(spark, sf_dir):
     matching postings, not the corpus."""
     scores = C.tfidf_scores(t(spark, sf_dir, "documents"), ["hash", "merge", "vector"])
     return scores.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+@query(
+    "q139_contamination_check",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                         || w[i+3] || ' ' || w[i+4]
+                         for i in range(1, len(w) - 3)]) AS gram
+          FROM w),
+    bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)
+             WHERE g.doc_id % 97 <> 0)
+    SELECT lang, count(*) AS n_train,
+           CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS contamination_rate
+    FROM documents WHERE doc_id % 97 <> 0
+    GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q139(spark, sf_dir):
+    """Benchmark-contamination check: flag training docs sharing any
+    word 5-gram with a held-out benchmark set (here the deterministic
+    ``doc_id % 97 = 0`` slice standing in for an eval suite).
+
+    Scale shape: the benchmark's distinct 5-gram set is tiny relative to
+    the corpus (eval suites are ~10^6-10^7 grams), so it is BROADCAST and
+    the corpus side is a map-side left-semi probe — no shuffle of corpus
+    grams, no quadratic doc×doc comparison. The only shuffle is the
+    contaminated-doc-id distinct, bounded by corpus row count."""
+    d = t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    bench_grams = D.shingles_exploded(bench, "doc_id", n=5).select("shingle").distinct()
+    hit_ids = (
+        D.shingles_exploded(train, "doc_id", n=5)
+        .join(F.broadcast(bench_grams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.join(hit_ids, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q140_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    per_tok AS (SELECT doc_id, max(c) AS max_c,
+                       CAST(sum(c) AS BIGINT) AS n_tokens
+                FROM tc GROUP BY doc_id),
+    w3 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g3 AS (SELECT doc_id,
+                  unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS g
+           FROM w3),
+    per_tri AS (SELECT doc_id, count(*) AS n_tri,
+                       count(DISTINCT g) AS n_tri_distinct
+                FROM g3 GROUP BY doc_id),
+    feats AS (
+      SELECT d.lang,
+             CAST(p.max_c AS DOUBLE) / p.n_tokens AS top_token_frac,
+             1.0 - CAST(t3.n_tri_distinct AS DOUBLE) / t3.n_tri AS dup_tri_frac
+      FROM documents d
+      JOIN per_tok p USING (doc_id) JOIN per_tri t3 USING (doc_id))
+    SELECT lang, count(*) AS n_docs,
+           round({sql_davg('top_token_frac')}, 6) AS avg_top_token_frac,
+           round({sql_davg('dup_tri_frac')}, 6) AS avg_dup_tri_frac,
+           CAST(sum(CASE WHEN top_token_frac > 0.2 OR dup_tri_frac > 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM feats GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q140(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/MassiveText rules):
+    per-doc top-token fraction and duplicate-trigram fraction, averaged
+    per language plus a flagged count at the published-style thresholds
+    (top token > 0.2 or duplicate trigrams > 0.3).
+
+    Both features are ratios of exact integer counts — one division per
+    doc, bit-identical across engines — and the per-language averages go
+    through the decimal-exact sum (helpers.davg), so the hash match is
+    exact with no tolerance row. Scale shape: two explode+groupBy chains
+    (map-side combined) re-joined on doc_id; everything whole-stage
+    codegen, no Python."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    per_tok = (
+        toks.groupBy("doc_id", "w")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_c"), F.sum("count").cast("long").alias("n_tokens"))
+    )
+    tri = D.shingles_exploded(d, "doc_id", n=3)
+    per_tri = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.countDistinct("shingle").alias("n_tri_distinct")
+    )
+    feats = (
+        d.select("doc_id", "lang")
+        .join(per_tok, "doc_id")
+        .join(per_tri, "doc_id")
+        .select(
+            "lang",
+            (F.col("max_c").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
+            (
+                F.lit(1.0)
+                - F.col("n_tri_distinct").cast("double") / F.col("n_tri")
+            ).alias("dup_tri_frac"),
+        )
+    )
+    flagged = (
+        (F.col("top_token_frac") > 0.2) | (F.col("dup_tri_frac") > 0.3)
+    ).cast("int")
+    return (
+        feats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(davg("top_token_frac"), 6).alias("avg_top_token_frac"),
+            F.round(davg("dup_tri_frac"), 6).alias("avg_dup_tri_frac"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q141_semantic_dedup_clustered",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_pairs, true AS recall_ok",
+    section="B12-training",
+)
+def q141(spark, sf_dir):
+    """Semantic (embedding-space) dedup, cluster-pruned — the 100 TB shape
+    of q122's all-pairs join: vectors are coarse-quantized to their 2
+    nearest of 16 IVF cells (n_probe=2 so a pair is caught whenever the
+    cell sets intersect), pairs form only WITHIN a cell, and survivors are
+    exact-cosine verified. The pair space shrinks from N²/2 to
+    Σ_cell |cell|²/2 — with balanced cells, a 1/16 reduction per probe,
+    and the join key (cell id) is bounded and uniform.
+
+    Contract (q128-style tol row): of the exact top-10 most-similar pairs
+    (q122's oracle list), the cluster-pruned candidate set must recover
+    ≥ 6. Measured 2026-08-13: 8/10 at sf0.01 (the driver's gate SF) and
+    6/10 at sf0.001, with the candidate space pruned to ~24% of all
+    pairs — near-uniform vectors (max pair cosine ≈ 0.51) are IVF's hard
+    regime; on a corpus with real planted duplicates (cosine ≥ 0.99) the
+    duplicate pair lands in the same cell essentially always."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    assigned = S.ivf_assign(
+        e.select("vec_id", "embedding"), "embedding", cents, n_probe=2
+    ).select("vec_id", "embedding", F.explode("ivf_cell").alias("cell"))
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = pairs.select(
+        "id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    approx10 = scored.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(10)
+
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact10 = (
+        ea.join(eb, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "id_a", "id_b")
+        .limit(10)
+    )
+    hits = approx10.select("id_a", "id_b").intersect(exact10.select("id_a", "id_b"))
+    return hits.agg(
+        F.lit(10).cast("long").alias("n_pairs"),
+        (F.count("*") >= 6).alias("recall_ok"),
+    )
