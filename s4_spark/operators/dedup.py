@@ -73,25 +73,25 @@ def with_minhash_signature(
     shingle, then ``num_hashes`` cheap (a*h+b) % P permutations as plain
     min-aggregate expressions.
 
-    The shape matters twice over: (1) a 96-branch array-of-transforms
-    expression overflows the JVM's 64 KB codegen method limit and drops
-    to interpreted mode (measured 77s vs ~4s at sf0.1); (2) min-aggs
-    partial-aggregate before the shuffle, so the shuffle carries one
-    96-long row per (partition, doc), never raw shingles.
+    The shape matters three times over: (1) a 96-branch
+    array-of-transforms expression overflows the JVM's 64 KB codegen
+    method limit and drops to interpreted mode (measured 77s vs ~4s at
+    sf0.1); (2) min-aggs partial-aggregate before the shuffle, so the
+    shuffle carries one 96-long row per (partition, doc), never raw
+    shingles; (3) the whole aggregate is ONE generated SQL string parsed
+    JVM-side in a single call — building it as ~600 individual Column
+    objects costs ~1.3s of py4j round-trips per invocation (driver-side,
+    unparallelizable; measured 2026-08-13), which at bench scale was a
+    third of the query's wall-clock.
 
     Returns (id_col, out) — one signature row per document."""
     params = _hash_params(num_hashes, seed)
-    hashed = exploded.withColumn(
-        "__h", F.pmod(F.xxhash64(shingle_col), F.lit(1 << 32))
-    )
-    mins = hashed.groupBy(id_col).agg(
-        *[
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
-    )
-    return mins.select(
-        F.col(id_col), F.array(*[f"__m{i}" for i in range(num_hashes)]).alias(out)
+    mins = ", ".join(f"min(({a} * __h + {b}) % {_P})" for a, b in params)
+    return exploded.sparkSession.sql(
+        f"SELECT {id_col}, array({mins}) AS {out} FROM "
+        f"(SELECT {id_col}, pmod(xxhash64({shingle_col}), {1 << 32}) AS __h "
+        f"FROM {{src}}) GROUP BY {id_col}",
+        src=exploded,
     )
 
 
@@ -107,20 +107,20 @@ def lsh_candidate_pairs(
     # band key = xxhash64 over the band's signature values directly —
     # multi-arg xxhash64 stays in whole-stage codegen, where the earlier
     # transform+array_join formulation was interpreted per band per row
-    # (HOFs never codegen; measured ~2x on the candidate stage)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(
-                    F.lit(j), *[F.col(sig_col)[j * rows + k] for k in range(rows)]
-                ).alias("band_key"),
-            )
-            for j in range(bands)
-        ]
+    # (HOFs never codegen; measured ~2x on the candidate stage). Like
+    # the signature, the band array is ONE generated SQL string — a
+    # single JVM parse instead of ~200 py4j Column constructions.
+    entries = ", ".join(
+        "struct({j} AS band_id, xxhash64({j}, {cols}) AS band_key)".format(
+            j=j,
+            cols=", ".join(f"{sig_col}[{j * rows + k}]" for k in range(rows)),
+        )
+        for j in range(bands)
     )
-    bd = df.select(F.col(id_col), F.explode(band_entries).alias("b")).select(
-        id_col, "b.band_id", "b.band_key"
+    bd = df.sparkSession.sql(
+        f"SELECT {id_col}, b.band_id, b.band_key FROM "
+        f"(SELECT {id_col}, explode(array({entries})) AS b FROM {{src}})",
+        src=df,
     )
     a = bd.alias("a")
     b = bd.alias("b")

@@ -85,16 +85,23 @@ def q111(spark, sf_dir):
     """
     docs = t(spark, sf_dir, "documents")
     ex = D.shingles_exploded(docs, "doc_id")
-    # the signature table (one 96-long row per doc, ~1000x smaller than
-    # the shingle explode that builds it) is referenced by both sides of
-    # the band self-join and again via the verification's semi-join —
-    # localCheckpoint cuts the lineage so the explode+agg runs ONCE
-    # (measured 5.5s -> 3.9s at sf0.1; an InMemoryRelation cache is
-    # slower here, see q120's contrasting note). At 100 TB the same
-    # argument holds harder: recomputing a corpus-sized explode 2-4x vs
-    # persisting the doc-count-sized signature table to executor disk.
-    sig = D.with_minhash_signature(ex, "doc_id").localCheckpoint(eager=False)
-    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
+    sig = D.with_minhash_signature(ex, "doc_id")
+    # ONE barrier, placed at the narrowest point: the candidate pair set
+    # is doc-count-bounded and tiny (LSH emits true-duplicate-scale
+    # buckets), yet the verify plan references it twice (id extraction +
+    # final join) — without a barrier the whole signature+band pipeline
+    # executes twice. The signature table needs NO barrier of its own:
+    # both sides of the band self-join shuffle the identical subplan on
+    # the identical keys, so Spark's ReusedExchange runs the explode+agg
+    # once (plan-audited in tests). Each localCheckpoint also costs a
+    # full plan compile at construction time (~2s cold), so fewer
+    # barriers is also a latency win. At 100 TB the same shape holds:
+    # candidates ≪ corpus, so materializing them is strictly cheaper
+    # than re-deriving, and the exchange reuse keeps the corpus-sized
+    # explode single-pass.
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
+        eager=False
+    )
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
         verified.withColumn("jac", F.round("jac", 6))
@@ -360,6 +367,11 @@ def q121(spark, sf_dir):
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        # NO barrier here, unlike q111: this corpus's 31-word shared
+        # vocabulary makes trigram collisions common, so the candidate
+        # set is large (unlike LSH's true-duplicate-scale buckets) and
+        # materializing it costs more than ReusedExchange's replay
+        # (measured 26s+ with a localCheckpoint vs 9.6s without, sf0.1)
     )
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
@@ -732,10 +744,11 @@ def q130(spark, sf_dir):
     kept = (
         d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
-    sig = D.with_minhash_signature(
-        D.shingles_exploded(kept, "doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
-    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
+    sig = D.with_minhash_signature(D.shingles_exploded(kept, "doc_id"), "doc_id")
+    # single barrier on the tiny candidate table — same argument as q111
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
+        eager=False
+    )
     removed = (
         D.verify_pairs_jaccard(cands, kept, "doc_id")
         .filter(F.col("jac") >= 0.5)
