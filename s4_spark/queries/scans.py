@@ -303,3 +303,54 @@ def q107(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q142_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+    section="B1-scans",
+)
+def q142(spark, sf_dir):
+    """Multimodal ingest through Spark's built-in ``binaryFile`` source —
+    the real path for image/audio/video corpora (one opaque blob per
+    object), unlike q116/q127 which construct payloads in-plan. Stages
+    one ``<doc_id>.bin`` per document, reads the directory back as
+    (path, modificationTime, length, content:binary), recovers the id
+    from the path, and integrity-hashes the payload.
+
+    At 100 TB this is exactly ``spark.read.format("binaryFile")
+    .option("pathGlobFilter", "*.jpg").load("s3a://bucket/prefix")``:
+    Spark lists the prefix in parallel, packs files into tasks by
+    ``maxPartitionBytes``, and never materializes a blob twice —
+    downstream decode attaches via mapInPandas (q127). Only the listing
+    is centralized; for billions of objects a manifest table replaces
+    it (SCALE.md)."""
+    path = _scratch(f"bin_{os.path.basename(sf_dir)}")
+    os.makedirs(path, exist_ok=True)
+    rows = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:  # mock object store: tiny, driver-side staging only
+        with open(os.path.join(path, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return (
+        df.select(
+            F.regexp_extract("path", r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.sha2("content", 256).alias("payload_sha"),
+        )
+        .orderBy("doc_id")
+    )
