@@ -174,3 +174,40 @@ def test_chunking_has_no_shuffle_before_agg(spark):
     # exactly one shuffle exchange pair (partial->final agg) + one for sort
     assert tree.count("Exchange") <= 2, tree
     assert "Generate" in tree, tree
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """q139: the benchmark gram set broadcasts and the corpus side probes
+    it map-side as a left-semi — the corpus's exploded grams must never
+    shuffle (a shuffle join on grams moves the whole tokenized corpus at
+    100 TB)."""
+    p = plan(spark, "q139_contamination_check")
+    assert "BroadcastHashJoin" in p, p
+    assert "LeftSemi" in p, p
+    # the only SMJ/SHJ allowed is the doc_id-keyed hit join, never a
+    # gram-keyed one
+    import re
+
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin)\s*\[([a-z_]+)", p):
+        assert m.group(2) != "shingle", p
+
+
+def test_repetition_signals_partial_aggregate(spark):
+    """q140: both explode->agg chains partial-aggregate before their
+    shuffle (map-side combine), and nothing degrades to a nested-loop
+    join — the re-join is doc_id-keyed."""
+    p = plan(spark, "q140_repetition_signals")
+    assert p.count("HashAggregate") >= 6, p  # partial+final x 3 agg stages
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_semantic_dedup_cell_join_is_equi(spark):
+    """q141: the candidate-pair self-join keys on the bounded cell id
+    (hash/sort-merge), never a cartesian pair-space — only the exact-
+    recall ORACLE arm may nested-loop (it is the thing being avoided)."""
+    p = plan(spark, "q141_semantic_dedup_clustered")
+    # formatted mode prints join keys as a detail line under the node
+    assert "Left keys [1]: [cell#" in p, p
+    # exactly one NLJ: the exact all-pairs oracle arm of the recall check
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p  # tree + details
