@@ -56,6 +56,7 @@ HEADLINE = [
     "q138_tfidf_retrieval",
     "q139_contamination_check",
     "q140_repetition_signals",
+    "q143_segment_dedup",
 ]
 
 

@@ -550,3 +550,79 @@ def q141(spark, sf_dir):
         F.lit(10).cast("long").alias("n_pairs"),
         (F.count("*") >= 6).alias("recall_ok"),
     )
+
+
+@query(
+    "q143_segment_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    segs AS (
+      SELECT doc_id, lang,
+             unnest([i for i in range(1, len(w) + 1)
+                     if (i - 1) % 8 = 0]) AS pos,
+             unnest([array_to_string(w[i:i+7], ' ')
+                     for i in range(1, len(w) + 1)
+                     if (i - 1) % 8 = 0]) AS seg
+      FROM w),
+    r AS (SELECT lang, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos)
+                   AS rn
+          FROM segs)
+    SELECT lang,
+           count(*) AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN rn = 1 THEN len(string_split(seg, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q143(spark, sf_dir):
+    """C4-style exact segment-level dedup: docs split into non-overlapping
+    8-token segments; only the FIRST corpus-wide occurrence of each
+    segment survives (first = lowest (doc_id, pos), the deterministic
+    keep rule). Boilerplate lines repeated across pages — headers,
+    navigation, license blurbs — are removed even when the containing
+    documents are not duplicates, which doc-level dedup (q110/q111)
+    cannot do.
+
+    Scale shape: one explode (narrow) then ONE shuffle keyed by segment
+    text for the row_number window — exact-dedup volume, same as q110.
+    At 100 TB the window key swaps for xxhash64(seg) (collision-safe at
+    2^64) so the shuffle carries 8-byte keys instead of raw segments,
+    and AQE skew-split handles viral segments; the keep-first contract
+    is unchanged."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    segs = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (F.ceil(F.size(w) / F.lit(8)) - 1).cast("int")),
+                lambda i: F.struct(
+                    (i * 8 + 1).alias("pos"),
+                    F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang", "s.pos", "s.seg")
+    win = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    r = segs.withColumn("rn", F.row_number().over(win))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(F.col("rn") == 1, F.size(F.split("seg", " "))).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
