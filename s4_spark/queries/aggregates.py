@@ -458,3 +458,47 @@ def q049(spark, sf_dir):
         |> ORDER BY l_returnflag
         """
     )
+
+
+_Q144_SQL = """
+    WITH b AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             date_trunc('hour', ts) AS hour,
+             value
+      FROM events)
+    SELECT event_type, day, hour,
+           CAST(GROUPING(event_type) AS INT) AS g_t,
+           CAST(GROUPING(day) AS INT) AS g_d,
+           CAST(GROUPING(hour) AS INT) AS g_h,
+           count(*) AS n,
+           {s} AS sum_value
+    FROM b
+    GROUP BY ROLLUP(event_type, day, hour)
+    ORDER BY g_t, g_d, g_h, event_type NULLS FIRST,
+             day NULLS FIRST, hour NULLS FIRST
+"""
+
+
+@query(
+    "q144_time_rollup",
+    oracle=_Q144_SQL.format(s=sql_dsum("value")),
+    section="B4-aggregations",
+)
+def q144(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour -> day -> per-type ->
+    global rollup of the events stream in ONE scan (ROLLUP = Expand into
+    4 grouping replicas, map-side combined, so the shuffle carries
+    4 x |groups| rows, never 4 x |events|).
+
+    At 100 TB the batch shape stays (Expand cost is CPU on the scan,
+    amortized by partial agg); the STREAMING variant maintains only the
+    finest (hour) level with q091's windowed agg and derives coarser
+    levels by re-aggregating hour rows — a cascade over materialized
+    aggregates, |hours| rows of state rather than a second scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _Q144_SQL.format(
+            s="CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)"
+        )
+    )
