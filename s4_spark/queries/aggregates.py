@@ -502,3 +502,70 @@ def q144(spark, sf_dir):
             s="CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)"
         )
     )
+
+
+_Q145_SQL = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id),
+    g12 AS (SELECT s2.user_id, {us2} - {us1} AS gap_us
+            FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+    g23 AS (SELECT s3.user_id, {us3} - {us2b} AS gap_us
+            FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+    SELECT 1 AS step, 'view' AS name,
+           (SELECT count(*) FROM s1) AS n_users,
+           CAST(NULL AS DOUBLE) AS avg_gap_sec
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2),
+           (SELECT round({avg12} / 1e6, 6) FROM g12)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+           (SELECT round({avg23} / 1e6, 6) FROM g23)
+    ORDER BY step
+"""
+
+
+@query(
+    "q145_funnel",
+    oracle=_Q145_SQL.format(
+        us1="epoch_us(s1.t1)", us2="epoch_us(s2.t2)",
+        us2b="epoch_us(s2.t2)", us3="epoch_us(s3.t3)",
+        avg12=sql_davg("gap_us"), avg23=sql_davg("gap_us"),
+    ),
+    section="B4-aggregations",
+)
+def q145(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): per step, the
+    users who completed it IN ORDER (each step strictly after the user's
+    previous step's first completion) plus the mean inter-step delay.
+
+    Step timestamps are per-user min-aggregates; each stage is one
+    user-keyed join + agg, so 3 steps = 3 user-keyed shuffles of
+    per-user rows (events are filtered by type BEFORE the join — the
+    scan prunes, the join sees only the step's events). At 100 TB:
+    pre-partition events by user_id (bucketing) and every stage
+    co-locates; per-user event counts bound the state, no window over
+    the whole stream. Gap math is integer microseconds end-to-end
+    (unix_micros / epoch_us), exact in both engines — float epoch
+    seconds would diverge at the 6th decimal."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _Q145_SQL.format(
+            us1="unix_micros(s1.t1)", us2="unix_micros(s2.t2)",
+            us2b="unix_micros(s2.t2)", us3="unix_micros(s3.t3)",
+            avg12="CAST(SUM(CAST(gap_us AS DECIMAL(30,6))) AS DOUBLE)"
+                  " / COUNT(gap_us)",
+            avg23="CAST(SUM(CAST(gap_us AS DECIMAL(30,6))) AS DOUBLE)"
+                  " / COUNT(gap_us)",
+        )
+    )
