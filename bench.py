@@ -57,6 +57,8 @@ HEADLINE = [
     "q139_contamination_check",
     "q140_repetition_signals",
     "q143_segment_dedup",
+    "q144_time_rollup",
+    "q145_funnel",
 ]
 
 
