@@ -569,3 +569,44 @@ def q145(spark, sf_dir):
                   " / COUNT(gap_us)",
         )
     )
+
+
+_Q146_SQL = """
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id),
+    ret AS (
+      SELECT c.cohort_week,
+             CAST({diffdays} / 7 AS INT) AS week_offset,
+             a.user_id
+      FROM act a JOIN cohort c ON a.user_id = c.user_id)
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_active
+    FROM ret
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+"""
+
+
+@query(
+    "q146_retention_cohorts",
+    oracle=_Q146_SQL.format(diffdays="date_diff('day', c.cohort_week, a.week)"),
+    section="B4-aggregations",
+)
+def q146(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted in each subsequent week they return — the triangle matrix
+    behind every retention dashboard.
+
+    Shape: one distinct over (user, week) — volume bounded by
+    users x weeks, NOT events — then a user-keyed self-join against the
+    per-user min (broadcastable: one row per user) and a small-key agg.
+    At 100 TB the distinct is the only event-volume shuffle and it
+    partial-aggregates; everything downstream is user-count-sized.
+    Week truncation is Monday-based in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _Q146_SQL.format(diffdays="datediff(a.week, c.cohort_week)")
+    )
