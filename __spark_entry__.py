@@ -23,8 +23,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _registry.REGISTRY["q030_hash_agg_tpch_q1"].fn(spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the q130 corpus-prep pipeline (quality filter ->
+    exact dedup -> MinHash-LSH near-dup removal -> per-lang stats): it
+    exercises scan, filter, window dedup, the LSH operator stack, and
+    aggregation in one plan — the engine's reason to exist."""
+    return _registry.REGISTRY["q130_corpus_prep"].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
