@@ -610,3 +610,59 @@ def q146(spark, sf_dir):
     return spark.sql(
         _Q146_SQL.format(diffdays="datediff(a.week, c.cohort_week)")
     )
+
+
+@query(
+    "q147_hll_sketch_rollup",
+    # q032-style self-validating contract: Spark computes estimate AND
+    # exact, asserts the bound; the oracle asserts the same shape.
+    oracle="""
+    SELECT lang, true AS within_5pct
+    FROM (SELECT DISTINCT lang FROM documents)
+    UNION ALL SELECT '__all__', true
+    ORDER BY lang
+    """,
+    section="B4-aggregations",
+)
+def q147(spark, sf_dir):
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): distinct
+    tokens per language as `hll_sketch_agg` state, rolled up to a global
+    estimate via `hll_union_agg` — WITHOUT re-scanning the corpus.
+
+    This is the 100 TB pattern q032's `approx_count_distinct` can't do:
+    a sketch column is a mergeable partial aggregate, so daily shard
+    sketches persist to a table and any ad-hoc slice (per-lang, global,
+    per-week) is a union over sketch rows, never a corpus re-scan. The
+    check validates every per-lang estimate AND the merged global
+    estimate against exact distinct counts at the declared 5% bound."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    per_lang = toks.groupBy("lang").agg(
+        F.hll_sketch_agg("tok").alias("sk"),
+        F.countDistinct("tok").alias("exact"),
+    )
+    lang_rows = per_lang.select(
+        "lang",
+        (
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+                / F.col("exact")
+            )
+            < F.lit(0.05)
+        ).alias("within_5pct"),
+    )
+    global_exact = toks.agg(F.countDistinct("tok").alias("exact"))
+    global_row = (
+        per_lang.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .crossJoin(global_exact)
+        .select(
+            F.lit("__all__").alias("lang"),
+            (
+                (F.abs(F.col("est") - F.col("exact")) / F.col("exact"))
+                < F.lit(0.05)
+            ).alias("within_5pct"),
+        )
+    )
+    return lang_rows.unionByName(global_row).orderBy("lang")

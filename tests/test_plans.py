@@ -211,3 +211,29 @@ def test_semantic_dedup_cell_join_is_equi(spark):
     assert "Left keys [1]: [cell#" in p, p
     # exactly one NLJ: the exact all-pairs oracle arm of the recall check
     assert p.count("BroadcastNestedLoopJoin") <= 2, p  # tree + details
+
+
+def test_time_rollup_single_scan_expand(spark):
+    """q144: the 4-level rollup reads events ONCE and multiplies rows via
+    Expand (map-side combined) — never one scan per grouping level."""
+    p = plan(spark, "q144_time_rollup")
+    assert "Expand" in p, p
+    # graph section only (details repeat each node once more)
+    graph = p.split("(1) Scan", 1)[0]
+    assert graph.count("Scan parquet") == 1, graph
+
+
+def test_funnel_joins_are_equi_on_user(spark):
+    """q145: every step join keys on user_id (hash/broadcast), no
+    nested-loop anywhere in the cascade."""
+    p = plan(spark, "q145_funnel")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_retention_distinct_partial_aggregates(spark):
+    """q146: the event-volume (user, week) distinct partial-aggregates
+    before its exchange; downstream joins never nested-loop."""
+    p = plan(spark, "q146_retention_cohorts")
+    assert p.count("HashAggregate") >= 4, p
+    assert "BroadcastNestedLoopJoin" not in p, p
