@@ -59,6 +59,9 @@ HEADLINE = [
     "q143_segment_dedup",
     "q144_time_rollup",
     "q145_funnel",
+    "q146_retention_cohorts",
+    "q147_hll_sketch_rollup",
+    "q148_dedup_cluster_cc",
 ]
 
 

@@ -262,3 +262,52 @@ def simhash_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over an undirected pair list (``id_a``,
+    ``id_b``) by iterative min-label propagation: every node repeatedly
+    takes the minimum label among itself and its neighbors until a
+    fixpoint. Converges in <= diameter iterations; near-dup clusters are
+    dense and shallow (diameter 1-3), so the loop is short in practice.
+
+    Scale shape: each iteration is one join keyed on node id + one
+    min-aggregate — node-count-sized tables, never corpus-sized. Each
+    round is barriered with ``localCheckpoint`` (iterative plans MUST cut
+    lineage: round N's plan would otherwise embed rounds 1..N-1) and the
+    convergence check is a driver-side count action — the standard
+    pattern for fixpoint algorithms on DataFrames (GraphX/GraphFrames do
+    the same under the hood; at 1000-executor scale the same code runs
+    with the labels table hash-partitioned on node).
+    """
+    edges = pairs.select("id_a", "id_b").union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("id_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
+            .select(F.col("e.id_a").alias("node"), F.col("l.label").alias("label"))
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -761,3 +761,65 @@ def q130(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("sum_tokens"))
         .orderBy("lang")
     )
+
+
+@query(
+    "q148_dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS ws
+           FROM w),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            >= 0.5),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+    r(a, b) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+    comp AS (SELECT a AS node, min(b) AS label FROM r GROUP BY a)
+    SELECT label AS canonical,
+           count(*) AS n_members,
+           count(*) - 1 AS n_removed
+    FROM comp GROUP BY label ORDER BY canonical
+    """,
+    section="B11-llm",
+)
+def q148(spark, sf_dir):
+    """Near-dup CLUSTER canonicalization: the verified pair list (q111's
+    MinHash-LSH + exact-Jaccard stack) is only half the dedup story —
+    pairs chain (A~B, B~C but not A~C), so removal must operate on
+    connected components, keeping one canonical doc (the min id) per
+    cluster. Components via iterative min-label propagation
+    (operators/dedup.connected_components); the oracle computes the same
+    components with a recursive-CTE transitive closure over the exact
+    Jaccard pair set."""
+    docs = t(spark, sf_dir, "documents")
+    ex = D.shingles_exploded(docs, "doc_id")
+    sig = D.with_minhash_signature(ex, "doc_id")
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
+        eager=False
+    )
+    pairs = (
+        D.verify_pairs_jaccard(cands, docs, "doc_id")
+        .filter(F.col("jac") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    labels = D.connected_components(pairs)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("n_members"))
+        .select(
+            F.col("label").alias("canonical"),
+            "n_members",
+            (F.col("n_members") - 1).alias("n_removed"),
+        )
+        .orderBy("canonical")
+    )

@@ -299,18 +299,25 @@ def q137(spark, sf_dir):
     """Symmetric int8 embedding quantization (scale = max|x|/127 per
     vector, floor(x/scale + .5) so ties break identically everywhere).
     The check sums the integer codes and counts saturated lanes per
-    label — integer-exact, so any single-element mismatch flips the hash."""
+    label — integer-exact, so any single-element mismatch flips the hash.
+
+    Per-vector reductions (code sum, saturated-lane count) fold INSIDE
+    the row via higher-order aggregate/filter — no explode, so the
+    aggregation input stays N rows, not 64N (the exploded form was also
+    bimodally slow under bench memory pressure: 1.3s vs occasional 7s)."""
     e = t(spark, sf_dir, "embeddings")
     q = e.select("label", C.quantize_embedding(F.col("embedding")).alias("qv"))
-    ex = q.select("label", F.explode("qv").alias("qi"))
+    per_vec = q.select(
+        "label",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sq"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("nsat"),
+    )
     return (
-        ex.groupBy("label")
+        per_vec.groupBy("label")
         .agg(
-            (F.count("*") / 64).cast("long").alias("n_vecs"),
-            F.sum("qi").cast("long").alias("sum_q"),
-            F.sum((F.abs(F.col("qi")) == 127).cast("int"))
-            .cast("long")
-            .alias("n_saturated"),
+            F.count("*").alias("n_vecs"),
+            F.sum("sq").alias("sum_q"),
+            F.sum("nsat").cast("long").alias("n_saturated"),
         )
         .orderBy("label")
     )
