@@ -386,3 +386,52 @@ def q106(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "q149_incremental_ingest_dedup",
+    oracle="""
+    WITH hist AS (SELECT DISTINCT sha256(text) AS h FROM documents
+                  WHERE doc_id % 3 = 0)
+    SELECT lang, count(DISTINCT sha256(text)) AS n_new
+    FROM documents
+    WHERE sha256(text) NOT IN (SELECT h FROM hist)
+    GROUP BY lang ORDER BY lang
+    """,
+    section="B9-streaming",
+)
+def q149(spark, sf_dir):
+    """Incremental ingest dedup — the streaming form of q110: newly
+    arriving documents are content-hashed, dropped if the hash exists in
+    the HISTORICAL corpus (stream-static left-anti against the hash
+    manifest), and deduped within the stream itself
+    (``dropDuplicates`` on the hash — state bounded by new-data hashes).
+
+    At 100 TB the historical manifest is a hash-bucketed table, far
+    smaller than the corpus (32 B/doc); the anti-join broadcasts when it
+    fits, else pre-bucketed storage co-locates it with a hash-
+    repartitioned stream. This is how every nightly corpus refresh
+    avoids re-deduplicating the full archive."""
+    docs_dir = scratch(f"q149_landing_{os.path.basename(sf_dir)}")
+    os.makedirs(docs_dir, exist_ok=True)
+    docs = t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").parquet(os.path.join(docs_dir, "new"))
+    history = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .load(os.path.join(docs_dir, "new"))
+        .withColumn("h", F.sha2("text", 256))
+    )
+    fresh = (
+        stream.join(F.broadcast(history), "h", "left_anti")
+        .dropDuplicates(["h", "lang"])
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_new"))
+    )
+    out = run_to_memory(fresh.select("lang", "n_new"), mode="complete", tag="q149")
+    return out.orderBy("lang")
