@@ -62,6 +62,7 @@ HEADLINE = [
     "q146_retention_cohorts",
     "q147_hll_sketch_rollup",
     "q148_dedup_cluster_cc",
+    "q150_temperature_rebalance",
 ]
 
 

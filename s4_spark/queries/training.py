@@ -633,3 +633,58 @@ def q143(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q150_temperature_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS nmin FROM c),
+    r AS (SELECT lang, n,
+                 CAST(floor(1000 * sqrt(CAST(nmin AS DOUBLE) / n)) AS INT)
+                   AS permille
+          FROM c, m)
+    SELECT d.lang, r.n AS n_total, r.permille,
+           CAST(sum(CASE WHEN {_DUCK_HB} < r.permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.lang
+    GROUP BY d.lang, r.n, r.permille ORDER BY d.lang
+    """,
+    section="B12-training",
+)
+def q150(spark, sf_dir):
+    """Temperature-based language rebalancing (the multilingual-training
+    sampling step, temperature tau=2): keep rate per language
+    proportional to sqrt(n_min/n_l), so high-resource languages are
+    downsampled toward the alpha=0.5 mixture and the rarest language
+    keeps (nearly) everything. Rates are derived FROM the data (one
+    tiny count-aggregate, broadcast back), then applied with the same
+    deterministic content-hash Bernoulli as q132 — task retries keep
+    identical rows. floor to integer permille keeps the threshold
+    compare integer-exact across engines; the sqrt itself is IEEE
+    correctly-rounded, so both engines derive identical rates."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    nmin = counts.agg(F.min("n").alias("nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        "n",
+        F.floor(
+            1000 * F.sqrt(F.col("nmin").cast("double") / F.col("n"))
+        )
+        .cast("int")
+        .alias("permille"),
+    )
+    tagged = d.join(F.broadcast(rates), "lang")
+    kept = C.sample_by_hash(tagged, "text", F.col("permille"))
+    kcounts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        rates.join(kcounts, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_total"),
+            "permille",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
