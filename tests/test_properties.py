@@ -96,3 +96,66 @@ def test_jaccard_bounds_and_self_similarity(spark, pairs):
         assert 0.0 <= r["jac"] <= 1.0
         if r["id_a"] == r["id_b"]:
             assert r["jac"] == 1.0
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=edge_lists)
+@SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components agrees with a driver-side union-find on any
+    random edge list (dup edges, self-chains, arbitrary order)."""
+    from s4_spark.operators.dedup import connected_components
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a int, id_b int"
+    )
+    got = {
+        (r.node, r.label) for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label of a component = min member id
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {(n, min(members)) for root, members in comp.items() for n in members}
+    assert got == want, (sorted(got), sorted(want))
+
+
+@given(
+    counts=st.lists(st.integers(1, 1000), min_size=1, max_size=6),
+)
+@SETTINGS
+def test_temperature_permille_invariants(spark, counts):
+    """q150's rate formula: permille is in (0, 1000], monotonically
+    non-increasing in language size, and the rarest language keeps
+    everything (permille exactly 1000)."""
+    import math
+
+    nmin = min(counts)
+    permille = [math.floor(1000 * math.sqrt(nmin / n)) for n in counts]
+    assert all(0 < p <= 1000 for p in permille)
+    assert permille[counts.index(nmin)] == 1000
+    order = sorted(range(len(counts)), key=lambda i: counts[i])
+    for i, j in zip(order, order[1:]):
+        assert permille[i] >= permille[j]
