@@ -63,6 +63,7 @@ HEADLINE = [
     "q147_hll_sketch_rollup",
     "q148_dedup_cluster_cc",
     "q150_temperature_rebalance",
+    "q151_snapshot_diff",
 ]
 
 

@@ -354,3 +354,77 @@ def q142(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q152_zorder_layout",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+           CAST(sum(l_partkey) AS BIGINT) AS sum_pk
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 3000
+      AND l_partkey BETWEEN 500 AND 1500
+    """,
+    section="B1-scans",
+)
+def q152(spark, sf_dir):
+    """Z-order layout: rewrite lineitem clustered by the bit-interleaved
+    (l_orderkey, l_partkey) Morton code — range-partition + sort on the
+    z-value — then answer a 2-D selective query from the re-laid-out
+    copy. The check proves the rewrite is lossless; the POINT of the
+    layout is that parquet row-group min/max stats become tight in BOTH
+    dimensions, so either predicate alone prunes row groups (a single-
+    column sort only prunes its own column).
+
+    At 100 TB this is the table-maintenance pass (Delta/Iceberg's
+    OPTIMIZE ZORDER) run after ingest: one range-shuffle on the z-value,
+    and every later multi-dimensional slice reads a small fraction of
+    files. Each dimension is first min/max-normalized to 16 bits —
+    interleaving RAW values degenerates to a major-sort on whichever
+    column has more significant bits (measured: partkey's 11 bits vs
+    orderkey's 14 left every file spanning all of partkey). The z-value
+    itself is plain shiftleft/bitwiseOR — whole-stage codegen, no UDF;
+    the min/max constants come from one tiny agg (driver-side layout
+    metadata, same as range-partition bound sampling)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    lo_ok, hi_ok, lo_pk, hi_pk = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    BITS = 16
+
+    def norm(col: str, lo: int, hi: int):
+        span = max(hi - lo, 1)
+        return (
+            (F.col(col).cast("long") - F.lit(lo)) * F.lit((1 << BITS) - 1)
+            / F.lit(span)
+        ).cast("long")
+
+    nok, npk = norm("l_orderkey", lo_ok, hi_ok), norm("l_partkey", lo_pk, hi_pk)
+    z = F.lit(0).cast("long")
+    for bit in range(BITS - 1, -1, -1):
+        for c in (nok, npk):
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(c, bit).bitwiseAND(F.lit(1))
+            )
+    path = _scratch(f"zorder_{os.path.basename(sf_dir)}")
+    (
+        li.withColumn("__z", z)
+        .repartitionByRange(8, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.filter(
+        F.col("l_orderkey").between(1000, 3000)
+        & F.col("l_partkey").between(500, 1500)
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").cast("long").alias("sum_ok"),
+        F.sum("l_partkey").cast("long").alias("sum_pk"),
+    )

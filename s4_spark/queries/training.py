@@ -688,3 +688,64 @@ def q150(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q151_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
+                 WHERE doc_id % 5 <> 0),
+    new AS (SELECT doc_id, lang,
+                   sha256(CASE WHEN doc_id % 7 = 0
+                               THEN text || ' v2' ELSE text END) AS h
+            FROM documents WHERE doc_id % 5 <> 1),
+    j AS (SELECT coalesce(old.lang, new.lang) AS lang,
+                 CASE WHEN old.doc_id IS NULL THEN 'added'
+                      WHEN new.doc_id IS NULL THEN 'removed'
+                      WHEN old.h <> new.h THEN 'changed'
+                      ELSE 'unchanged' END AS change
+          FROM old FULL JOIN new ON old.doc_id = new.doc_id)
+    SELECT lang, change, count(*) AS n
+    FROM j GROUP BY lang, change ORDER BY lang, change
+    """,
+    section="B12-training",
+)
+def q151(spark, sf_dir):
+    """Snapshot diff (CDC without a table format): two corpus versions
+    compared by doc_id full-outer join + content-hash equality, emitting
+    added/removed/changed/unchanged per language — the change feed that
+    drives incremental downstream recomputation (only 'changed'+'added'
+    docs re-enter dedup/quality stages; q149 consumes exactly that feed).
+
+    Shape: one full-outer join keyed on doc_id (uniform key, shuffles
+    hashes not text — 32 B/row) + a small agg. At 100 TB both snapshots
+    are bucketed by doc_id so the join is co-located and zero-shuffle;
+    content hashes are precomputed at ingest, so the diff never touches
+    the text column at all (ReadSchema prunes to id+lang+hash)."""
+    d = t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h")
+    )
+    new = d.filter(F.col("doc_id") % 5 != 1).select(
+        "doc_id",
+        "lang",
+        F.sha2(
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text")),
+            256,
+        ).alias("h"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full").select(
+        F.coalesce(F.col("o.lang"), F.col("n.lang")).alias("lang"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        j.groupBy("lang", "change")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "change")
+    )
