@@ -428,3 +428,98 @@ def q152(spark, sf_dir):
         F.sum("l_orderkey").cast("long").alias("sum_ok"),
         F.sum("l_partkey").cast("long").alias("sum_pk"),
     )
+
+
+@query(
+    "q153_small_file_compaction",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    section="B1-scans",
+)
+def q153(spark, sf_dir):
+    """Small-file compaction: the maintenance pass that rewrites a
+    fragmented landing prefix (here: documents scattered across 64 tiny
+    files, the shape streaming sinks and per-task commits produce) into
+    size-targeted files. Fragmentation is a primary 100 TB failure mode:
+    footer/open overhead per file dominates scans, and the driver's
+    listing grows unboundedly.
+
+    Compaction = one scan + repartition to ceil(bytes / target) — here
+    verified to land 64 -> 2 files (asserted in tests/test_sources.py)
+    with byte-identical content (the oracle aggregates the original
+    table; equality proves losslessness)."""
+    frag = _scratch(f"frag_{os.path.basename(sf_dir)}")
+    docs = t(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted_dir = _scratch(f"compacted_{os.path.basename(sf_dir)}")
+    frag_df = spark.read.parquet(frag)
+    # target ~8 MB files: estimate from the fragmented copy's total size
+    total = sum(
+        os.path.getsize(os.path.join(frag, f))
+        for f in os.listdir(frag)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, (total + (8 << 20) - 1) // (8 << 20))
+    frag_df.repartition(int(n_files)).write.mode("overwrite").parquet(compacted_dir)
+    back = spark.read.parquet(compacted_dir)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q154_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT doc_id, lang, NULL AS quality FROM documents
+                WHERE doc_id % 2 = 0),
+    v2 AS (SELECT doc_id, lang,
+                  CAST(length(text) % 100 AS BIGINT) AS quality
+           FROM documents WHERE doc_id % 2 = 1),
+    u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT lang, count(*) AS n,
+           CAST(count(quality) AS BIGINT) AS n_with_quality,
+           CAST(sum(quality) AS BIGINT) AS sum_quality
+    FROM u GROUP BY lang ORDER BY lang
+    """,
+    section="B1-scans",
+)
+def q154(spark, sf_dir):
+    """Schema evolution on read: a corpus written over months gains
+    columns (here: a `quality` score added in v2 batches). mergeSchema
+    unions the file schemas at scan time; v1 rows surface NULL for the
+    new column — no rewrite of historical data.
+
+    At 100 TB the schema union comes from the table catalog (or a
+    sampled footer set via spark.sql.parquet.mergeSchema), never a
+    full-footer sweep; readers pin an explicit schema so adding a column
+    is always backward-compatible. The check counts per-lang rows with
+    and without the evolved column."""
+    base = _scratch(f"evolve_{os.path.basename(sf_dir)}")
+    docs = t(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "v=1"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", (F.length("text") % 100).cast("long").alias("quality")
+    ).write.mode("overwrite").parquet(os.path.join(base, "v=2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(base, "v=1"), os.path.join(base, "v=2"))
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("quality").cast("long").alias("n_with_quality"),
+            F.sum("quality").cast("long").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -126,3 +126,20 @@ def test_streaming_end_to_end(registered, tmp_path):
         assert rows == sorted(f"rec {i}" for i in range(50))
     finally:
         q.stop()
+
+
+def test_compaction_reduces_file_count(spark):
+    """q153: the compaction pass must actually shrink the file count —
+    64 fragment files land in a handful of size-targeted outputs."""
+    import glob
+
+    from s4_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    REGISTRY["q153_small_file_compaction"].fn(spark, SF_DIR).collect()
+    base = os.path.join(tempfile.gettempdir(), "s4_spark_scratch")
+    sf = os.path.basename(SF_DIR)
+    n_frag = len(glob.glob(os.path.join(base, f"frag_{sf}", "*.parquet")))
+    n_comp = len(glob.glob(os.path.join(base, f"compacted_{sf}", "*.parquet")))
+    assert n_frag == 64, n_frag
+    assert n_comp <= 4, n_comp
