@@ -13,6 +13,8 @@ matches).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -749,3 +751,64 @@ def q151(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "change")
     )
+
+
+@query(
+    "q155_postings_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    postings AS (SELECT w, doc_id, count(*) AS tf
+                 FROM toks GROUP BY w, doc_id),
+    q AS (SELECT w, tf, doc_id FROM postings
+          WHERE w IN ('hash','merge','vector')),
+    dfreq AS (SELECT w, count(*) AS df FROM q GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (SELECT w, ln(CAST(n_docs AS DOUBLE) / df) AS idf FROM dfreq, n),
+    scored AS (SELECT q.doc_id, round(sum(q.tf * idf.idf), 6) AS score
+               FROM q JOIN idf USING (w) GROUP BY q.doc_id)
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    section="B12-training",
+)
+def q155(spark, sf_dir):
+    """Retrieval from a MATERIALIZED postings table — the 100 TB form of
+    q138: the inverted index (term, doc_id, tf) is built ONCE as a
+    bucketed table (one corpus scan, amortized over every later query),
+    and each query is a term-pruned index lookup + broadcast-idf join +
+    top-k. The corpus text is never touched at query time.
+
+    Written `bucketBy(16, "w")` so term lookups hit a bounded bucket set
+    and repeated term-keyed joins are shuffle-free; at real scale the
+    postings build is the same explode+agg as q115 and the per-query
+    cost is proportional to the matched postings only. Result contract:
+    identical to scoring directly off the corpus (q138's formula; the
+    oracle recomputes df from the pruned postings, which equals q138's
+    corpus-wide df for these terms)."""
+    docs = t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    tbl = f"s4_postings_{tag}"
+    if not spark.catalog.tableExists(tbl):
+        toks = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        postings = toks.groupBy("w", "doc_id").agg(F.count("*").alias("tf"))
+        (
+            postings.write.mode("overwrite")
+            .bucketBy(16, "w")
+            .sortBy("w")
+            .saveAsTable(tbl)
+        )
+    q = spark.table(tbl).filter(F.col("w").isin(["hash", "merge", "vector"]))
+    dfreq = q.groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "w", F.log(F.col("n_docs").cast("double") / F.col("df")).alias("idf")
+    )
+    scored = (
+        q.join(F.broadcast(idf), "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)
