@@ -786,10 +786,20 @@ def q155(spark, sf_dir):
     identical to scoring directly off the corpus (q138's formula; the
     oracle recomputes df from the pruned postings, which equals q138's
     corpus-wide df for these terms)."""
+    import shutil
+    import tempfile
+
     docs = t(spark, sf_dir, "documents")
     tag = os.path.basename(sf_dir).replace(".", "_")
     tbl = f"s4_postings_{tag}"
     if not spark.catalog.tableExists(tbl):
+        # explicit path (q045 pattern): a fresh session's in-memory
+        # metastore forgets the table while the old dir survives, so the
+        # build clears its own location instead of tripping on it
+        path = os.path.join(
+            tempfile.gettempdir(), "s4_spark_scratch", f"postings_{tag}"
+        )
+        shutil.rmtree(path, ignore_errors=True)
         toks = docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("w")
         )
@@ -798,6 +808,7 @@ def q155(spark, sf_dir):
             postings.write.mode("overwrite")
             .bucketBy(16, "w")
             .sortBy("w")
+            .option("path", path)
             .saveAsTable(tbl)
         )
     q = spark.table(tbl).filter(F.col("w").isin(["hash", "merge", "vector"]))
