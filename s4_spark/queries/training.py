@@ -823,3 +823,90 @@ def q155(spark, sf_dir):
         .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+@query(
+    "q156_exact_k_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY {_DUCK_HB}, doc_id)
+               AS rn
+      FROM documents)
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM ranked WHERE rn <= 25
+    GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q156(spark, sf_dir):
+    """Exact-k deterministic sample per stratum (fixed-size eval/dev
+    subsets): rank docs within each language by content-hash bucket
+    (ties broken by doc_id) and take the first k — re-runs, retries,
+    and corpus APPENDS that don't touch the winning hashes all select
+    identical rows, unlike LIMIT (plan-order-dependent) or rand().
+
+    Shape: one window shuffle keyed by stratum. At 100 TB with k ≪
+    stratum size, the rank-over-everything form swaps for a two-phase
+    top-k (per-partition heap of k, then merge k x partitions rows) —
+    same contract, shuffle bounded by k x partitions, the
+    TakeOrderedAndProject pattern applied per group."""
+    from s4_spark.operators.corpus import hash_bucket
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash_bucket(F.col("text")), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q157_text_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT lang,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(norm)) AS BIGINT) AS sum_norm_chars,
+           min(md5(norm)) AS min_norm_md5
+    FROM n GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q157(spark, sf_dir):
+    """Text normalization battery (the pre-tokenization cleanup pass):
+    casefold -> strip non-alphanumerics -> collapse whitespace -> trim,
+    all JVM-side regexp/string builtins (whole-stage codegen, no UDF).
+    The md5-of-normalized-text in the check makes the contract
+    byte-exact — any divergence in any document flips the hash. Narrow
+    (no shuffle until the per-lang agg); at 100 TB this runs fused into
+    the ingest scan."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("lang", norm.alias("norm"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("norm")).cast("long").alias("sum_norm_chars"),
+            F.min(F.md5("norm")).alias("min_norm_md5"),
+        )
+        .orderBy("lang")
+    )
