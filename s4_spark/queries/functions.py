@@ -343,3 +343,106 @@ def q109(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q158_pii_tokenization",
+    oracle="""
+    WITH c AS (SELECT sha256('cust:' || c_custkey) AS c_tok, c_nationkey
+               FROM customer),
+    o AS (SELECT sha256('cust:' || o_custkey) AS o_tok, o_totalprice
+          FROM orders)
+    SELECT c.c_nationkey AS nationkey, count(*) AS n_orders,
+           count(DISTINCT c.c_tok) AS n_customers
+    FROM o JOIN c ON o.o_tok = c.c_tok
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+    section="B8-functions",
+)
+def q158(spark, sf_dir):
+    """Deterministic PII tokenization: natural keys replaced by salted
+    sha256 surrogate tokens consistently ACROSS tables, so joins and
+    distinct-counts still work on the masked data but the raw key never
+    leaves the trusted zone. The check joins orders to customer entirely
+    on tokens and reproduces the per-nation order counts — proof the
+    tokenization is referentially consistent.
+
+    Scale shape: tokenization is a narrow projection fused into each
+    scan (no shuffle, no lookup table to secure); at 100 TB the salt
+    lives in cluster config, never in data. Same-token joins shuffle
+    32-byte keys instead of longs — the only cost of masking."""
+    c = t(spark, sf_dir, "customer").select(
+        F.sha2(F.concat(F.lit("cust:"), F.col("c_custkey")), 256).alias("c_tok"),
+        "c_nationkey",
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.sha2(F.concat(F.lit("cust:"), F.col("o_custkey")), 256).alias("o_tok"),
+        "o_totalprice",
+    )
+    return (
+        o.join(c, o.o_tok == c.c_tok)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_tok").alias("n_customers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "q159_data_quality_audit",
+    oracle="""
+    SELECT 'fk_orders_customer' AS check_name,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity < 0 OR l_quantity > 50 OR l_quantity IS NULL)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders)
+    UNION ALL
+    SELECT 'events_ts_not_null',
+           (SELECT count(*) FROM events WHERE ts IS NULL)
+    ORDER BY check_name
+    """,
+    section="B8-functions",
+)
+def q159(spark, sf_dir):
+    """Data-quality audit: declarative expectations evaluated as plain
+    relational queries — referential integrity (orders→customer, a
+    left-anti count), domain range (l_quantity in [0, 50]), primary-key
+    uniqueness (count vs distinct), and not-null. One row per check with
+    its violation count; a pipeline gates promotion on all-zeros.
+
+    Each check is independently Catalyst-optimized (the FK check is a
+    broadcast anti-join here, shuffle anti-join at scale); checks share
+    scans per table when fused into one pass — at 100 TB the count/
+    distinct/null checks over a table compile into a single aggregate."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    fk = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("n_violations")).select(
+        F.lit("fk_orders_customer").alias("check_name"), "n_violations"
+    )
+    rng = li.filter(
+        (F.col("l_quantity") < 0)
+        | (F.col("l_quantity") > 50)
+        | F.col("l_quantity").isNull()
+    ).agg(F.count("*").alias("n_violations")).select(
+        F.lit("lineitem_qty_range").alias("check_name"), "n_violations"
+    )
+    pk = o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    nn = ev.filter(F.col("ts").isNull()).agg(
+        F.count("*").alias("n_violations")
+    ).select(F.lit("events_ts_not_null").alias("check_name"), "n_violations")
+    return fk.unionByName(rng).unionByName(pk).unionByName(nn).orderBy("check_name")
