@@ -64,6 +64,8 @@ HEADLINE = [
     "q148_dedup_cluster_cc",
     "q150_temperature_rebalance",
     "q151_snapshot_diff",
+    "q160_gap_fill",
+    "q161_fuzzy_join_blocked",
 ]
 
 

@@ -8,6 +8,7 @@ partials, never raw rows. Double sums go through the decimal-exact path
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s4_spark.catalog import register_views
@@ -666,3 +667,80 @@ def q147(spark, sf_dir):
         )
     )
     return lang_rows.unionByName(global_row).orderBy("lang")
+
+
+_Q160_SQL = """
+    WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                      round({avg_v}, 6) AS v
+               FROM events WHERE user_id < 50
+               GROUP BY user_id, date_trunc('hour', ts)),
+    bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+               FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, {series} AS h FROM bounds),
+    j AS (SELECT g.user_id, g.h, b.v
+          FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h),
+    f AS (SELECT user_id, h, v,
+                 {ffill} AS v_filled
+          FROM j)
+    SELECT user_id, count(*) AS n_slots,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_filled,
+           round(CAST(sum(CAST(v_filled AS DECIMAL(30,6))) AS DOUBLE), 6)
+             AS sum_filled
+    FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "q160_gap_fill",
+    oracle=_Q160_SQL.format(
+        avg_v=sql_davg("value"),
+        series="unnest(generate_series(lo, hi, INTERVAL 1 HOUR))",
+        ffill="last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+        "ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    ),
+    section="B4-aggregations",
+)
+def q160(spark, sf_dir):
+    """Time-series gap filling: resample each user's events to a regular
+    hourly grid (dense `sequence` between the user's own min/max hour)
+    and forward-fill missing slots with the last observation — the
+    resampling step before any window-model feature extraction.
+
+    Shape: the grid explode is narrow and bounded by time-span/step per
+    user; the fill is one user-keyed window (same shuffle the hourly agg
+    already did, so AQE reuses the partitioning). Hour-level values and
+    the final sums go through decimal-exact summation, so the fill is
+    bit-identical cross-engine. At 100 TB the grid join stays skew-free
+    (per-user slot counts are span-bounded) and a year×minute grid per
+    entity is ~500k slots — explode stays in bounds, no driver loop."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    b = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.round(davg("value"), 6).alias("v"))
+    )
+    bounds = b.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(b, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = j.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+    return (
+        f.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_slots"),
+            F.sum(F.col("v").isNull().cast("int")).cast("long").alias("n_gap_filled"),
+            F.round(
+                F.sum(F.col("v_filled").cast("decimal(30,6)")).cast("double"), 6
+            ).alias("sum_filled"),
+        )
+        .orderBy("user_id")
+    )

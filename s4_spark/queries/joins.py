@@ -416,3 +416,54 @@ def q047(spark, sf_dir):
         LIMIT 200
         """
     )
+
+
+@query(
+    "q161_fuzzy_join_blocked",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, substr(p_name, 1, 4) AS blk,
+                      length(p_name) AS ln FROM part)
+    SELECT levenshtein(a.p_name, b.p_name) AS dist, count(*) AS n_pairs
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND abs(a.ln - b.ln) <= 2
+         AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY dist ORDER BY dist
+    """,
+    section="B3-joins",
+)
+def q161(spark, sf_dir):
+    """Fuzzy (edit-distance) self-join with blocking — entity/name
+    matching at scale: candidate pairs form only within a block (name
+    prefix) and a length band (|len diff| <= 2, a provable lower bound
+    on edit distance, so banding loses nothing), then the exact
+    levenshtein filter runs on candidates only.
+
+    The block key turns an O(N^2) comparison into an equi-join whose
+    cost is sum of squared block sizes — the same candidate-then-verify
+    architecture as MinHash-LSH (q111), with prefix blocking instead of
+    minhash banding. At 100 TB blocks come from a cheap normalization
+    (first token, phonetic key, or a q111 band) and a skewed block
+    (every name starting 'the ') is the q046 salting case."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.substring("p_name", 1, 4).alias("blk"),
+        F.length("p_name").alias("ln"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2)
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    return (
+        pairs.select(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist")
+        )
+        .filter(F.col("dist") <= 3)
+        .groupBy("dist")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("dist")
+    )
