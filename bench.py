@@ -65,7 +65,6 @@ HEADLINE = [
     "q150_temperature_rebalance",
     "q151_snapshot_diff",
     "q160_gap_fill",
-    "q161_fuzzy_join_blocked",
 ]
 
 
