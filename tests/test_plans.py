@@ -237,3 +237,14 @@ def test_retention_distinct_partial_aggregates(spark):
     p = plan(spark, "q146_retention_cohorts")
     assert p.count("HashAggregate") >= 4, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_per_group_topk_pushes_window_group_limit(spark):
+    """q062: Spark 3.5+'s WindowGroupLimit must appear TWICE — a partial
+    limit below the shuffle (each map task keeps k rows per group) and a
+    final one above it. If this pushdown regresses, the shuffle carries
+    every row instead of k x groups — the difference between a top-k
+    and a full sort at 100 TB."""
+    p = plan(spark, "q062_per_group_topk")
+    graph = p.split("(1) Scan", 1)[0]
+    assert graph.count("WindowGroupLimit") == 2, p
