@@ -233,3 +233,89 @@ def ivf_assign(
     )
     top = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
     return df.withColumn(out, F.transform(top, lambda s: s["cell"]))
+
+
+def kmeans_fit(
+    vecs: DataFrame,
+    vec_col: str,
+    k: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+):
+    """Lloyd's k-means over an embedding column — the centroid-training
+    step the IVF operators (ivf_assign / q128 / q141) consume. Init is
+    deterministic (the k lowest-id vectors); each iteration is
+
+      assign:  argmin_c ||x - centroid_c||²  (distances unrolled as k
+               codegen'd double folds — no UDF, no explode)
+      update:  per-dimension decimal-exact mean of each cluster's
+               members (posexplode → groupBy(cluster, dim) → re-collect)
+
+    Centroids (k × dim doubles) are driver-side state, collected once
+    per iteration — the standard structure for fixpoint ML on a
+    DataFrame engine (Spark MLlib's own KMeans does the same); the DATA
+    never leaves executors, and each iteration is one narrow assign pass
+    + one (cluster, dim)-keyed partial-aggregated shuffle whose volume
+    is k × dim × partitions, independent of row count.
+
+    Returns (assignments DataFrame [id, cluster, dist2], centroids,
+    inertia_history, assign_cents) where ``assign_cents`` is the
+    centroid set the FINAL assignment used (centroids are then updated
+    once more). The inertia sequence is non-increasing — Lloyd's
+    invariant, property-tested against ``assign_cents``."""
+    first = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents = [list(map(float, r[0])) for r in first]
+    inertia_hist: list[float] = []
+    assigned = None
+    assign_cents = cents
+    for _ in range(n_iters):
+        assign_cents = [list(c) for c in cents]
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+        darr = F.array(*dists)
+        assigned = vecs.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.array_min(darr).alias("dist2"),
+        ).localCheckpoint(eager=True)  # fixpoint loop: cut lineage per round
+        inertia_hist.append(
+            assigned.agg(
+                F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double")
+            ).collect()[0][0]
+        )
+        dims = assigned.select(
+            "cluster", F.posexplode(vec_col).alias("dim", "x")
+        )
+        new_cents_rows = (
+            dims.groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,6)")).cast("double")
+                    / F.count("x")
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_cents_rows:
+            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+        cents = [
+            [by_cluster[c][d] for d in sorted(by_cluster[c])]
+            if c in by_cluster
+            else cents[c]  # empty cluster keeps its centroid
+            for c in range(k)
+        ]
+    return assigned, cents, inertia_hist, assign_cents

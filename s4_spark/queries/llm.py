@@ -823,3 +823,29 @@ def q148(spark, sf_dir):
         )
         .orderBy("canonical")
     )
+
+
+@query("q162_kmeans_ivf_fit", oracle=None, section="B11-llm")
+def q162(spark, sf_dir):
+    """K-means centroid training for the IVF index (operators/similarity
+    .kmeans_fit): 16 clusters, 5 Lloyd iterations over the embeddings.
+    Iterative — rows-only check by design (SURVEY §2-B methodology for
+    fixpoint algorithms); the algorithmic invariants are property-tested
+    instead: inertia is non-increasing per iteration and every point
+    lands on its nearest centroid (tests/test_properties.py)."""
+    from s4_spark.operators.similarity import kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned, cents, hist, _ = kmeans_fit(
+        e.select("vec_id", "embedding"), "embedding", k=16, n_iters=5
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(
+                F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double"), 6
+            ).alias("cluster_inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -159,3 +159,40 @@ def test_temperature_permille_invariants(spark, counts):
     order = sorted(range(len(counts)), key=lambda i: counts[i])
     for i, j in zip(order, order[1:]):
         assert permille[i] >= permille[j]
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(8, 40),
+    k=st.integers(2, 5),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_kmeans_inertia_monotone_and_nearest(spark, seed, n, k):
+    """Lloyd's invariants on random data: (1) inertia never increases
+    across iterations; (2) after the final assignment, every point's
+    recorded dist2 equals its distance to the nearest centroid of that
+    round's centroid set."""
+    import random
+
+    from s4_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    assigned, cents, hist, assign_cents = kmeans_fit(
+        df, "embedding", k=k, n_iters=3
+    )
+    assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:])), hist
+    got = {r.vec_id: (r.cluster, r.dist2) for r in assigned.collect()}
+    vecs = dict(rows)
+    for vid, (cl, d2) in got.items():
+        dists = [
+            sum((x - y) ** 2 for x, y in zip(vecs[vid], c))
+            for c in assign_cents
+        ]
+        assert abs(d2 - min(dists)) < 1e-9, (vid, d2, min(dists))
+        assert abs(dists[cl] - min(dists)) < 1e-12, (vid, cl)
