@@ -268,8 +268,13 @@ def kmeans_fit(
     inertia_hist: list[float] = []
     assigned = None
     assign_cents = cents
+    dim = len(cents[0])
     for _ in range(n_iters):
         assign_cents = [list(c) for c in cents]
+        # k distance folds as HOFs. Interpreted (HOFs never codegen), but
+        # the unrolled-SQL alternative (k x dim multiply-add terms) blows
+        # the 64 KB janino method limit at 16x64 and falls back to
+        # interpreted anyway — measured identical, so keep the clean form
         dists = [
             F.aggregate(
                 F.zip_with(
@@ -296,26 +301,26 @@ def kmeans_fit(
                 F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double")
             ).collect()[0][0]
         )
-        dims = assigned.select(
-            "cluster", F.posexplode(vec_col).alias("dim", "x")
+        # per-dim means as ONE generated SQL aggregate (dim wide-agg
+        # columns, map-side combined) — the posexplode formulation
+        # shuffled rows x dim exploded rows per iteration (q111 lesson:
+        # one JVM parse, partial agg keeps the shuffle at k x dims)
+        sums = ", ".join(
+            f"cast(sum(cast({vec_col}[{i}] as decimal(30,6))) as double)"
+            f" as s{i}"
+            for i in range(dim)
         )
-        new_cents_rows = (
-            dims.groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,6)")).cast("double")
-                    / F.count("x")
-                ).alias("m")
-            )
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in new_cents_rows:
-            by_cluster.setdefault(r.cluster, {})[r.dim] = r.m
+        new_cents_rows = assigned.sparkSession.sql(
+            f"SELECT cluster, count(*) AS n, {sums} FROM {{src}}"
+            " GROUP BY cluster",
+            src=assigned,
+        ).collect()
+        by_cluster = {
+            r.cluster: [r[f"s{i}"] / r.n for i in range(dim)]
+            for r in new_cents_rows
+        }
         cents = [
-            [by_cluster[c][d] for d in sorted(by_cluster[c])]
-            if c in by_cluster
-            else cents[c]  # empty cluster keeps its centroid
+            by_cluster.get(c, cents[c])  # empty cluster keeps its centroid
             for c in range(k)
         ]
     return assigned, cents, inertia_hist, assign_cents
