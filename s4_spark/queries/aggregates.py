@@ -744,3 +744,48 @@ def q160(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q163_observed_metrics",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           {s} AS sum_price
+    FROM orders WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.format(s=sql_dsum("o_totalprice")),
+    section="B4-aggregations",
+)
+def q163(spark, sf_dir):
+    """Observability: `Observation` attaches named metrics (rows seen,
+    rows filtered, value totals) to a query WITHOUT a second scan — the
+    metrics ride the same pass that computes the result, surfacing in
+    QueryExecutionListener/StreamingQueryProgress in production. This is
+    how a 100 TB pipeline audits 'how many rows did this stage drop'
+    for free; a separate count() would double the scan.
+
+    The check returns the (oracle-matched) query result; the observed
+    metrics themselves are asserted in tests/test_correctness.py's
+    companion test against the same oracle-derivable numbers."""
+    from pyspark.sql import Observation
+
+    obs = Observation("q163")
+    o = t(spark, sf_dir, "orders")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum((F.col("o_totalprice") > 1000).cast("long")).alias("rows_kept"),
+    )
+    result = (
+        observed.filter(F.col("o_totalprice") > 1000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    # stash the Observation so the companion test can read obs.get after
+    # the driver/test collects the result
+    q163.last_observation = obs  # type: ignore[attr-defined]
+    return result

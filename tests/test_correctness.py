@@ -25,3 +25,22 @@ def test_smoke_rows(spark, name):
     df = qd.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_q163_observed_metrics_match(spark, duck):
+    """The Observation metrics attached to q163 must equal the oracle's
+    independent counts — metrics ride the result's single scan."""
+    from s4_spark.queries import REGISTRY
+
+    qd = REGISTRY["q163_observed_metrics"]
+    qd.fn(spark, SF_DIR).collect()
+    from s4_spark.queries.aggregates import q163
+
+    got = q163.last_observation.get
+    want = duck.sql(
+        "SELECT count(*) AS rows_scanned,"
+        " sum(CASE WHEN o_totalprice > 1000 THEN 1 ELSE 0 END) AS rows_kept"
+        " FROM orders"
+    ).fetchone()
+    assert got["rows_scanned"] == want[0], got
+    assert got["rows_kept"] == want[1], got
