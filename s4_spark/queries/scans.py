@@ -523,3 +523,50 @@ def q154(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q164_permissive_corrupt_records",
+    oracle="""
+    SELECT count(*) + 4 AS n_total,
+           CAST(count(*) AS BIGINT) AS n_valid,
+           CAST(4 AS BIGINT) AS n_corrupt
+    FROM events
+    """,
+    section="B1-scans",
+)
+def q164(spark, sf_dir):
+    """PERMISSIVE malformed-record handling: where S4 silently drops
+    invalid JSON (river/jsonr.go:100-109, mirrored by q090's
+    DROPMALFORMED), production corpora QUARANTINE it — PERMISSIVE mode
+    parses what it can and lands the raw bytes of the rest in
+    `_corrupt_record` for a dead-letter sink, so bad data is auditable
+    and replayable instead of gone. The check re-reads an events feed
+    salted with the reference's 4 drop-case shapes and proves
+    valid + corrupt partitions exactly: corrupt rows surface the raw
+    line, valid rows parse every field."""
+    landing = _scratch(f"q164_landing_{os.path.basename(sf_dir)}")
+    os.makedirs(landing, exist_ok=True)
+    ev = t(spark, sf_dir, "events").select(
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("value")
+    )
+    ev.coalesce(4).write.mode("overwrite").text(landing)
+    with open(os.path.join(landing, "malformed.txt"), "w") as f:
+        f.write('[1, 2]\n42\n"str"\n{"event_id":\n')  # FIXTURES.md §2 shapes
+    parsed = (
+        spark.read.schema(
+            "event_id long, event_type string, user_id long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(landing)
+    )
+    return parsed.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("event_id").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_corrupt"),
+    )

@@ -435,3 +435,63 @@ def q149(spark, sf_dir):
     )
     out = run_to_memory(fresh.select("lang", "n_new"), mode="complete", tag="q149")
     return out.orderBy("lang")
+
+
+@query("q165_stream_stream_outer_join", oracle=None, section="B9-streaming")
+def q165(spark, sf_dir):
+    """Watermarked stream-stream LEFT OUTER join — the hard half of the
+    join matrix (q106 covers inner): matched pairs emit immediately;
+    unmatched left rows emit null-padded only once BOTH watermarks pass
+    the join window's expiry, which the two-stream replay rig forces
+    deterministically with a far-future sentinel phase.
+
+    Construction: 20 left rows at t0; right matches for users 0-9 at
+    t0+5min; phase 2 is a +2h sentinel on each side (disjoint user ids,
+    so sentinels never join) that advances both watermarks past
+    t0 + 10min window + 5min delay. Expected final table: exactly 10
+    matched rows and 10 null-padded rows — asserted row-for-row in
+    tests. State cleanup is bounded by the both-sided time condition
+    (Spark evicts left rows once the right watermark clears their
+    window) — the property that makes this run forever at 100 TB."""
+    ev = t(spark, sf_dir, "events").select("ts").orderBy("ts")
+    lo = ev.limit(1).collect()[0][0]
+    base = F.lit(lo).cast("timestamp")
+
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema)  # noqa: E731
+    l1 = spark.range(20).select(
+        F.col("id").cast("int").alias("user_id"),
+        base.alias("lts"),
+        (F.col("id") * 10).cast("int").alias("l_val"),
+    )
+    r1 = spark.range(10).select(
+        F.col("id").cast("int").alias("r_user"),
+        F.timestamp_add("MINUTE", F.lit(5), base).alias("rts"),
+        (F.col("id") * 100).cast("int").alias("r_val"),
+    )
+    l2 = spark.range(1).select(
+        F.lit(999).alias("user_id"),
+        F.timestamp_add("HOUR", F.lit(2), base).alias("lts"),
+        F.lit(-1).alias("l_val"),
+    )
+    r2 = spark.range(1).select(
+        F.lit(998).alias("r_user"),
+        F.timestamp_add("HOUR", F.lit(2), base).alias("rts"),
+        F.lit(-1).alias("r_val"),
+    )
+
+    from s4_spark.streaming.rigs import two_stream_two_phase
+
+    def build(ls, rs):
+        lw = ls.withWatermark("lts", "5 minutes")
+        rw = rs.withWatermark("rts", "5 minutes")
+        return lw.join(
+            rw,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 10 MINUTES")),
+            "left_outer",
+        ).select("user_id", "l_val", "r_val")
+
+    return two_stream_two_phase(spark, l1, r1, l2, r2, build, tag="q165").orderBy(
+        "user_id"
+    )

@@ -108,3 +108,63 @@ def two_phase_replay(
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+def two_stream_two_phase(
+    spark: SparkSession,
+    left1: DataFrame,
+    right1: DataFrame,
+    left2: DataFrame,
+    right2: DataFrame,
+    build_query,
+    tag: str = "replay2",
+) -> DataFrame:
+    """Two-stream variant of :func:`two_phase_replay` for stream-stream
+    join semantics: each stream gets its own landing dir; phases drop one
+    file per stream and run to completion, so watermark progression on
+    BOTH sides is deterministic (outer-join null emission depends on the
+    MIN of the two watermarks — only a forced batch boundary makes that
+    reproducible)."""
+    landings = [scratch(f"{tag}_l"), scratch(f"{tag}_r")]
+    for d in landings:
+        os.makedirs(d, exist_ok=True)
+    name = f"s4_mem_{tag}_{next(_counter)}"
+
+    def drop_file(df: DataFrame, landing: str, fname: str) -> None:
+        tmp = scratch(f"{tag}_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in os.listdir(tmp)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        shutil.copyfile(os.path.join(tmp, part), os.path.join(landing, fname))
+
+    drop_file(left1, landings[0], "p1.parquet")
+    drop_file(right1, landings[1], "p1.parquet")
+    ls = (
+        spark.readStream.schema(left1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landings[0])
+    )
+    rs = (
+        spark.readStream.schema(right1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landings[1])
+    )
+    out = build_query(ls, rs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    drop_file(left2, landings[0], "p2.parquet")
+    drop_file(right2, landings[1], "p2.parquet")
+    q.processAllAvailable()
+    drop_file(left2.limit(0), landings[0], "p3.parquet")
+    drop_file(right2.limit(0), landings[1], "p3.parquet")
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

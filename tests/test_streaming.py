@@ -86,3 +86,17 @@ def test_exactly_once_across_restarts(spark):
     got = committed()
     assert sorted(got) == sorted(f"rec-{i}" for i in range(800))
     assert len(got) == len(set(got))  # no duplicates
+
+
+def test_q165_outer_join_exact_rows(spark):
+    """q165: exactly 10 matched rows (users 0-9, r_val = 100*user) and
+    10 null-padded unmatched rows (users 10-19); sentinels never emit."""
+    from s4_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+
+    rows = REGISTRY["q165_stream_stream_outer_join"].fn(spark, SF_DIR).collect()
+    got = {(r.user_id, r.l_val, r.r_val) for r in rows}
+    want = {(u, u * 10, u * 100) for u in range(10)} | {
+        (u, u * 10, None) for u in range(10, 20)
+    }
+    assert got == want, sorted(got)
