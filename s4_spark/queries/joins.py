@@ -474,3 +474,54 @@ def q161(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("dist")
     )
+
+
+@query(
+    "q166_tpch_q5_shape",
+    oracle="""
+    SELECT n.n_name,
+           round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+    """,
+    section="B3-joins",
+)
+def q166(spark, sf_dir):
+    """TPC-H Q5 shape: the 6-table join the optimizer chapter is written
+    about. Declared as one SQL block so Catalyst owns join ORDER: the
+    region filter prunes nation, nation prunes supplier, and the three
+    dimension tables broadcast while the two fact tables (orders,
+    lineitem) meet in a single shuffled join keyed on orderkey. The
+    c_nationkey = s_nationkey condition rides the supplier join as a
+    second equi-key — no residual filter pass.
+
+    At 100 TB this is the query bucketing was made for: lineitem and
+    orders co-bucketed on orderkey make the one big shuffle disappear
+    (q045's layout applied to the fact tables)."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                  AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue
+        FROM customer c
+        JOIN orders o    ON c.c_custkey = o.o_custkey
+        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+        JOIN nation n    ON s.s_nationkey = n.n_nationkey
+        JOIN region r    ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+        """
+    )

@@ -1,4 +1,7 @@
-"""B1 — scans / sources / sinks (SURVEY.md §2-B1, Q001-Q008).
+"""B1 — scans / sources / sinks (SURVEY.md §2-B1 Q001-Q008 plus the
+B12 extensions Q009/Q019/Q107/Q142/Q152-Q154/Q164: ORC/XML/binaryFile,
+unix-socket source, Z-order, compaction, schema evolution, corrupt-
+record quarantine).
 
 Round-trip queries (csv/json/text/partitioned-parquet/gzip) write to a
 scratch dir and read back through the engine; the oracle validates against

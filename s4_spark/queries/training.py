@@ -1,4 +1,4 @@
-"""Training-data pipeline queries (q131-q141) — the corpus-preparation
+"""Training-data pipeline queries (q131-q157 range) — the corpus-preparation
 stages a 100 TB LLM data pipeline runs between raw ingest (the
 reference's whole job, /root/reference/main.go:106-140) and tokenized
 shards: chunking, deterministic sampling/mixing, sequence packing, PII

@@ -248,3 +248,13 @@ def test_per_group_topk_pushes_window_group_limit(spark):
     p = plan(spark, "q062_per_group_topk")
     graph = p.split("(1) Scan", 1)[0]
     assert graph.count("WindowGroupLimit") == 2, p
+
+
+def test_tpch_q5_dims_broadcast_no_nlj(spark):
+    """q166: region/nation/supplier broadcast; nothing nested-loops; the
+    second equi-condition (c_nationkey = s_nationkey) rides a hash join
+    rather than a post-join filter pass."""
+    p = plan(spark, "q166_tpch_q5_shape")
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
