@@ -36,6 +36,7 @@ HEADLINE = [
     "q021_broadcast_join",
     "q024_left_semi_join",
     "q028_asof_join",
+    "q166_tpch_q5_shape",
     "q050_ranking",
     "q054_range_frame",
     "q061_topk",
