@@ -46,12 +46,40 @@ def main(argv: list[str] | None = None) -> int:
     mock = sub.add_parser("mock", help="self-contained demo (A24 analog)")
     mock.add_argument("--seconds", type=int, default=10)
 
+    corp = sub.add_parser(
+        "corpus", help="corpus-prep job: quality filter + dedup (q130 stages)"
+    )
+    corp.add_argument("--input", required=True, help="documents parquet dir")
+    corp.add_argument("--output", required=True, help="cleaned-corpus output dir")
+    corp.add_argument("--min-tokens", type=int, default=5)
+    corp.add_argument("--max-punct-ratio", type=float, default=0.5)
+    corp.add_argument("--jaccard", type=float, default=0.5)
+
     args = p.parse_args(argv)
 
     from s4_spark.pipeline.s4 import S4Config, run_once, start
     from s4_spark.session import get_spark
 
     spark = get_spark(app_name="s4_pipeline")
+
+    if args.cmd == "corpus":
+        from s4_spark.pipeline.corpus import prepare_corpus
+
+        docs = spark.read.parquet(args.input)
+        clean = prepare_corpus(
+            docs,
+            min_tokens=args.min_tokens,
+            max_punct_ratio=args.max_punct_ratio,
+            jaccard_threshold=args.jaccard,
+        )
+        clean.write.mode("overwrite").parquet(args.output)
+        stats = (
+            spark.read.parquet(args.output)
+            .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+            .collect()[0]
+        )
+        print(f"corpus: kept {stats.n_docs} docs / {stats.n_tokens} tokens")
+        return 0
 
     if args.cmd == "mock":
         # rate source -> {"index": N} records -> console (main.go:142-166)

@@ -100,3 +100,26 @@ def test_q165_outer_join_exact_rows(spark):
         (u, u * 10, None) for u in range(10, 20)
     }
     assert got == want, sorted(got)
+
+
+def test_cli_corpus_prep(spark, tmp_path):
+    """`cli corpus` writes the cleaned corpus; row count equals q130's
+    per-lang totals (the CLI runs the same stages as the oracle-checked
+    query)."""
+    from s4_spark.pipeline.cli import main
+    from s4_spark.queries import REGISTRY
+    from tests.conftest import SF_DIR
+    import os
+
+    out = str(tmp_path / "clean")
+    rc = main([
+        "corpus", "--input", os.path.join(SF_DIR, "documents.parquet"),
+        "--output", out,
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out).count()
+    want = sum(
+        r.n_docs
+        for r in REGISTRY["q130_corpus_prep"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
