@@ -789,3 +789,48 @@ def q163(spark, sf_dir):
     # the driver/test collects the result
     q163.last_observation = obs  # type: ignore[attr-defined]
     return result
+
+
+@query(
+    "q167_incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    section="B4-aggregations",
+)
+def q167(spark, sf_dir):
+    """Incremental aggregate maintenance (materialized-view refresh):
+    the standing per-priority aggregate over HISTORICAL orders merges
+    with the NEW day's partial aggregate by re-aggregating the two
+    partial-state tables — history is never rescanned. Works because
+    count/sum/min/max are commutative monoids (avg stores sum+count);
+    the merge input is |groups| x 2 rows, independent of history size.
+
+    The check proves merged(history ⊎ delta) == full recompute: the
+    oracle aggregates the whole table, the Spark side only ever
+    aggregates history and delta separately and merges the states. At
+    100 TB this is the difference between a nightly full scan and a
+    seconds-long groups-sized merge — the batch analog of q096's
+    streaming state store, and what q144's rollup cascade consumes."""
+    o = t(spark, sf_dir, "orders")
+    hist = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+
+    merged = (
+        partial(hist)
+        .unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cust").cast("long").alias("sum_cust"),
+        )
+    )
+    return merged.orderBy("o_orderpriority")
