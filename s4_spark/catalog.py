@@ -38,22 +38,47 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
-# events.ts is stored as parquet timestamp[ns]; with
-# spark.sql.legacy.parquet.nanosAsLong it scans as int64 nanos and is
-# truncated (floored) to µs here — matching DuckDB's TIMESTAMP_NS→TIMESTAMP
-# cast, and lossless on the driver data (sub-µs components are all zero).
+# events.ts: the driver's generator has stored this column two ways across
+# rounds — parquet TIMESTAMP(NANOS) (round 1) and native timestamp[us] NTZ
+# (current). normalize_events() adapts on the SCANNED type rather than
+# assuming either, so the catalog keeps working if the generator flips
+# again. In the nanos case both engines floor identically to µs (Spark
+# ``ts div 1000``; DuckDB's TIMESTAMP_NS→TIMESTAMP cast) — correctness
+# rests on matched truncation, not losslessness.
 EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
 )
+
+_EVENTS_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Canonical events shape: ts as a µs timestamp whatever the storage.
+
+    - int64 nanos (legacy generator + nanosAsLong conf) → floor to µs
+    - timestamp / timestamp_ntz (current generator) → as-is; NTZ is kept
+      NTZ so collected values are session-timezone-independent, matching
+      DuckDB's naive TIMESTAMP semantics on the same file.
+    """
+    if df.schema["ts"].dataType.typeName() in ("long", "bigint"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.select(*_EVENTS_COLS)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Runtime-settable SQL conf (idempotent), set here — not only in
+    # get_spark() — so table() is self-sufficient on ANY session, including
+    # a vanilla one the caller built (the round-1 driver harness did
+    # exactly that and 11 queries died at this read). With the current
+    # µs-typed data the conf is a no-op; with nanos-typed data it makes the
+    # scan legal (as int64) and normalize_events() converts.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        df = df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+        df = normalize_events(df)
     return df
 
 
