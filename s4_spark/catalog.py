@@ -61,8 +61,18 @@ def normalize_events(df: DataFrame) -> DataFrame:
       NTZ so collected values are session-timezone-independent, matching
       DuckDB's naive TIMESTAMP semantics on the same file.
     """
-    if df.schema["ts"].dataType.typeName() in ("long", "bigint"):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if df.schema["ts"].dataType.typeName() == "long":
+        # build NTZ directly via integer arithmetic on an NTZ epoch so both
+        # branches yield the same type AND the value never routes through
+        # the session timezone (timestamp_micros yields LTZ; an LTZ->NTZ
+        # cast would shift on a non-UTC session)
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df.select(*_EVENTS_COLS)
 
 

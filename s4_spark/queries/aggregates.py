@@ -224,17 +224,24 @@ def q036(spark, sf_dir):
 @query(
     "q037_collect_set_sorted",
     oracle="""
-    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS names
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), '|') AS names
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
     section="B4-aggregations",
 )
 def q037(spark, sf_dir):
-    """collect_set made deterministic via sort_array."""
+    """collect_set made deterministic via sort_array, serialized to a
+    '|'-joined string on BOTH sides: the driver's hash harness compares
+    collected cells via pandas and cannot hash raw list cells."""
     return (
         t(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_set("n_name")).alias("names"))
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("n_name"))).alias(
+                "names"
+            )
+        )
         .orderBy("n_regionkey")
     )
 
@@ -519,9 +526,9 @@ _Q145_SQL = """
       FROM events e JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
       GROUP BY e.user_id),
-    g12 AS (SELECT s2.user_id, {us2} - {us1} AS gap_us
+    g12 AS (SELECT s2.user_id, {gap12} AS gap_us
             FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
-    g23 AS (SELECT s3.user_id, {us3} - {us2b} AS gap_us
+    g23 AS (SELECT s3.user_id, {gap23} AS gap_us
             FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
     SELECT 1 AS step, 'view' AS name,
            (SELECT count(*) FROM s1) AS n_users,
@@ -539,8 +546,8 @@ _Q145_SQL = """
 @query(
     "q145_funnel",
     oracle=_Q145_SQL.format(
-        us1="epoch_us(s1.t1)", us2="epoch_us(s2.t2)",
-        us2b="epoch_us(s2.t2)", us3="epoch_us(s3.t3)",
+        gap12="epoch_us(s2.t2) - epoch_us(s1.t1)",
+        gap23="epoch_us(s3.t3) - epoch_us(s2.t2)",
         avg12=sql_davg("gap_us"), avg23=sql_davg("gap_us"),
     ),
     section="B4-aggregations",
@@ -557,13 +564,15 @@ def q145(spark, sf_dir):
     pre-partition events by user_id (bucketing) and every stage
     co-locates; per-user event counts bound the state, no window over
     the whole stream. Gap math is integer microseconds end-to-end
-    (unix_micros / epoch_us), exact in both engines — float epoch
-    seconds would diverge at the 6th decimal."""
+    (timestampdiff / epoch_us), exact in both engines — float epoch
+    seconds would diverge at the 6th decimal. timestampdiff is used
+    (not unix_micros) because it accepts both TIMESTAMP and
+    TIMESTAMP_NTZ inputs — NTZ-safe whatever the generator stores."""
     register_views(spark, sf_dir)
     return spark.sql(
         _Q145_SQL.format(
-            us1="unix_micros(s1.t1)", us2="unix_micros(s2.t2)",
-            us2b="unix_micros(s2.t2)", us3="unix_micros(s3.t3)",
+            gap12="timestampdiff(MICROSECOND, s1.t1, s2.t2)",
+            gap23="timestampdiff(MICROSECOND, s2.t2, s3.t3)",
             avg12="CAST(SUM(CAST(gap_us AS DECIMAL(30,6))) AS DOUBLE)"
                   " / COUNT(gap_us)",
             avg23="CAST(SUM(CAST(gap_us AS DECIMAL(30,6))) AS DOUBLE)"

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from s4_spark.queries.helpers import dsum, sql_dsum, t
 from s4_spark.queries.registry import query
-from s4_spark.streaming.rigs import events_stream, run_to_memory, scratch
+from s4_spark.streaming.rigs import (
+    events_stream,
+    instant_as_utc_ntz,
+    ntz_as_utc_instant,
+    run_to_memory,
+    scratch,
+)
 
 
 @query(
@@ -107,7 +113,7 @@ def q091(spark, sf_dir):
     agg = (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"))
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
-        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+        .select(instant_as_utc_ntz("w.start").alias("w_start"), "n", "sum_value")
     )
     return run_to_memory(agg, mode="complete", tag="q091").orderBy("w_start")
 
@@ -132,7 +138,7 @@ def q092(spark, sf_dir):
     agg = (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
-        .select(F.col("w.start").alias("w_start"), "n", "sum_value")
+        .select(instant_as_utc_ntz("w.start").alias("w_start"), "n", "sum_value")
     )
     return run_to_memory(agg, mode="complete", tag="q092").orderBy("w_start")
 
@@ -165,7 +171,9 @@ def q093(spark, sf_dir):
     agg = (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count("*").alias("n"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n")
+        .select(
+            "user_id", instant_as_utc_ntz("w.start").alias("session_start"), "n"
+        )
     )
     return run_to_memory(agg, mode="complete", tag="q093").orderBy(
         "user_id", "session_start"
@@ -186,6 +194,9 @@ def q094(spark, sf_dir):
     emitted — the dropped set is the difference vs a batch run, which
     the test asserts explicitly."""
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        # event time (withWatermark) requires TIMESTAMP; pin wall clock=UTC
+        ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
     lo = ev.agg(F.min("ts")).collect()[0][0]
     base = F.lit(lo).cast("timestamp")
     p1 = ev.filter(F.col("ts") < F.timestamp_add("HOUR", F.lit(1), base))
@@ -204,7 +215,7 @@ def q094(spark, sf_dir):
             stream.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "10 minutes").alias("w"))
             .agg(F.count("*").alias("n"))
-            .select(F.col("w.start").alias("w_start"), "n")
+            .select(instant_as_utc_ntz("w.start").alias("w_start"), "n")
         )
 
     return two_phase_replay(spark, p1, p2, build, tag="q094").orderBy("w_start")

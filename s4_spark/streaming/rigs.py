@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s4_spark.catalog import EVENTS_RAW_SCHEMA
+from s4_spark.catalog import EVENTS_RAW_SCHEMA, normalize_events
 
 _counter = itertools.count()
 
@@ -27,9 +27,39 @@ def scratch(tag: str) -> str:
     return path
 
 
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def ntz_as_utc_instant(col: str):
+    """TIMESTAMP_NTZ wall-clock -> TIMESTAMP (LTZ) instant, reading the
+    wall clock AS UTC via pure integer arithmetic — never routes through
+    the session timezone, so it is deterministic on any session.
+
+    Needed because Structured Streaming event time (withWatermark, and
+    therefore watermarked windows/joins) requires TIMESTAMP, not NTZ
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    return F.timestamp_micros(
+        F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {col})")
+    )
+
+
+def instant_as_utc_ntz(col: str):
+    """Inverse of :func:`ntz_as_utc_instant`: TIMESTAMP (LTZ) instant ->
+    the UTC wall clock as TIMESTAMP_NTZ, again via integer arithmetic
+    (unix_micros is timezone-independent on LTZ). Streaming queries emit
+    their window bounds through this so collected values match the DuckDB
+    oracle's naive timestamps on ANY session timezone."""
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({col}), {_EPOCH_NTZ})")
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a streaming DataFrame (file source over a landing dir),
-    with the ns→µs timestamp fixup applied in-stream."""
+    """events as a streaming DataFrame (file source over a landing dir).
+
+    Timestamp normalization is delegated to catalog.normalize_events() so
+    the streaming path gets the SAME type-adaptive conversion as the batch
+    path, whatever the generator stored (int64 nanos vs native NTZ); the
+    normalized NTZ wall clock is then pinned to a UTC instant because
+    streaming event time requires TIMESTAMP (LTZ)."""
     from s4_spark.queries.scans import events_landing_dir
 
     raw = (
@@ -37,7 +67,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(events_landing_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_events(raw)
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
+    return ev
 
 
 def run_to_memory(

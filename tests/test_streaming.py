@@ -16,9 +16,11 @@ def test_q094_watermark_drops_late_rows(spark):
     # phase 2 replays 50 rows at base+5min — far behind the watermark
     # (phase-1 max is ~1h ahead). If they had been accepted, the window
     # containing base+5min would appear again / with inflated counts.
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    # batch ground truth for the phase-1 portion only:
-    lo = ev.select(F.timestamp_micros(F.expr("min(ts) div 1000"))).collect()[0][0]
+    from s4_spark.catalog import table
+
+    # batch ground truth for the phase-1 portion only (normalized read —
+    # same type-adaptive path as the query itself):
+    lo = table(spark, SF_DIR, "events").agg(F.min("ts")).collect()[0][0]
     lo_floor = pd.Timestamp(lo).floor("10min")
     w0 = out[out.w_start == lo_floor]
     assert len(w0) == 1, "first window must be emitted exactly once"
