@@ -1,0 +1,58 @@
+"""Guards on the driver's 50-query verification window.
+
+The round driver oracle-checks the FIRST 50 entries of ``queries()``:
+row count + schema + a pandas value-hash that sorts collected cells, so a
+window entry must (a) exist, (b) carry an oracle, (c) emit only hashable
+scalar columns — a raw array/map/binary cell kills the driver harness
+(round-1/2 q037 failure mode). These tests pin all three so a registry
+edit can't silently eject a family from driver verification or push an
+unhashable column into the window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from s4_spark.queries import DRIVER_WINDOW, REGISTRY
+from tests.conftest import SMOKE_SF_DIR
+
+EXPECTED_SECTIONS = {
+    "B1-scans",
+    "B2-projection-filter",
+    "B3-joins",
+    "B4-aggregations",
+    "B5-windows",
+    "B6-sorts",
+    "B7-setops",
+    "B8-functions",
+    "B9-streaming",
+    "B10-udfs",
+    "B11-llm",
+    "B12-training",
+}
+
+UNHASHABLE_TYPES = ("array", "map", "binary", "struct")
+
+
+def test_window_is_first_50_and_oracle_backed():
+    names = list(REGISTRY)
+    assert len(DRIVER_WINDOW) == 50
+    assert names[:50] == list(DRIVER_WINDOW)
+    for n in DRIVER_WINDOW:
+        assert REGISTRY[n].oracle is not None, f"{n} has no oracle"
+
+
+def test_window_covers_every_family():
+    got = {REGISTRY[n].section for n in DRIVER_WINDOW}
+    assert got == EXPECTED_SECTIONS, EXPECTED_SECTIONS - got
+
+
+@pytest.mark.parametrize("name", sorted(DRIVER_WINDOW))
+def test_window_outputs_are_hashable_scalars(spark, name):
+    df = REGISTRY[name].fn(spark, SMOKE_SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName().startswith(UNHASHABLE_TYPES)
+    ]
+    assert not bad, f"{name} emits unhashable columns {bad}"
