@@ -6,9 +6,11 @@ S4_SOCKET_PATH, S4_S3_PATH, S4_BUFFER_PATH, S4_FLUSH_TIME, S4_RIVER_TYPE).
     python -m s4_spark.pipeline.cli run  --input DIR --output DIR [...]
     python -m s4_spark.pipeline.cli mock --output DIR
 
-`run` subsumes client/server (both reference modes build the same
-pipeline; the listen/connect distinction is a socket-ownership detail
-with no Spark analog — every file/socket source multiplexes producers).
+`run` subsumes client/server: both reference modes build the same
+pipeline, and with `--source unixline` the listen/connect distinction
+maps directly — `--socket-mode connect` is `s4 client`
+(main.go:106-122), `--socket-mode listen` is `s4 server`
+(main.go:124-140: bind the path, fan in every producer connection).
 `mock` is the A24 analog: a rate source feeding {"index": N} records
 through the json pipeline to the console sink for ~10 s
 (/root/reference/main.go:142-166).
@@ -29,7 +31,8 @@ def main(argv: list[str] | None = None) -> int:
 
     run = sub.add_parser("run", help="start the ingest pipeline")
     run.add_argument("--input", default=os.environ.get("S4_SOCKET_PATH"),
-                     help="landing dir (or host:port with --source socket)")
+                     help="landing dir, unix socket path (--source unixline), "
+                          "or host:port (--source socket)")
     run.add_argument("--output", default=os.environ.get("S4_S3_PATH"),
                      help="sink dir or s3a:// URI")
     run.add_argument("--checkpoint", default=os.environ.get("S4_BUFFER_PATH"),
@@ -39,7 +42,12 @@ def main(argv: list[str] | None = None) -> int:
                      default=os.environ.get("S4_RIVER_TYPE", "line"),
                      choices=["line", "json"])
     run.add_argument("--sink", default="lake", choices=["lake", "console"])
-    run.add_argument("--source", default="text", choices=["text", "socket"])
+    run.add_argument("--source", default="text",
+                     choices=["text", "unixline", "socket"])
+    run.add_argument("--socket-mode", default="connect",
+                     choices=["connect", "listen"],
+                     help="unixline only: connect = s4 client, "
+                          "listen = s4 server (bind + multi-producer fan-in)")
     run.add_argument("--once", action="store_true",
                      help="drain available input and exit (availableNow)")
 
@@ -107,6 +115,7 @@ def main(argv: list[str] | None = None) -> int:
         flush_interval=args.flush,
         sink=args.sink,
         source_format=args.source,
+        socket_mode=args.socket_mode,
     )
     if args.once:
         run_once(spark, cfg)

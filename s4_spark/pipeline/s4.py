@@ -7,7 +7,7 @@ that pipeline's semantics idiomatically:
 
 | reference                                  | here |
 |--------------------------------------------|------|
-| unix socket source (input/unix.go:19-82)   | file/text stream over a landing dir (the "S3 source" north star); `socket` format for dev |
+| unix socket source (input/unix.go:19-82)   | `unixline` custom DataSource (connect = client A22, listen = server A23 fan-in); file/text stream over a landing dir (the "S3 source" north star); `socket` format for dev |
 | line framing (input/unix.go:91-103)        | readStream.text lineSep="\n" |
 | JSON validation, drop malformed (river/jsonr.go:99-116) | from_json(schema) + isNotNull filter (DROPMALFORMED semantics) |
 | durable buffer (river/liner.go, jsonr.go)  | source WAL + checkpointLocation (upgrades at-most-once → exactly-once, fixes Appendix-B races) |
@@ -43,13 +43,31 @@ class S4Config:
     sink: str = "lake"  # "lake" (gzip text, partitioned) | "console"
     json_schema: str | None = None  # schema for json mode (None -> permissive map)
     available_now: bool = False  # test/backfill mode: drain and stop
-    source_format: str = "text"  # "text" | "socket" (dev only)
+    source_format: str = "text"  # "text" | "unixline" | "socket" (dev only)
+    socket_mode: str = "connect"  # unixline only: "connect" (A22 client) |
+    # "listen" (A23 server — bind + fan-in of N producer connections)
     max_files_per_trigger: int | None = None  # 100 TB listing control
     event_time_col: str | None = None  # partition by this instead of arrival time
 
 
 def read_records(spark: SparkSession, cfg: S4Config) -> DataFrame:
-    """A1/A2/A4: attach the record stream with newline framing."""
+    """A1/A2/A4: attach the record stream with newline framing.
+
+    ``unixline`` is the direct reference parity path: the custom unix-
+    domain-socket DataSource with the durable spool (exactly-once), in
+    connect mode (`s4 client`, main.go:106-122) or listen mode
+    (`s4 server`, main.go:124-140 — the source binds and fans in every
+    producer connection)."""
+    if cfg.source_format == "unixline":
+        import s4_spark.sources as sources
+
+        sources.register(spark)
+        return (
+            spark.readStream.format("s4_unixline")
+            .option("path", cfg.input_path)
+            .option("mode", cfg.socket_mode)
+            .load()
+        )
     if cfg.source_format == "socket":
         host, port = cfg.input_path.split(":")
         return (

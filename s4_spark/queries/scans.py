@@ -309,6 +309,84 @@ def q107(spark, sf_dir):
 
 
 @query(
+    "q108_unix_socket_listen_stream",
+    oracle="SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    section="B1-scans",
+)
+def q108(spark, sf_dir):
+    """Streaming listen-mode fan-in (reference A2, input/unix.go:49-82 +
+    river/river.go:43-47): the SOURCE binds the socket path as server;
+    three mock producer clients connect concurrently and push disjoint
+    slices of documents.lang; every line from every connection lands in
+    the one stream, so per-language counts equal the table exactly —
+    multi-producer fan-in with zero loss across arbitrary interleaving."""
+    import socket as _socket
+    import tempfile as _tf
+    import threading as _threading
+    import time as _time
+
+    import s4_spark.sources as sources
+    from s4_spark.streaming.rigs import scratch
+
+    sources.register(spark)
+    langs = [r[0] for r in t(spark, sf_dir, "documents").select("lang").collect()]
+    slices = [langs[i::3] for i in range(3)]
+    sock = os.path.join(
+        _tf.gettempdir(), f"s4_q108_{os.path.basename(sf_dir)}_{os.getpid()}.sock"
+    )
+    name = f"s4_q108_{os.path.basename(sf_dir)}_{os.getpid()}".replace(".", "_")
+    q = (
+        spark.readStream.format("s4_unixline")
+        .option("path", sock)
+        .option("mode", "listen")
+        .option("spoolDir", scratch(f"q108_spool_{name}"))
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratch(f"q108_ckpt_{name}"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def push(sl):
+        payload = "".join(v + "\n" for v in sl).encode()
+        deadline = _time.time() + 20
+        while True:  # the server binds on the first micro-batch — retry
+            try:
+                c = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+                c.connect(sock)
+                break
+            except OSError:
+                c.close()
+                if _time.time() > deadline:
+                    raise
+                _time.sleep(0.05)
+        c.sendall(payload)
+        c.close()
+
+    try:
+        threads = [_threading.Thread(target=push, args=(s,)) for s in slices]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table(name).count() >= len(langs):
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(F.col("value").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "q142_binaryfile_ingest",
     oracle="""
     SELECT doc_id,

@@ -10,10 +10,12 @@ Semantics carried over:
   delimiter itself is NOT part of the record value (Spark text-source
   convention — the reference re-appends "\\n" only because its sink is a
   byte concatenator, unix.go:101-103).
-- **multi-producer fan-in** (A2): the batch reader takes a
-  comma-separated ``path`` of socket paths and reads each as one input
-  partition — N producers land in one DataFrame exactly as the listen
-  mode fans N connections into one river (river/river.go:43-47).
+- **multi-producer fan-in** (A2): two spellings. Batch: a
+  comma-separated ``path`` of socket paths, one input partition each.
+  Streaming: ``mode=listen`` makes the reader the SERVER — it binds the
+  socket path and fans every accepted client connection into the one
+  spool, exactly as the reference's listen mode fans N connections into
+  one river (input/unix.go:49-82, river/river.go:43-47).
 - **EOF completion** (A5): a batch read drains each socket until the
   peer closes.
 - **durable buffering upgraded to exactly-once** (A7/A14, Appendix B
@@ -25,11 +27,11 @@ Semantics carried over:
   only in ``commit()``).
 
 The streaming reader is a ``SimpleDataSourceStreamReader``: it executes
-on the driver, which is exactly right for a socket — one connection, one
+on the driver, which is exactly right for a socket — one endpoint, one
 reader, records fan out to executors via the offset-addressed spool.
-Throughput ceiling is the single socket, same as the reference's single
-goroutine; for parallel ingest at scale you run one query per socket (or
-use a partitioned source like files/Kafka — see SCALE.md).
+Throughput ceiling is the single socket path, same as the reference's
+single listener; for parallel ingest at scale you run one query per
+socket (or use a partitioned source like files/Kafka — see SCALE.md).
 """
 
 from __future__ import annotations
@@ -97,27 +99,65 @@ class _UnixLineBatchReader(DataSourceReader):
 class _SpoolingStreamReader(SimpleDataSourceStreamReader):
     """Driver-side socket reader with a durable line spool.
 
-    Offsets are record indexes into the spool file; ``read`` drains
-    whatever the background receiver has buffered, ``readBetweenOffsets``
-    replays any range from the spool (crash recovery), ``commit`` is the
-    only place spooled data may be dropped."""
+    Offsets are GLOBAL record indexes (monotone across the query's
+    lifetime); the spool holds the suffix of records from ``_base``
+    onward in a single file named ``spool-{base}.txt``. ``read`` drains
+    whatever the background receiver has buffered — and, after a
+    crash-restart, first REPLAYS records a previous incarnation spooled
+    but never got planned into a batch (``start.index < _spooled``).
+    ``readBetweenOffsets`` replays any planned range (recovery);
+    ``commit`` prunes the committed prefix once it exceeds
+    ``compact_every`` records by rolling to a new higher-base file —
+    write-new-then-delete-old, so a crash between the two steps leaves
+    two valid files and init picks the highest base (both contain every
+    uncommitted record)."""
 
-    def __init__(self, sock_path: str, spool_dir: str):
+    def __init__(
+        self,
+        sock_path: str,
+        spool_dir: str,
+        compact_every: int = 65536,
+        listen: bool = False,
+    ):
         self._sock_path = sock_path
+        self._spool_dir = spool_dir
+        self._compact_every = compact_every
+        self._listen = listen
         os.makedirs(spool_dir, exist_ok=True)
-        self._spool_path = os.path.join(spool_dir, "spool.txt")
+        # legacy layout migration: an un-based spool.txt is base 0
+        legacy = os.path.join(spool_dir, "spool.txt")
+        if os.path.exists(legacy):
+            os.replace(legacy, os.path.join(spool_dir, self._fname(0)))
+        bases = sorted(
+            int(f[len("spool-"):-len(".txt")])
+            for f in os.listdir(spool_dir)
+            if f.startswith("spool-") and f.endswith(".txt")
+        )
+        if bases:
+            # highest base is the newest (completed) roll; older files are
+            # committed-prefix leftovers from a crash mid-compaction
+            self._base = bases[-1]
+            for b in bases[:-1]:
+                os.unlink(os.path.join(spool_dir, self._fname(b)))
+        else:
+            self._base = 0
+            # the file must exist from offset 0 (empty first batches plan
+            # ranges before any record arrives)
+            open(self._spool_path, "a", encoding="utf-8").close()
+        with open(self._spool_path, encoding="utf-8") as f:
+            self._spooled = self._base + sum(1 for _ in f)
         self._lock = threading.Lock()
         self._lines: list[str] = []
-        self._spooled = 0  # count of records persisted to the spool file
-        if os.path.exists(self._spool_path):
-            with open(self._spool_path, encoding="utf-8") as f:
-                self._spooled = sum(1 for _ in f)
-        else:
-            # executors open the spool for any planned range (including
-            # empty first batches) — the file must exist from offset 0
-            open(self._spool_path, "a", encoding="utf-8").close()
         self._receiver: threading.Thread | None = None
         self._stop = threading.Event()
+
+    @staticmethod
+    def _fname(base: int) -> str:
+        return f"spool-{base:020d}.txt"
+
+    @property
+    def _spool_path(self) -> str:
+        return os.path.join(self._spool_dir, self._fname(self._base))
 
     # Spark pickles the reader to ship it into the driver-side python
     # worker that serves read() calls; thread/lock/socket state must not
@@ -142,8 +182,35 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
     def _ensure_receiver(self) -> None:
         if self._receiver is not None:
             return
-        self._receiver = threading.Thread(target=self._recv_loop, daemon=True)
+        target = self._accept_loop if self._listen else self._recv_loop
+        self._receiver = threading.Thread(target=target, daemon=True)
         self._receiver.start()
+
+    def _drain_conn(self, s: socket.socket) -> None:
+        """Frame lines from one connection into the shared buffer until
+        the peer closes or the reader stops (input/unix.go:89-119)."""
+        buf = b""
+        while not self._stop.is_set():
+            try:
+                chunk = s.recv(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+            *lines, buf = buf.split(b"\n")
+            if lines:
+                decoded = [
+                    _normalize(ln + b"\n")[:-1].decode("utf-8", "replace")
+                    for ln in lines
+                ]
+                with self._lock:
+                    self._lines.extend(decoded)
+        if buf and not self._stop.is_set():
+            with self._lock:
+                self._lines.append(_normalize(buf).decode("utf-8", "replace"))
 
     def _recv_loop(self) -> None:
         try:
@@ -151,37 +218,61 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
                 s.settimeout(_CONNECT_TIMEOUT_S)
                 s.connect(self._sock_path)
                 s.settimeout(_POLL_TIMEOUT_S)
-                buf = b""
-                while not self._stop.is_set():
-                    try:
-                        chunk = s.recv(65536)
-                    except socket.timeout:
-                        continue
-                    if not chunk:
-                        break
-                    buf += chunk
-                    *lines, buf = buf.split(b"\n")
-                    if lines:
-                        decoded = [
-                            _normalize(ln + b"\n")[:-1].decode("utf-8", "replace")
-                            for ln in lines
-                        ]
-                        with self._lock:
-                            self._lines.extend(decoded)
-                if buf and not self._stop.is_set():
-                    with self._lock:
-                        self._lines.append(_normalize(buf).decode("utf-8", "replace"))
+                self._drain_conn(s)
         except OSError:
             pass  # connection refused/lost: read() keeps serving the spool
+
+    def _accept_loop(self) -> None:
+        """Listen-mode fan-in (A2): bind the socket path, accept every
+        client, and drain each concurrently into the ONE shared buffer —
+        the reference's server mode (input/unix.go:49-82 accepts in a
+        loop; river/river.go:43-47 merges all connections into one
+        river). Interleaving across producers is arbitrary, exactly as
+        in the reference."""
+        try:
+            if os.path.exists(self._sock_path):
+                os.unlink(self._sock_path)
+            with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as srv:
+                srv.bind(self._sock_path)
+                srv.listen(64)
+                srv.settimeout(_POLL_TIMEOUT_S)
+                while not self._stop.is_set():
+                    try:
+                        conn, _ = srv.accept()
+                    except socket.timeout:
+                        continue
+                    conn.settimeout(_POLL_TIMEOUT_S)
+                    threading.Thread(
+                        target=self._drain_conn, args=(conn,), daemon=True
+                    ).start()
+        except OSError:
+            pass
 
     # -- Spark contract -------------------------------------------------
     def initialOffset(self) -> dict:
         return {"index": self._spooled}
 
+    def _spool_range(self, lo: int, hi: int) -> list[str]:
+        """Records [lo, hi) by global index from the spool file."""
+        if hi <= lo:
+            return []
+        out = []
+        with open(self._spool_path, encoding="utf-8") as f:
+            for i, ln in enumerate(f, start=self._base):
+                if i >= hi:
+                    break
+                if i >= lo:
+                    out.append(ln.rstrip("\n"))
+        return out
+
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         self._ensure_receiver()
         with self._lock:
             fresh, self._lines = self._lines, []
+        # crash recovery: a previous incarnation spooled [start.index,
+        # _spooled) but died before Spark planned the batch — serve those
+        # FIRST or they are silently skipped (the round-1 at-most-once gap)
+        replay = self._spool_range(start["index"], self._spooled)
         if fresh:
             # durable BEFORE the offset is reported (write-ahead; the
             # reference's order — emit, then persist — is Appendix B #1)
@@ -190,25 +281,31 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
                     f.write(ln.replace("\n", " ") + "\n")
             self._spooled += len(fresh)
         end = {"index": self._spooled}
-        return iter([(ln,) for ln in fresh]), end
+        return iter([(ln,) for ln in replay + fresh]), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
-        lo, hi = start["index"], end["index"]
-        if hi <= lo:
-            return iter([])
-        out = []
-        with open(self._spool_path, encoding="utf-8") as f:
-            for i, ln in enumerate(f):
-                if lo <= i < hi:
-                    out.append((ln.rstrip("\n"),))
-        return iter(out)
+        return iter([(ln,) for ln in self._spool_range(start["index"], end["index"])])
 
     def commit(self, end: dict) -> None:
-        # spool compaction could truncate up to `end` here; keeping the
-        # whole spool keeps readBetweenOffsets indexes stable and bounds
-        # are the operator's responsibility (a production spool would
-        # roll files per offset range and delete committed files)
-        pass
+        # prune the committed prefix once it is worth a rewrite: roll the
+        # suffix [end.index, _spooled) into a new higher-base file, then
+        # delete the old one. Spool size is thereby bounded by the
+        # UNCOMMITTED range (+ up to compact_every committed records),
+        # not the query's lifetime.
+        committed = end["index"] - self._base
+        if committed < self._compact_every:
+            return
+        new_base = end["index"]
+        keep = self._spool_range(new_base, self._spooled)
+        old_path = self._spool_path
+        new_path = os.path.join(self._spool_dir, self._fname(new_base))
+        with open(new_path, "w", encoding="utf-8") as f:
+            for ln in keep:
+                f.write(ln + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        self._base = new_base
+        os.unlink(old_path)
 
     def stop(self) -> None:
         self._stop.set()
@@ -222,6 +319,13 @@ class UnixLineDataSource(DataSource):
       (batch mode only — streaming reads one socket per query).
     - ``spoolDir``: (streaming) directory for the durable line spool;
       defaults next to the socket path.
+    - ``spoolCompactRecords``: (streaming) committed-prefix size that
+      triggers a spool roll (default 65536) — bounds spool growth on a
+      long-running query to uncommitted + this many records.
+    - ``mode``: (streaming) ``connect`` (default) dials the path as a
+      client (reference A1); ``listen`` binds the path as the SERVER and
+      fans every accepted client connection into the one stream
+      (reference A2 listen-mode fan-in).
 
     Register once per session::
 
@@ -250,4 +354,10 @@ class UnixLineDataSource(DataSource):
         if len(paths) != 1:
             raise ValueError("streaming reads exactly one socket per query")
         spool = self.options.get("spooldir") or paths[0] + ".spool"
-        return _SpoolingStreamReader(paths[0], spool)
+        compact = int(self.options.get("spoolcompactrecords", 65536))
+        mode = self.options.get("mode", "connect")
+        if mode not in ("connect", "listen"):
+            raise ValueError(f"mode must be 'connect' or 'listen', got {mode!r}")
+        return _SpoolingStreamReader(
+            paths[0], spool, compact_every=compact, listen=(mode == "listen")
+        )

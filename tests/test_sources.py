@@ -99,6 +99,108 @@ def test_stream_reader_spool_exactly_once(tmp_path):
     assert r2.initialOffset() == {"index": 3}
 
 
+def test_stream_reader_listen_mode_fan_in(tmp_path):
+    """A2 streaming parity: the reader in listen mode is the SERVER —
+    N concurrent clients connect to the one socket path and every line
+    lands in the one stream (reference input/unix.go:49-82 accept loop,
+    river/river.go:43-47 fan-in)."""
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_listen.sock")
+    r = _SpoolingStreamReader(sock, str(tmp_path / "spool"), listen=True)
+    r._ensure_receiver()  # binds the path
+    deadline = time.time() + 5
+    while not os.path.exists(sock) and time.time() < deadline:
+        time.sleep(0.02)
+
+    def client(payload: bytes):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock)
+        c.sendall(payload)
+        c.close()
+
+    threads = [
+        threading.Thread(target=client, args=(b"a0\na1\n",)),
+        threading.Thread(target=client, args=(b"b0\r\nb1\n",)),
+        threading.Thread(target=client, args=(b"c0\n",)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    got: list[str] = []
+    off = {"index": 0}
+    while len(got) < 5 and time.time() < deadline:
+        it, off = r.read(off)
+        got.extend(v for (v,) in it)
+        time.sleep(0.05)
+    r.stop()
+    assert sorted(got) == ["a0", "a1", "b0", "b1", "c0"]
+    assert off == {"index": 5}
+
+
+def test_stream_reader_replays_after_crash_restart(tmp_path):
+    """Kill-and-restart (river/liner_test.go consume-test shape, with a
+    mid-stream restart): records spooled by incarnation A but never
+    planned into a batch MUST be served by incarnation B — the module's
+    exactly-once contract. Scenario: A drains r0..r2 (spool=3, Spark
+    planned through offset 1 only, then crashed before logging batch 2);
+    B restarts from offset 1 and must replay r1, r2 before fresh data."""
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_crash.sock")
+    serve_lines(sock, b"r0\nr1\nr2\n", accept_n=2)
+    spool = str(tmp_path / "spool")
+    a = _SpoolingStreamReader(sock, spool)
+    got: list[str] = []
+    off = {"index": 0}
+    deadline = time.time() + 5
+    while len(got) < 3 and time.time() < deadline:
+        it, off = a.read(off)
+        got.extend(v for (v,) in it)
+        time.sleep(0.05)
+    a.stop()
+    assert got == ["r0", "r1", "r2"] and off == {"index": 3}
+
+    # incarnation B: fresh process over the same spool, resuming from the
+    # last offset Spark DURABLY planned (1) — not the last spooled (3)
+    b = _SpoolingStreamReader(sock, spool)
+    assert b.initialOffset() == {"index": 3}
+    it, end = b.read({"index": 1})
+    replayed = [v for (v,) in it]
+    b.stop()
+    assert replayed[:2] == ["r1", "r2"], "spooled-but-unplanned records lost"
+    assert end["index"] >= 3
+
+
+def test_stream_reader_spool_compaction_bounds_growth(tmp_path):
+    """commit() must bound the spool to the uncommitted range once the
+    committed prefix passes the threshold, and replay of uncommitted
+    ranges must still work across the roll (global indexes stable)."""
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_compact.sock")
+    payload = b"".join(b"c%d\n" % i for i in range(100))
+    serve_lines(sock, payload, accept_n=1)
+    spool_dir = tmp_path / "spool"
+    r = _SpoolingStreamReader(sock, str(spool_dir), compact_every=10)
+    got: list[str] = []
+    off = {"index": 0}
+    deadline = time.time() + 5
+    while len(got) < 100 and time.time() < deadline:
+        it, off = r.read(off)
+        got.extend(v for (v,) in it)
+        time.sleep(0.02)
+    assert len(got) == 100
+    r.commit({"index": 90})
+    files = [f for f in os.listdir(spool_dir) if f.startswith("spool-")]
+    assert len(files) == 1, files
+    with open(spool_dir / files[0], encoding="utf-8") as f:
+        n_kept = sum(1 for _ in f)
+    assert n_kept == 10, n_kept  # only the uncommitted suffix survives
+    # replay across the roll still serves global-index ranges
+    assert list(r.readBetweenOffsets({"index": 95}, {"index": 97})) == [
+        ("c95",),
+        ("c96",),
+    ]
+    r.stop()
+
+
 def test_streaming_end_to_end(registered, tmp_path):
     """readStream -> memory sink: all served records arrive exactly once."""
     sock = os.path.join(tempfile.gettempdir(), "s4_src_e2e.sock")
