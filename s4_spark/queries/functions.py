@@ -94,10 +94,14 @@ def q081(spark, sf_dir):
             (F.dayofweek("o_orderdate") - 1).alias("dow"),
             F.date_trunc("month", "o_orderdate").alias("month_start"),
             (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
-            F.unix_timestamp("o_orderdate").alias("epoch_s"),
+            # pure date arithmetic — unix_timestamp(date) is midnight in
+            # the SESSION timezone, diverging from DuckDB's epoch() (UTC
+            # midnight) on any non-UTC session
+            (F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+             .cast("long") * 86400).alias("epoch_s"),
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
             F.datediff(
-                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
             ).alias("days_since"),
         )
         .orderBy("o_orderkey")

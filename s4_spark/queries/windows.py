@@ -149,9 +149,17 @@ def q053(spark, sf_dir):
     section="B5-windows",
 )
 def q054(spark, sf_dir):
-    """7-day trailing sum via RANGE frame on epoch seconds."""
+    """7-day trailing sum via RANGE frame on epoch seconds.
+
+    epoch_s via timestampdiff from the NTZ epoch — NOT unix_timestamp,
+    which reads an NTZ wall clock in the session timezone (DST would
+    warp the 7-day frame on a non-UTC session; DuckDB's epoch() treats
+    the naive value as UTC)."""
     ev = t(spark, sf_dir, "events").withColumn(
-        "epoch_s", F.unix_timestamp("ts").cast("long")
+        "epoch_s",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).cast("long"),
     )
     w = (
         W.partitionBy("user_id")
