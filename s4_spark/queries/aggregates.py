@@ -843,3 +843,46 @@ def q167(spark, sf_dir):
         )
     )
     return merged.orderBy("o_orderpriority")
+
+
+@query(
+    "q168_approx_quantile_profile",
+    # q032/q147-style self-validating contract: Spark computes the sketch
+    # estimate AND the exact percentile, asserts the declared bound; the
+    # oracle asserts the same shape.
+    oracle="""
+    SELECT l_returnflag, true AS p50_ok, true AS p99_ok, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    section="B4-aggregations",
+)
+def q168(spark, sf_dir):
+    """Approximate quantile profiling via `approx_percentile` (mergeable
+    Greenwald-Khanna sketch, accuracy=10000 -> ~0.01% rank error) checked
+    per group against the exact interpolated percentile (q038's path) at
+    a 1% relative-value bound.
+
+    This is the 100 TB data-profiling pattern: exact percentiles need the
+    full value multiset per group on one reducer, while the sketch is a
+    bounded-size partial aggregate that map-side combines — per-column
+    distribution dashboards over a corpus are sketch scans, never sorts.
+    Like q147's HLL rows, sketch partials can persist per shard and merge
+    later without re-scanning."""
+    li = t(spark, sf_dir, "lineitem")
+    prof = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+        ).alias("ap"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("x50"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("x99"),
+        F.count("*").alias("n"),
+    )
+    rel_ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) / F.abs(exact) < F.lit(0.01)
+    )
+    return prof.select(
+        "l_returnflag",
+        rel_ok(F.element_at("ap", 1), F.col("x50")).alias("p50_ok"),
+        rel_ok(F.element_at("ap", 2), F.col("x99")).alias("p99_ok"),
+        "n",
+    ).orderBy("l_returnflag")

@@ -910,3 +910,52 @@ def q157(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q169_source_cap",
+    oracle="""
+    WITH r AS (
+      SELECT source, lang,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn <= 20 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM r GROUP BY source ORDER BY source
+    """,
+    section="B12-training",
+)
+def q169(spark, sf_dir):
+    """Per-source document cap — the HARD dominance ceiling of corpus
+    curation (cap pages per domain so no single crawl source swamps the
+    mixture), complementing q132's fractional sampling and q150's
+    temperature reweighting which only scale proportionally. Keep rule is
+    deterministic: the K=20 largest documents per source (ties broken by
+    doc_id), so task retries and both engines select identical rows.
+
+    Scale shape: ONE shuffle keyed by source for a rank window; Spark
+    rewrites rank-filter windows to a WindowGroupLimit (per-partition
+    top-K pushdown before the shuffle — same property test_plans pins for
+    q062), so the shuffle carries at most K rows per source per map task,
+    not the corpus."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    r = d.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum((F.col("rn") <= 20).cast("int")).cast("long").alias("n_kept"),
+            F.sum((F.col("rn") > 20).cast("int")).cast("long").alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

@@ -258,3 +258,44 @@ def test_tpch_q5_dims_broadcast_no_nlj(spark):
     assert p.count("BroadcastHashJoin") >= 3, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """100 TB capability pin: with a selective filter on one side of a
+    shuffle join, Catalyst injects a runtime bloom filter
+    (bloom_filter_agg on the creation side, might_contain on the
+    application side) so the big fact scan drops non-joining rows BEFORE
+    the shuffle — the declarative form of semi-join pushdown. Guards the
+    conf surface our SCALE.md story depends on."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
