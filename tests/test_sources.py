@@ -129,6 +129,9 @@ def test_stream_reader_listen_mode_fan_in(tmp_path):
 
     got: list[str] = []
     off = {"index": 0}
+    # fresh budget AFTER the producers finished — under a loaded machine
+    # (full suite) the accept/drain threads can lag several seconds
+    deadline = time.time() + 20
     while len(got) < 5 and time.time() < deadline:
         it, off = r.read(off)
         got.extend(v for (v,) in it)
