@@ -506,3 +506,48 @@ def q165(spark, sf_dir):
     return two_stream_two_phase(spark, l1, r1, l2, r2, build, tag="q165").orderBy(
         "user_id"
     )
+
+
+@query(
+    "q171_state_store_introspection",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    section="B9-streaming",
+)
+def q171(spark, sf_dir):
+    """State-store introspection (Spark 4 `statestore` reader): run a
+    stateful streaming aggregation to its checkpoint, then read the
+    RocksDB state store BACK as a DataFrame — per-key aggregation
+    buffers equal the batch aggregate exactly.
+
+    This is the operational debugging surface a production streaming
+    deployment needs (inspect/audit live state without stopping the
+    query) and the closest Spark analog to reading the reference's
+    LevelDB buffer directly (river/jsonr.go's durable store — here the
+    state store is queryable with the full DataFrame API instead of a
+    custom dump tool). At 100 TB state scale the reader lists one
+    RocksDB snapshot per shuffle partition — parallel, no driver
+    materialization."""
+    ev = events_stream(spark, sf_dir)
+    ckpt = scratch(f"q171_ckpt_{os.path.basename(sf_dir)}")
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"s4_q171_{os.path.basename(sf_dir)}".replace(".", "_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return (
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n"),
+        )
+        .orderBy("event_type")
+    )
