@@ -886,3 +886,51 @@ def q168(spark, sf_dir):
         rel_ok(F.element_at("ap", 2), F.col("x99")).alias("p99_ok"),
         "n",
     ).orderBy("l_returnflag")
+
+
+_Q172_SQL = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           (SELECT count(DISTINCT user_id) FROM events) AS n_users_global
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q172_bitmap_distinct_rollup", oracle=_Q172_SQL, section="B4-aggregations")
+def q172(spark, sf_dir):
+    """EXACT distinct counting via mergeable bitmaps (Spark 3.5 bitmap
+    aggregates) — the rollup-able counterpart to q147's HLL with zero
+    error for bounded-int keys: per (event_type, bucket) partial bitmaps
+    OR-merge into per-type counts, and the same partials OR-merge again
+    into the global count WITHOUT re-scanning events — count(DISTINCT)
+    can't do that (its per-group state isn't reusable across grouping
+    sets).
+
+    At 100 TB: each 32768-id bucket is a 4 KB bitmap whatever the row
+    count, partial aggregation combines map-side, and persisted
+    per-shard bitmap rows re-aggregate for any slice — the exact-dedup
+    analog of the sketch-profiling path (q168/q147). user_id is shifted
+    +1 because the bitmap position functions are 1-based (value 0 would
+    silently vanish — measured)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH partials AS (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id + 1) AS bk,
+                 bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+          FROM events GROUP BY event_type, bk),
+        per_type AS (
+          SELECT event_type,
+                 CAST(sum(bitmap_count(b)) AS BIGINT) AS n_users
+          FROM (SELECT event_type, bk, bitmap_or_agg(b) AS b
+                FROM partials GROUP BY event_type, bk)
+          GROUP BY event_type),
+        global_ct AS (
+          SELECT CAST(sum(bitmap_count(b)) AS BIGINT) AS n_users_global
+          FROM (SELECT bk, bitmap_or_agg(b) AS b FROM partials GROUP BY bk))
+        SELECT event_type, n_users, n_users_global
+        FROM per_type CROSS JOIN global_ct
+        ORDER BY event_type
+        """
+    )
