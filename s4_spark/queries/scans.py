@@ -20,7 +20,6 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from s4_spark.catalog import EVENTS_RAW_SCHEMA
 from s4_spark.queries.helpers import csum, dsum, sql_dsum, t
 from s4_spark.queries.registry import query
 
@@ -45,6 +44,21 @@ def events_landing_dir(sf_dir: str) -> str:
     if not os.path.exists(dst):
         shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
     return path
+
+
+def _events_stream_raw(spark, sf_dir: str):
+    """Raw events stream with the schema taken from a batch scan of the
+    landing dir (one footer read) — NOT hardcoded: the generator has
+    stored events.ts two different ways across rounds and a forced
+    schema breaks on the next flip (streaming/rigs.events_stream applies
+    the same rule, plus ts normalization for event-time consumers)."""
+    landing = events_landing_dir(sf_dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(spark.read.parquet(landing).schema)
+        .format("parquet")
+        .load(landing)
+    )
 
 
 @query(
@@ -178,11 +192,7 @@ def q007(spark, sf_dir):
 
     At 100 TB: the same code with `maxFilesPerTrigger` caps per-batch
     work and checkpointing makes the listing incremental."""
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_landing_dir(sf_dir))
-    )
+    stream = _events_stream_raw(spark, sf_dir)
     agg = stream.agg(
         F.count("*").alias("n"), dsum("value").alias("sum_value")
     )
@@ -202,11 +212,7 @@ def q007(spark, sf_dir):
 @query("q008_console_sink", oracle=None, section="B1-scans")
 def q008(spark, sf_dir):
     """Console sink smoke (A19 parity) — rows-only check by design."""
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(events_landing_dir(sf_dir))
-    )
+    stream = _events_stream_raw(spark, sf_dir)
     q = (
         stream.writeStream.format("console")
         .option("numRows", 5)
@@ -326,15 +332,14 @@ def q108(spark, sf_dir):
     import time as _time
 
     import s4_spark.sources as sources
-    from s4_spark.streaming.rigs import scratch
+    from s4_spark.streaming.rigs import _counter, scratch
 
     sources.register(spark)
     langs = [r[0] for r in t(spark, sf_dir, "documents").select("lang").collect()]
     slices = [langs[i::3] for i in range(3)]
-    sock = os.path.join(
-        _tf.gettempdir(), f"s4_q108_{os.path.basename(sf_dir)}_{os.getpid()}.sock"
-    )
-    name = f"s4_q108_{os.path.basename(sf_dir)}_{os.getpid()}".replace(".", "_")
+    run_id = f"{os.path.basename(sf_dir)}_{os.getpid()}_{next(_counter)}"
+    sock = os.path.join(_tf.gettempdir(), f"s4_q108_{run_id}.sock")
+    name = f"s4_q108_{run_id}".replace(".", "_")
     q = (
         spark.readStream.format("s4_unixline")
         .option("path", sock)

@@ -530,10 +530,13 @@ def q171(spark, sf_dir):
     custom dump tool). At 100 TB state scale the reader lists one
     RocksDB snapshot per shuffle partition — parallel, no driver
     materialization."""
+    from s4_spark.streaming.rigs import _counter
+
     ev = events_stream(spark, sf_dir)
-    ckpt = scratch(f"q171_ckpt_{os.path.basename(sf_dir)}")
+    run_id = f"{os.path.basename(sf_dir)}_{next(_counter)}".replace(".", "_")
+    ckpt = scratch(f"q171_ckpt_{run_id}")
     agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    name = f"s4_q171_{os.path.basename(sf_dir)}".replace(".", "_")
+    name = f"s4_q171_{run_id}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)

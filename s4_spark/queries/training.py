@@ -938,24 +938,31 @@ def q169(spark, sf_dir):
     deterministic: the K=20 largest documents per source (ties broken by
     doc_id), so task retries and both engines select identical rows.
 
-    Scale shape: ONE shuffle keyed by source for a rank window; Spark
-    rewrites rank-filter windows to a WindowGroupLimit (per-partition
-    top-K pushdown before the shuffle — same property test_plans pins for
-    q062), so the shuffle carries at most K rows per source per map task,
-    not the corpus."""
+    Scale shape: the cap is APPLIED as a rank filter, which Spark
+    rewrites to a two-stage WindowGroupLimit (per-map-task top-K BELOW
+    the shuffle, final above — plan-pinned in test_plans like q062), so
+    the capped branch shuffles at most K rows per source per map task,
+    not the corpus; totals come from a plain partial-aggregated count.
+    The stats join is |sources|-sized."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")
     )
-    r = d.withColumn("rn", F.row_number().over(w))
+    capped = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)  # the operator output (WindowGroupLimit)
+    )
+    kept = capped.groupBy("source").agg(F.count("*").alias("n_kept"))
+    totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
     return (
-        r.groupBy("source")
-        .agg(
-            F.count("*").alias("n_total"),
-            F.sum((F.col("rn") <= 20).cast("int")).cast("long").alias("n_kept"),
-            F.sum((F.col("rn") > 20).cast("int")).cast("long").alias("n_dropped"),
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
         )
         .orderBy("source")
     )

@@ -14,7 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s4_spark.catalog import EVENTS_RAW_SCHEMA, normalize_events
+from s4_spark.catalog import normalize_events
 
 _counter = itertools.count()
 
@@ -55,17 +55,25 @@ def instant_as_utc_ntz(col: str):
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a streaming DataFrame (file source over a landing dir).
 
-    Timestamp normalization is delegated to catalog.normalize_events() so
-    the streaming path gets the SAME type-adaptive conversion as the batch
-    path, whatever the generator stored (int64 nanos vs native NTZ); the
-    normalized NTZ wall clock is then pinned to a UTC instant because
-    streaming event time requires TIMESTAMP (LTZ)."""
+    The stream schema is taken from a batch scan of the landing dir (one
+    footer read), NOT hardcoded — the generator has stored events.ts as
+    parquet TIMESTAMP(NANOS) and as native NTZ across rounds, and a
+    forced schema would break on the next flip. Normalization is then
+    delegated to catalog.normalize_events() so the streaming path gets
+    the SAME type-adaptive conversion as the batch path; the normalized
+    NTZ wall clock is pinned to a UTC instant because streaming event
+    time requires TIMESTAMP (LTZ)."""
     from s4_spark.queries.scans import events_landing_dir
 
+    landing = events_landing_dir(sf_dir)
+    # runtime-settable, idempotent; makes a nanos-typed scan legal (the
+    # same hardening catalog.table() applies for vanilla sessions)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scanned_schema = spark.read.parquet(landing).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(scanned_schema)
         .format("parquet")
-        .load(events_landing_dir(sf_dir))
+        .load(landing)
     )
     ev = normalize_events(raw)
     if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":

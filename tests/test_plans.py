@@ -299,3 +299,13 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_source_cap_pushes_window_group_limit(spark):
+    """q169: the per-source cap's rank filter must compile to the same
+    two-stage WindowGroupLimit as q062 (partial below the shuffle, final
+    above) — its docstring's scale claim that map tasks ship at most K
+    rows per source, pinned so it can't silently regress."""
+    p = plan(spark, "q169_source_cap")
+    graph = p.split("(1) Scan", 1)[0]
+    assert graph.count("WindowGroupLimit") == 2, p

@@ -125,3 +125,50 @@ def test_cli_corpus_prep(spark, tmp_path):
         for r in REGISTRY["q130_corpus_prep"].fn(spark, SF_DIR).collect()
     )
     assert got == want
+
+
+def test_events_paths_survive_nanos_generator_flip(spark, tmp_path):
+    """Round-2 lesson, pinned: the driver's generator has stored
+    events.ts as parquet TIMESTAMP(NANOS) and as native NTZ across
+    rounds. Synthesize the NANOS variant and assert BOTH the batch
+    catalog path and the streaming rig normalize it to the same NTZ
+    micros — the exact regression that broke 13 tests in round 2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s4_spark.catalog import table
+    from s4_spark.streaming.rigs import events_stream, run_to_memory
+
+    sf_fake = tmp_path / "sf_nanos_flip"
+    sf_fake.mkdir()
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [(base_us + i * 1_000_000) * 1000 for i in range(3)],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["view", "click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * 3, pa.string()),
+        }
+    )
+    pq.write_table(tbl, sf_fake / "events.parquet", store_schema=False)
+
+    batch = table(spark, str(sf_fake), "events")
+    assert batch.schema["ts"].dataType.typeName() == "timestamp_ntz"
+    batch_rows = batch.select("event_id", "ts").orderBy("event_id").collect()
+
+    ev = events_stream(spark, str(sf_fake))
+    agg = ev.groupBy("event_type").count()
+    out = run_to_memory(agg, mode="complete", tag="nanos_flip")
+    assert {(r["event_type"], r["count"]) for r in out.collect()} == {
+        ("view", 2),
+        ("click", 1),
+    }
+    # wall clocks identical between engines' views of the same instant
+    import datetime
+
+    assert batch_rows[0].ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
