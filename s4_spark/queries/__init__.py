@@ -62,8 +62,9 @@ DRIVER_WINDOW = (
     # B8-functions
     "q080_string_functions",
     "q081_datetime_functions",
-    "q082_math_functions",
     "q086_cast_conversions",
+    # B4 (bitmap exact-distinct rollup — flagship sketch-path entry)
+    "q172_bitmap_distinct_rollup",
     # B9-streaming
     "q090_s4_pipeline_parity",
     "q091_tumbling_window",
@@ -80,10 +81,10 @@ DRIVER_WINDOW = (
     "q111_minhash_lsh_neardup",
     "q112_cosine_topk_bruteforce",
     "q114_text_stats",
-    "q120_simhash_neardup",
     "q123_language_id",
     "q125_token_counting",
     "q130_corpus_prep",
+    "q170_pq_ann",
     # B12-training
     "q133_data_mixing",
     "q139_contamination_check",
