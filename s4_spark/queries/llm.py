@@ -876,20 +876,26 @@ def q170(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     norm = S.l2_norm(F.col("embedding"))
+    # normalized view feeds three consumers (sample, queries, encode) —
+    # materialize so the interpreted-HOF normalize fold runs once
     en = e.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / norm).alias("vn"),
-    )
+    ).localCheckpoint(eager=True)
     sample = [
         list(map(float, r.vn))
         for r in en.orderBy("vec_id").limit(256).collect()
     ]
     books = S.pq_train_codebooks(sample, m=8, k=16)
+    # encode ONCE and materialize — this IS product quantization's point:
+    # the codes table (m small ints/vector) persists and every subsequent
+    # query scans codes, never re-encoding the corpus (at 100 TB this is
+    # a stored table; localCheckpoint is its single-session analog)
     cands = S.pq_encode(
         en.select(F.col("vec_id").alias("c_id"), F.col("vn").alias("c_vn")),
         "c_vn",
         books,
-    ).select("c_id", "codes")
+    ).select("c_id", "codes").localCheckpoint(eager=True)
     qrows = [
         (int(r.vec_id), list(map(float, r.vn)))
         for r in en.filter(F.col("vec_id") < 10).collect()
