@@ -76,17 +76,46 @@ def normalize_events(df: DataFrame) -> DataFrame:
     return df.select(*_EVENTS_COLS)
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def read_parquet_adaptive(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns WITHOUT
+    preemptively mutating session conf.
+
+    A plain read is tried first — with µs/NTZ-typed data (the current
+    generator) this touches no conf at all, so nothing leaks into later
+    queries on a shared session (ADVICE r3: the old unconditional
+    ``conf.set`` changed legacy-read behavior for every subsequent
+    parquet scan). Only when schema inference rejects the footer (the
+    nanos-typed generator variant) is ``spark.sql.legacy.parquet.nanosAsLong``
+    enabled — and then it
+    deliberately STAYS enabled: the conf is consulted again when the
+    scan actually executes, so restoring it after the probe would break
+    the very read it legalized. The flip happens exactly when the data
+    demands legacy semantics for the rest of the session.
+    """
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        if spark.conf.get(_NANOS_CONF, "false") == "true":
+            raise  # conf already on; the failure is something else
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            spark.conf.unset(_NANOS_CONF)  # conf didn't help; don't leak it
+            raise
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Runtime-settable SQL conf (idempotent), set here — not only in
-    # get_spark() — so table() is self-sufficient on ANY session, including
-    # a vanilla one the caller built (the round-1 driver harness did
-    # exactly that and 11 queries died at this read). With the current
-    # µs-typed data the conf is a no-op; with nanos-typed data it makes the
-    # scan legal (as int64) and normalize_events() converts.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Self-sufficient on ANY session, including a vanilla one the caller
+    # built (the round-1 driver harness did exactly that and 11 queries
+    # died at this read): nanos-typed events scan as int64 via the
+    # adaptive read and normalize_events() converts.
+    df = read_parquet_adaptive(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events(df)
     return df

@@ -182,16 +182,8 @@ def q113(spark, sf_dir):
             k=5,
         ).select("q_id", "c_id")
     )
-    inter = ann5.select("q_id", "c_id").intersect(exact5)
-    recall = (
-        inter.groupBy("q_id").agg(F.count("*").alias("hits"))
-    )
-    res = recall.agg(
-        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
-    )
-    return res.select(
-        F.lit(10).cast("long").alias("n_queries"),
-        (F.col("r") >= 0.5).alias("recall_ok"),
+    return _recall_result(
+        queries.select("q_id"), ann5.select("q_id", "c_id"), exact5
     )
 
 
@@ -588,6 +580,28 @@ def q127(spark, sf_dir):
     )
 
 
+def _recall_result(q_ids, ann5, exact5):
+    """Mean top-5 recall averaged over EVERY query in ``q_ids``.
+
+    ``intersect`` drops zero-hit queries, so aggregating its groupBy
+    output alone shrinks the denominator to queries with >=1 hit (1
+    query at 3/5 plus 9 at 0/5 would read 0.6 instead of 0.06 — ADVICE
+    r3). Left-join hit counts onto the full query-id set with hits
+    coalesced to 0, and report the MEASURED query count so a missing
+    query can't hide behind a hard-coded literal."""
+    hits = ann5.intersect(exact5).groupBy("q_id").agg(F.count("*").alias("hits"))
+    per_q = q_ids.join(hits, "q_id", "left").select(
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits")
+    )
+    res = per_q.agg(
+        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
+    )
+    return res.select(
+        F.col("nq").cast("long").alias("n_queries"),
+        (F.col("r") >= 0.5).alias("recall_ok"),
+    )
+
+
 @query(
     "q128_ivf_ann",
     oracle="SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
@@ -635,15 +649,8 @@ def q128(spark, sf_dir):
         e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
         k=5,
     ).select("q_id", "c_id")
-    inter = ann5.intersect(exact5)
-    recall = inter.groupBy("q_id").agg(F.count("*").alias("hits"))
-    res = recall.agg(
-        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
-    )
-    return res.select(
-        F.lit(10).cast("long").alias("n_queries"),
-        (F.col("r") >= 0.5).alias("recall_ok"),
-    )
+    q_ids = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"))
+    return _recall_result(q_ids, ann5, exact5)
 
 
 @query(
@@ -941,12 +948,4 @@ def q170(spark, sf_dir):
         .select("q_id", "c_id")
     )
     exact5 = S.brute_force_topk(qvecs, cvecs, k=5).select("q_id", "c_id")
-    inter = ann5.intersect(exact5)
-    recall = inter.groupBy("q_id").agg(F.count("*").alias("hits"))
-    res = recall.agg(
-        F.count("*").alias("nq"), (F.sum("hits") / (5 * F.count("*"))).alias("r")
-    )
-    return res.select(
-        F.lit(10).cast("long").alias("n_queries"),
-        (F.col("r") >= 0.5).alias("recall_ok"),
-    )
+    return _recall_result(qvecs.select("q_id"), ann5, exact5)

@@ -52,10 +52,11 @@ def _events_stream_raw(spark, sf_dir: str):
     stored events.ts two different ways across rounds and a forced
     schema breaks on the next flip (streaming/rigs.events_stream applies
     the same rule, plus ts normalization for event-time consumers)."""
+    from s4_spark.catalog import read_parquet_adaptive
+
     landing = events_landing_dir(sf_dir)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
-        spark.readStream.schema(spark.read.parquet(landing).schema)
+        spark.readStream.schema(read_parquet_adaptive(spark, landing).schema)
         .format("parquet")
         .load(landing)
     )

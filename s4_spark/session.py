@@ -45,10 +45,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # The events table stores timestamp[ns]; Spark has no nanosecond
-        # timestamp type, so read the raw int64 and truncate to µs in the
-        # catalog (FIXTURES.md §1.2 — lossless on this data, sub-µs == 0).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Nanos-typed events (the round-1 generator variant) are handled by
+        # catalog.read_parquet_adaptive(), which enables the nanosAsLong
+        # legacy conf only when a footer demands it — setting it here
+        # unconditionally leaked legacy-read behavior into every parquet
+        # scan of the session (ADVICE r3).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.streaming.stateStore.providerClass",

@@ -128,6 +128,11 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
         legacy = os.path.join(spool_dir, "spool.txt")
         if os.path.exists(legacy):
             os.replace(legacy, os.path.join(spool_dir, self._fname(0)))
+        # ``.tmp`` files are abandoned partial compaction writes — never
+        # authoritative; remove them so they can't accumulate.
+        for f in os.listdir(spool_dir):
+            if f.startswith("spool-") and f.endswith(".txt.tmp"):
+                os.unlink(os.path.join(spool_dir, f))
         bases = sorted(
             int(f[len("spool-"):-len(".txt")])
             for f in os.listdir(spool_dir)
@@ -212,6 +217,14 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
             with self._lock:
                 self._lines.append(_normalize(buf).decode("utf-8", "replace"))
 
+    def _drain_then_close(self, conn: socket.socket) -> None:
+        """Accepted-connection wrapper: the fd is closed even when the
+        reader stops mid-drain (previously leaked until process exit)."""
+        try:
+            self._drain_conn(conn)
+        finally:
+            conn.close()
+
     def _recv_loop(self) -> None:
         try:
             with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
@@ -231,7 +244,25 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
         in the reference."""
         try:
             if os.path.exists(self._sock_path):
-                os.unlink(self._sock_path)
+                # Only reclaim a STALE path. If a live process (another
+                # query, or the reference server itself) still owns the
+                # socket, a connect succeeds — destroying its endpoint
+                # with unlink would be silent sabotage; refuse instead.
+                probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    probe.settimeout(_POLL_TIMEOUT_S)
+                    probe.connect(self._sock_path)
+                    # RuntimeError on purpose: the enclosing OSError handler
+                    # must NOT swallow this — the refusal should surface as
+                    # the receiver thread's traceback, not a silent no-op.
+                    raise RuntimeError(
+                        f"socket path {self._sock_path} is owned by a live "
+                        "process; refusing to bind over it"
+                    )
+                except (ConnectionRefusedError, socket.timeout):
+                    os.unlink(self._sock_path)  # stale leftover
+                finally:
+                    probe.close()
             with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as srv:
                 srv.bind(self._sock_path)
                 srv.listen(64)
@@ -243,7 +274,7 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
                         continue
                     conn.settimeout(_POLL_TIMEOUT_S)
                     threading.Thread(
-                        target=self._drain_conn, args=(conn,), daemon=True
+                        target=self._drain_then_close, args=(conn,), daemon=True
                     ).start()
         except OSError:
             pass
@@ -299,11 +330,24 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
         keep = self._spool_range(new_base, self._spooled)
         old_path = self._spool_path
         new_path = os.path.join(self._spool_dir, self._fname(new_base))
-        with open(new_path, "w", encoding="utf-8") as f:
+        # Crash-atomic roll: build the new-base file under a .tmp name the
+        # init glob ignores, fsync, then os.replace() — the final name only
+        # ever appears COMPLETE. A crash mid-write leaves the old complete
+        # file as the sole ``spool-*.txt``, so init never adopts a partial
+        # spool as authoritative (which would silently drop the uncommitted
+        # records in [new_base, _spooled) and break exactly-once).
+        tmp_path = new_path + ".tmp"
+        with open(tmp_path, "w", encoding="utf-8") as f:
             for ln in keep:
                 f.write(ln + "\n")
             f.flush()
             os.fsync(f.fileno())
+        os.replace(tmp_path, new_path)
+        dir_fd = os.open(self._spool_dir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)  # persist the rename before deleting the old roll
+        finally:
+            os.close(dir_fd)
         self._base = new_base
         os.unlink(old_path)
 

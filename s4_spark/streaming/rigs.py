@@ -63,13 +63,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME type-adaptive conversion as the batch path; the normalized
     NTZ wall clock is pinned to a UTC instant because streaming event
     time requires TIMESTAMP (LTZ)."""
+    from s4_spark.catalog import read_parquet_adaptive
     from s4_spark.queries.scans import events_landing_dir
 
     landing = events_landing_dir(sf_dir)
-    # runtime-settable, idempotent; makes a nanos-typed scan legal (the
-    # same hardening catalog.table() applies for vanilla sessions)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    scanned_schema = spark.read.parquet(landing).schema
+    # adaptive probe: flips the nanos legacy conf only if the footer
+    # demands it, so nothing leaks on the (current) NTZ-typed data
+    scanned_schema = read_parquet_adaptive(spark, landing).schema
     raw = (
         spark.readStream.schema(scanned_schema)
         .format("parquet")

@@ -11,10 +11,16 @@ unhashable column into the window.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 import pytest
 
 from s4_spark.queries import DRIVER_WINDOW, REGISTRY
 from tests.conftest import SMOKE_SF_DIR
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 EXPECTED_SECTIONS = {
     "B1-scans",
@@ -45,6 +51,27 @@ def test_window_is_first_50_and_oracle_backed():
 def test_window_covers_every_family():
     got = {REGISTRY[n].section for n in DRIVER_WINDOW}
     assert got == EXPECTED_SECTIONS, EXPECTED_SECTIONS - got
+
+
+def test_window_maximizes_never_verified_entries():
+    """Rotation guard: the window must spend its 50 slots on entries that have
+    never earned a driver-green CORRECTNESS row. An already-verified entry may
+    occupy a slot only as a family canary (when its §2-B family has no
+    never-verified oracle-backed entries left) or as filler once fewer
+    never-verified entries exist than slots. Fails if a registry edit quietly
+    re-inserts already-green entries at the expense of never-verified ones."""
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r0*.json"))):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    never = [n for n, q in REGISTRY.items() if n not in seen and q.oracle is not None]
+    canary_sections = EXPECTED_SECTIONS - {REGISTRY[n].section for n in never}
+    budget = max(len(canary_sections), len(DRIVER_WINDOW) - len(never))
+    already = sorted(n for n in DRIVER_WINDOW if n in seen)
+    assert len(already) <= budget, (
+        f"window wastes slots on already-verified entries {already} "
+        f"(budget {budget}) while {len(never)} never-verified entries exist"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(DRIVER_WINDOW))

@@ -107,9 +107,19 @@ def test_stream_reader_listen_mode_fan_in(tmp_path):
     sock = os.path.join(tempfile.gettempdir(), "s4_src_listen.sock")
     r = _SpoolingStreamReader(sock, str(tmp_path / "spool"), listen=True)
     r._ensure_receiver()  # binds the path
+    # wait for CONNECTABILITY, not path existence — a stale socket file
+    # from a previous run exists on disk before the reader has reclaimed
+    # and re-bound it, and connecting to it is refused
     deadline = time.time() + 5
-    while not os.path.exists(sock) and time.time() < deadline:
-        time.sleep(0.02)
+    while time.time() < deadline:
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            probe.connect(sock)
+            probe.close()
+            break
+        except OSError:
+            probe.close()
+            time.sleep(0.02)
 
     def client(payload: bytes):
         c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -202,6 +212,102 @@ def test_stream_reader_spool_compaction_bounds_growth(tmp_path):
         ("c96",),
     ]
     r.stop()
+
+
+def test_spool_compaction_crash_atomic(tmp_path):
+    """ADVICE r3: a crash mid-compaction must never leave a PARTIAL file
+    as the authoritative highest base. commit() now builds the roll under
+    a ``.tmp`` name and os.replace()s it in, so init either sees the old
+    complete file (crash before rename) or the new complete file (crash
+    after) — a planted partial .tmp is ignored AND cleaned up."""
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_atomic.sock")
+    serve_lines(sock, b"".join(b"a%d\n" % i for i in range(20)))
+    spool_dir = tmp_path / "spool"
+    r = _SpoolingStreamReader(sock, str(spool_dir), compact_every=5)
+    got: list[str] = []
+    off = {"index": 0}
+    deadline = time.time() + 5
+    while len(got) < 20 and time.time() < deadline:
+        it, off = r.read(off)
+        got.extend(v for (v,) in it)
+        time.sleep(0.02)
+    assert len(got) == 20
+    r.stop()
+    # simulate the old failure mode: a crash mid-write left a truncated
+    # higher-base roll (missing a10..a19) — as .tmp now, never final-named
+    partial = spool_dir / "spool-00000000000000000010.txt.tmp"
+    partial.write_text("")  # maximally truncated: zero records survived
+    r2 = _SpoolingStreamReader(sock, str(spool_dir), compact_every=5)
+    # init adopted the COMPLETE base-0 file, so nothing was lost
+    assert r2.initialOffset() == {"index": 20}
+    assert list(r2.readBetweenOffsets({"index": 10}, {"index": 12})) == [
+        ("a10",),
+        ("a11",),
+    ]
+    assert not partial.exists(), "abandoned .tmp should be cleaned up"
+    # and a SUCCESSFUL commit leaves exactly one complete roll, no .tmp
+    r2.commit({"index": 18})
+    files = sorted(os.listdir(spool_dir))
+    assert files == ["spool-00000000000000000018.txt"], files
+    assert list(r2.readBetweenOffsets({"index": 18}, {"index": 20})) == [
+        ("a18",),
+        ("a19",),
+    ]
+    r2.stop()
+
+
+def test_listen_mode_refuses_live_socket(tmp_path):
+    """ADVICE r3: listen mode must not unlink a socket path a LIVE
+    process owns (that silently destroys the other endpoint). The stale
+    path (no listener behind it) is still reclaimed."""
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_live.sock")
+    if os.path.exists(sock):
+        os.unlink(sock)
+    owner = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    owner.bind(sock)
+    owner.listen(1)
+    try:
+        r = _SpoolingStreamReader(sock, str(tmp_path / "spool"), listen=True)
+        r._ensure_receiver()
+        time.sleep(0.5)
+        r.stop()
+        # the live owner's endpoint survived: a client can still connect
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        probe.settimeout(1.0)
+        probe.connect(sock)
+        probe.close()
+    finally:
+        owner.close()
+        os.unlink(sock)
+    # stale path (owner gone): listen mode reclaims and binds
+    stale_owner = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    stale_owner.bind(sock)
+    stale_owner.close()  # path remains on disk, no listener behind it
+    r2 = _SpoolingStreamReader(sock, str(tmp_path / "spool2"), listen=True)
+    r2._ensure_receiver()
+    deadline = time.time() + 5
+    client = None
+    while time.time() < deadline:
+        try:
+            client = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            client.connect(sock)
+            break
+        except OSError:
+            client.close()
+            client = None
+            time.sleep(0.05)
+    assert client is not None, "listen mode failed to reclaim stale path"
+    client.sendall(b"alive\n")
+    client.close()
+    got: list[str] = []
+    off = r2.initialOffset()
+    deadline = time.time() + 5
+    while not got and time.time() < deadline:
+        it, off = r2.read(off)
+        got.extend(v for (v,) in it)
+        time.sleep(0.05)
+    assert got == ["alive"]
+    r2.stop()
 
 
 def test_streaming_end_to_end(registered, tmp_path):

@@ -41,3 +41,21 @@ def test_query_is_session_timezone_independent(spark, duck, name):
         assert_oracle_match(q.fn(spark, SF_DIR), duck, q.oracle, name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_adaptive_parquet_read_keeps_session_conf_clean(spark):
+    """ADVICE r3: the old unconditional ``nanosAsLong=true`` in
+    events_stream/_events_stream_raw/table() leaked legacy parquet-read
+    behavior into every later scan on a shared session. With µs/NTZ-typed
+    data (current generator) the adaptive read must touch no conf at all."""
+    from s4_spark.catalog import _NANOS_CONF, table
+    from s4_spark.streaming.rigs import events_stream
+    from tests.conftest import SMOKE_SF_DIR
+
+    try:
+        spark.conf.unset(_NANOS_CONF)
+    except Exception:
+        pass
+    table(spark, SMOKE_SF_DIR, "events").limit(1).collect()
+    events_stream(spark, SMOKE_SF_DIR)  # schema probe happens eagerly
+    assert spark.conf.get(_NANOS_CONF, "false") == "false"
