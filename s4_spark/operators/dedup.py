@@ -264,7 +264,9 @@ def simhash_candidate_pairs(
     return pairs
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, reliable: bool = False
+) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``,
     ``id_b``) by iterative min-label propagation: every node repeatedly
     takes the minimum label among itself and its neighbors until a
@@ -273,21 +275,32 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
     Scale shape: each iteration is one join keyed on node id + one
     min-aggregate — node-count-sized tables, never corpus-sized. Each
-    round is barriered with ``localCheckpoint`` (iterative plans MUST cut
+    round is barriered with a lineage cut (iterative plans MUST cut
     lineage: round N's plan would otherwise embed rounds 1..N-1) and the
     convergence check is a driver-side count action — the standard
     pattern for fixpoint algorithms on DataFrames (GraphX/GraphFrames do
     the same under the hood; at 1000-executor scale the same code runs
     with the labels table hash-partitioned on node).
+
+    ``reliable=True`` swaps the per-round ``localCheckpoint`` for a
+    reliable ``checkpoint`` to the configured checkpoint dir —
+    executor-local blocks die with their executor, so a long CC run on a
+    big cluster should pay the (labels-table-sized) write for
+    fault-tolerance (VERDICT r3).
     """
-    edges = pairs.select("id_a", "id_b").union(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    from s4_spark.operators.lineage import cut_lineage
+
+    edges = cut_lineage(
+        pairs.select("id_a", "id_b").union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        ),
+        reliable,
+    )
+    labels = cut_lineage(
         edges.select(F.col("id_a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("node")),
+        reliable,
     )
     for _ in range(max_iters):
         nbr = (
@@ -295,11 +308,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
             .select(F.col("e.id_a").alias("node"), F.col("l.label").alias("label"))
         )
-        new_labels = (
+        new_labels = cut_lineage(
             labels.union(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            reliable,
         )
         changed = (
             new_labels.alias("n")

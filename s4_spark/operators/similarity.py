@@ -241,6 +241,7 @@ def kmeans_fit(
     k: int = 16,
     n_iters: int = 5,
     id_col: str = "vec_id",
+    reliable: bool = False,
 ):
     """Lloyd's k-means over an embedding column — the centroid-training
     step the IVF operators (ivf_assign / q128 / q141) consume. Init is
@@ -262,7 +263,14 @@ def kmeans_fit(
     inertia_history, assign_cents) where ``assign_cents`` is the
     centroid set the FINAL assignment used (centroids are then updated
     once more). The inertia sequence is non-increasing — Lloyd's
-    invariant, property-tested against ``assign_cents``."""
+    invariant, property-tested against ``assign_cents``.
+
+    ``reliable=True`` swaps the per-iteration ``localCheckpoint`` for a
+    reliable ``checkpoint`` (configured checkpoint dir): executor-local
+    blocks die with their executor, so a long fit on a big cluster pays
+    the assignments-table write for fault-tolerance (VERDICT r3)."""
+    from s4_spark.operators.lineage import cut_lineage
+
     first = vecs.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [list(map(float, r[0])) for r in first]
     inertia_hist: list[float] = []
@@ -288,14 +296,17 @@ def kmeans_fit(
             for c in cents
         ]
         darr = F.array(*dists)
-        assigned = vecs.select(
-            F.col(id_col),
-            F.col(vec_col),
-            (F.array_position(darr, F.array_min(darr)) - 1)
-            .cast("int")
-            .alias("cluster"),
-            F.array_min(darr).alias("dist2"),
-        ).localCheckpoint(eager=True)  # fixpoint loop: cut lineage per round
+        assigned = cut_lineage(
+            vecs.select(
+                F.col(id_col),
+                F.col(vec_col),
+                (F.array_position(darr, F.array_min(darr)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.array_min(darr).alias("dist2"),
+            ),
+            reliable,  # fixpoint loop: cut lineage per round
+        )
         inertia_hist.append(
             assigned.agg(
                 F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double")

@@ -657,3 +657,73 @@ def q164(spark, sf_dir):
         .cast("long")
         .alias("n_corrupt"),
     )
+
+
+def bloom_sink_dir(sf_dir: str) -> str:
+    """Deterministic output dir for q173's bloom-filtered write, shared
+    with the footer-assertion test (tests/test_plans.py). NOT routed
+    through _scratch(), which rmtree-clears on every call — the test
+    must be able to resolve the path without destroying the output."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        "s4_spark_scratch",
+        f"bloom_{os.path.basename(sf_dir)}",
+    )
+
+
+@query(
+    "q173_bloom_filter_write",
+    oracle="""
+    SELECT count(*) AS n,
+           CAST(sum(l_partkey) AS BIGINT) AS sum_pk,
+           {s} AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (1, 7, 32, 134, 517, 1154, 4804, 9188, 28165, 57317)
+    """.format(s=sql_dsum("l_quantity")),
+    section="B1-scans",
+)
+def q173(spark, sf_dir):
+    """Parquet bloom-filter WRITE option — the file-level analog of the
+    reference's LevelDB 10-bit-per-key bloom policy on its river store
+    (/root/reference/river/jsonr.go:27-31): every data file carries a
+    membership sketch so point lookups skip files/row-groups without
+    touching data pages. Spark spells it as per-column write options:
+
+      parquet.bloom.filter.enabled#l_orderkey = true
+      parquet.bloom.filter.expected.ndv#l_orderkey sizes the bitset
+      parquet.enable.dictionary#l_orderkey = false — parquet-mr SKIPS
+        bloom filters for fully dictionary-encoded columns (the dict is
+        already an exact membership structure); at real scale orderkey
+        cardinality blows past the dictionary page anyway, but at test
+        SF the column must opt out of dictionary or no bloom is written.
+
+    The re-read answers a 10-key point lookup (the access pattern blooms
+    accelerate); the oracle proves the round trip lossless. The footer
+    assertion — bloom_filter_offset > 0 for l_orderkey, absent for
+    uncovered columns, via parquet-mr's ParquetFileReader on the JVM —
+    is pinned in tests/test_plans.py::test_bloom_filter_write_in_footer.
+
+    At 100 TB: blooms cost ~1 bit x NDV per row-group at write time and
+    turn cold-key probes (contamination checks, id backfills, incident
+    forensics) from full scans into footer+bloom reads. Reader-side
+    row-group skipping via blooms is on by default
+    (spark.sql.parquet.filterPushdown + parquet.filter.bloom.enabled)."""
+    keys = [1, 7, 32, 134, 517, 1154, 4804, 9188, 28165, 57317]
+    path = bloom_sink_dir(sf_dir)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    (
+        li.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+        .option("parquet.enable.dictionary#l_orderkey", "false")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.filter(F.col("l_orderkey").isin(keys)).agg(
+        F.count("*").alias("n"),
+        F.sum("l_partkey").cast("long").alias("sum_pk"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

@@ -554,3 +554,79 @@ def q171(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's transformWithStateInPandas drives its state-server
+    protocol over protobuf; without the ``protobuf`` package the Python
+    driver worker crashes at import. Gate (don't stub) the q174 entry:
+    the implementation is real and runs wherever protobuf exists, and
+    no fake-green row is produced where it can't (env rule: gate missing
+    deps behind an import-try)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _q174(spark, sf_dir):
+    """Arbitrary stateful op on Spark 4's transformWithStateInPandas —
+    the successor API to q097's applyInPandasWithState: state lives in
+    named handles (value/list/map state, timers, TTL) on the RocksDB
+    state store instead of one opaque GroupState tuple. Same declared
+    contract as q097 (per-user running max + seen-count; availableNow
+    final snapshot equals the batch aggregate), so the two entries pin
+    batch-equivalence of BOTH stateful APIs side by side.
+
+    The provider conf is set here — not only in get_spark() — because
+    transformWithState REQUIRES RocksDB and the driver may run this on a
+    vanilla session (same self-sufficiency rationale as catalog.table)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "mx double, n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._state.exists():
+                mx, n = self._state.get()
+            else:
+                mx, n = float("-inf"), 0
+            for pdf in rows:
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+                    n += len(pdf)
+            self._state.update((mx, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "running_max": [mx], "n_seen": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningMax(),
+        outputStructType="user_id long, running_max double, n_seen long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_to_memory(out, mode="update", tag="q174").orderBy("user_id")
+
+
+if transform_with_state_available():  # pragma: no cover - env-dependent
+    query(
+        "q174_transform_with_state",
+        oracle="""
+    SELECT user_id, max(value) AS running_max, count(*) AS n_seen
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+        section="B9-streaming",
+    )(_q174)

@@ -720,10 +720,15 @@ def q151(spark, sf_dir):
     docs re-enter dedup/quality stages; q149 consumes exactly that feed).
 
     Shape: one full-outer join keyed on doc_id (uniform key, shuffles
-    hashes not text — 32 B/row) + a small agg. At 100 TB both snapshots
-    are bucketed by doc_id so the join is co-located and zero-shuffle;
-    content hashes are precomputed at ingest, so the diff never touches
-    the text column at all (ReadSchema prunes to id+lang+hash)."""
+    hashes not text — 32 B/row) + a small agg. The join is hinted
+    SHUFFLE_HASH: full-outer SMJ sorts BOTH sides before merging, and
+    with uniform unique keys those sorts are pure overhead — SHJ builds
+    a hash map per partition instead (measured at sf0.1: 0.65→0.47 s
+    warm, 2.5→0.8 s cold; this was the round-3 bench's closest-to-gate
+    query). At 100 TB both snapshots are bucketed by doc_id so the join
+    is co-located and zero-shuffle; content hashes are precomputed at
+    ingest, so the diff never touches the text column at all (ReadSchema
+    prunes to id+lang+hash)."""
     d = t(spark, sf_dir, "documents")
     old = d.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id", "lang", F.sha2("text", 256).alias("h")
@@ -737,7 +742,7 @@ def q151(spark, sf_dir):
             256,
         ).alias("h"),
     )
-    o, n = old.alias("o"), new.alias("n")
+    o, n = old.alias("o").hint("SHUFFLE_HASH"), new.alias("n")
     j = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full").select(
         F.coalesce(F.col("o.lang"), F.col("n.lang")).alias("lang"),
         F.when(F.col("o.doc_id").isNull(), "added")
@@ -963,6 +968,97 @@ def q169(spark, sf_dir):
             "n_total",
             "n_kept",
             (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q175_repeated_ngram_spans",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+    idx AS (
+      SELECT doc_id, source, ws,
+             unnest([i for i in generate_series(1, len(ws) - 7)]) AS i
+      FROM words WHERE len(ws) >= 8),
+    grams AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+      FROM idx),
+    rep AS (SELECT gram FROM grams GROUP BY gram
+            HAVING count(DISTINCT doc_id) > 1),
+    cover AS (
+      SELECT g.doc_id, g.source, count(*) AS n_grams,
+             sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_rep
+      FROM grams g LEFT JOIN rep r USING (gram)
+      GROUP BY g.doc_id, g.source)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_repeats,
+           round(avg(CAST(n_rep AS DOUBLE) / n_grams), 6) AS avg_repeat_frac
+    FROM cover GROUP BY source ORDER BY source
+    """,
+    section="B12-training",
+)
+def q175(spark, sf_dir):
+    """Cross-document repeated-passage detection — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), distinct from q139 (contamination vs a
+    benchmark) and q143 (whole-paragraph dedup): every 8-word window is
+    keyed, windows appearing in MORE THAN ONE document mark repeated
+    spans, and each doc reports the fraction of its windows that are
+    corpus-repeated (the quantity thresholded to clip/drop boilerplate,
+    licenses, chain letters).
+
+    Scale shape: gram keys are xxhash64 of the window text, so the
+    repeat-inventory shuffle carries (int64, doc_id) pairs — never the
+    window strings (the oracle keys on raw grams; identical aggregates
+    modulo 64-bit collisions, ~1e-9 at sf0.01). Both aggs partial-
+    combine; the grams->rep join is int64-keyed. At 100 TB this is the
+    suffix-array alternative that stays in one shuffle: inventory once,
+    then every doc's coverage is a map-side lookup against the repeated
+    set (bucketed or bloom-pruned as in q139's blocklist join)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 8)
+    )
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - F.lit(7)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("ws", i, 8))),
+            )
+        ).alias("gh"),
+    )
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    cover = (
+        grams.join(rep.withColumn("is_rep", F.lit(1)), "gh", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_rep"), F.lit(0))).alias("n_rep"),
+        )
+    )
+    return (
+        cover.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_rep") > 0).cast("int"))
+            .cast("long")
+            .alias("n_docs_with_repeats"),
+            F.round(F.avg(F.col("n_rep") / F.col("n_grams")), 6).alias(
+                "avg_repeat_frac"
+            ),
         )
         .orderBy("source")
     )

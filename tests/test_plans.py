@@ -309,3 +309,48 @@ def test_source_cap_pushes_window_group_limit(spark):
     p = plan(spark, "q169_source_cap")
     graph = p.split("(1) Scan", 1)[0]
     assert graph.count("WindowGroupLimit") == 2, p
+
+
+def test_snapshot_diff_full_outer_is_shuffled_hash(spark):
+    """q151: the full-outer diff join must be a ShuffledHashJoin, not a
+    SortMergeJoin — full-outer SMJ sorts BOTH sides before merging, and
+    on uniform unique doc_id keys those sorts are pure overhead
+    (measured at sf0.1: 0.65 s -> 0.47 s warm). Pins the round-4 fix for
+    the round-3 bench's closest-to-gate query."""
+    p = plan(spark, "q151_snapshot_diff")
+    assert "ShuffledHashJoin FullOuter" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bloom_filter_write_in_footer(spark):
+    """q173 / reference A11: the bloom-filter write option must actually
+    land a bloom bitset in the parquet footer — parquet-mr silently
+    SKIPS blooms for fully dictionary-encoded columns, so without the
+    per-column dictionary opt-out this degrades to a no-op write while
+    the oracle still matches. Verified with the JVM's own
+    ParquetFileReader: covered column has bloom_filter_offset > 0,
+    uncovered columns have none."""
+    import glob
+
+    from s4_spark.queries.scans import bloom_sink_dir
+
+    REGISTRY["q173_bloom_filter_write"].fn(spark, SF_DIR).collect()
+    files = glob.glob(bloom_sink_dir(SF_DIR) + "/part-*.parquet")
+    assert files, "q173 wrote no parquet files"
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(files[0]), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        offsets = {}
+        for block in reader.getFooter().getBlocks():
+            for col in block.getColumns():
+                name = col.getPath().toDotString()
+                offsets.setdefault(name, []).append(col.getBloomFilterOffset())
+        assert all(o > 0 for o in offsets["l_orderkey"]), offsets
+        assert all(o == -1 for o in offsets["l_partkey"]), offsets
+        assert all(o == -1 for o in offsets["l_quantity"]), offsets
+    finally:
+        reader.close()

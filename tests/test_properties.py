@@ -196,3 +196,32 @@ def test_kmeans_inertia_monotone_and_nearest(spark, seed, n, k):
         ]
         assert abs(d2 - min(dists)) < 1e-9, (vid, d2, min(dists))
         assert abs(dists[cl] - min(dists)) < 1e-12, (vid, cl)
+
+
+def test_reliable_checkpoint_paths_identical(spark):
+    """VERDICT r3 item 1: fixpoint loops expose reliable=True routing
+    lineage cuts through df.checkpoint() (survives executor loss on a
+    cluster) instead of localCheckpoint. Results must be bit-identical on
+    both paths for CC and k-means."""
+    import random
+
+    from s4_spark.operators.dedup import connected_components
+    from s4_spark.operators.similarity import kmeans_fit
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "id_a int, id_b int"
+    )
+    local = {(r.node, r.label) for r in connected_components(pairs).collect()}
+    rel = {
+        (r.node, r.label)
+        for r in connected_components(pairs, reliable=True).collect()
+    }
+    assert local == rel
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    a1, c1, h1, ac1 = kmeans_fit(df, "embedding", k=3, n_iters=3)
+    a2, c2, h2, ac2 = kmeans_fit(df, "embedding", k=3, n_iters=3, reliable=True)
+    assert c1 == c2 and h1 == h2 and ac1 == ac2
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))

@@ -172,3 +172,21 @@ def test_events_paths_survive_nanos_generator_flip(spark, tmp_path):
     import datetime
 
     assert batch_rows[0].ts == datetime.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def test_transform_with_state_matches_batch_when_available(spark, duck):
+    """q174 (gated): on runtimes with protobuf, the transformWithState
+    snapshot must equal the batch aggregate — same contract as q097 on
+    the successor API. Skips (does not fake-pass) where the dep is
+    absent; the gate itself is exercised either way."""
+    import pytest as _pytest
+
+    from s4_spark.queries.streaming import transform_with_state_available
+
+    if not transform_with_state_available():
+        assert "q174_transform_with_state" not in REGISTRY
+        _pytest.skip("transformWithStateInPandas needs the protobuf package")
+    from tests.conftest import assert_oracle_match
+
+    q = REGISTRY["q174_transform_with_state"]
+    assert_oracle_match(q.fn(spark, SF_DIR), duck, q.oracle, q.name)
