@@ -1062,3 +1062,82 @@ def q175(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q176_training_shard_export",
+    oracle="""
+    WITH d AS (SELECT lang, doc_id,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(floor((sum(n_tokens) OVER
+                 (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) / 2048.0) AS BIGINT) AS pack_bin
+      FROM d)
+    SELECT lang, pack_bin % 4 AS shard, count(*) AS n_docs,
+           count(DISTINCT pack_bin) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, shard ORDER BY lang, shard
+    """,
+    section="B12-training",
+)
+def q176(spark, sf_dir):
+    """Training-shard EXPORT — the write path q134's packing feeds: packed
+    context windows land as a Hive-partitioned parquet tree
+    (``lang=/shard=``) and the shard manifest (docs, bins, tokens per
+    shard) is computed from a RE-READ of the committed files, so the
+    check covers layout, partition-column round-trip, and losslessness,
+    not just the bin math. Shard id is ``pack_bin % n`` — deterministic
+    in the data (no rand/taskId), so task retries and re-runs land every
+    doc in the same shard (same idempotence argument as q132's hash
+    sampling).
+
+    At 100 TB this is the terminal pipeline stage: each (lang, shard)
+    directory is one training-reader stream, the partitioned layout
+    gives shard-pruned reads for free, and the manifest (a tiny
+    aggregate of the re-read) is the audit artifact checked against the
+    upstream token ledger before a run starts. The export itself is one
+    shuffle (the packing window) + a partitioned write; manifest cost is
+    a scan of the written shards only."""
+    import tempfile
+
+    import shutil as _shutil
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    packed = C.pack_sequences(d, "lang", "doc_id", "n_tokens", capacity=2048)
+    shards = packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "pack_bin",
+        F.pmod("pack_bin", F.lit(4)).alias("shard"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "s4_spark_scratch",
+        f"shards_{os.path.basename(sf_dir)}",
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    shards.write.partitionBy("lang", "shard").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("pack_bin").alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+        )
+        .orderBy("lang", "shard")
+    )

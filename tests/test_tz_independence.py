@@ -59,3 +59,45 @@ def test_adaptive_parquet_read_keeps_session_conf_clean(spark):
     table(spark, SMOKE_SF_DIR, "events").limit(1).collect()
     events_stream(spark, SMOKE_SF_DIR)  # schema probe happens eagerly
     assert spark.conf.get(_NANOS_CONF, "false") == "false"
+
+
+def test_adaptive_read_handles_nanos_typed_parquet(spark, tmp_path):
+    """The events generator has stored ts as parquet TIMESTAMP(NANOS) in
+    past rounds and may flip back. Pin the fallback: a plain read of a
+    nanos-typed file fails schema inference, read_parquet_adaptive then
+    enables the legacy conf (and leaves it on — execution re-reads it),
+    the column scans as int64, and normalize_events floors to the same
+    µs NTZ wall clock the native path yields."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s4_spark.catalog import _NANOS_CONF, normalize_events, read_parquet_adaptive
+
+    ts = datetime.datetime(2024, 3, 1, 12, 34, 56, 789012)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([ts], pa.timestamp("ns")),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    path = str(tmp_path / "events_nanos.parquet")
+    pq.write_table(tbl, path, coerce_timestamps=None)
+    try:
+        spark.conf.unset(_NANOS_CONF)
+    except Exception:
+        pass
+    try:
+        df = normalize_events(read_parquet_adaptive(spark, path))
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        [row] = df.collect()
+        assert row.ts == ts and row.event_id == 1
+        # the conf must remain on: the scan consults it at execution time
+        assert spark.conf.get(_NANOS_CONF) == "true"
+    finally:
+        spark.conf.unset(_NANOS_CONF)
