@@ -1141,3 +1141,111 @@ def q176(spark, sf_dir):
         )
         .orderBy("lang", "shard")
     )
+
+
+@query(
+    "q177_vocab_induction_oov",
+    oracle="""
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    freq AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    vocab AS (SELECT w FROM freq ORDER BY n DESC, w LIMIT 512),
+    cover AS (SELECT lang, CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS iv
+              FROM toks t LEFT JOIN vocab v USING (w))
+    SELECT lang, count(*) AS n_tokens,
+           CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+           round(1 - sum(iv) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+    FROM cover GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q177(spark, sf_dir):
+    """Vocabulary induction + OOV audit — the tokenizer-prep stage: the
+    top-512 corpus tokens (frequency, deterministic token tie-break)
+    become the vocab, then every language reports its token count and
+    out-of-vocabulary rate — the coverage number that decides whether a
+    tokenizer/vocab budget is adequate per language before training.
+
+    Scale shape: the frequency table partial-combines (token keys,
+    map-side); the vocab cut is a TakeOrdered top-k, never a global
+    sort; and coverage is a BROADCAST membership probe on the token
+    stream (vocab is budget-sized by construction) + a per-lang partial
+    agg — the corpus token stream is never shuffled. Real BPE induction
+    iterates merges on exactly this frequency substrate; the vocab/OOV
+    accounting here is the part that matters at 100 TB (the merge loop
+    runs on the sampled frequency table, driver-side like q162's
+    centroids)."""
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("n"))
+    vocab = freq.orderBy(F.desc("n"), "w").limit(512).select("w")
+    cover = toks.join(
+        F.broadcast(vocab.withColumn("iv", F.lit(1))), "w", "left"
+    )
+    return (
+        cover.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("iv", F.lit(0))).cast("long").alias("n_in_vocab"),
+            F.round(
+                1 - F.sum(F.coalesce("iv", F.lit(0))) / F.count("*"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q178_train_val_test_split",
+    oracle=f"""
+    WITH b AS (SELECT lang, {_DUCK_HB} AS bucket,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    s AS (SELECT lang, n_tokens,
+                 CASE WHEN bucket < 900 THEN 'train'
+                      WHEN bucket < 950 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b)
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM s GROUP BY split ORDER BY split
+    """,
+    section="B12-training",
+)
+def q178(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) — the holdout-carving
+    stage run before any training job. Membership is a pure function of
+    document CONTENT (md5 bucket), which buys three properties rand()
+    or row-position splits lack at 100 TB: (1) task retries and re-runs
+    produce identical splits; (2) appending new data never moves an old
+    document across splits (no silent eval contamination on refresh);
+    (3) an exact duplicate always lands in the same split, so
+    train/test leakage via duplicates is structurally impossible even
+    BEFORE dedup runs. Every doc lands in exactly one split (the CASE is
+    total), so coverage/disjointness is by construction and the oracle's
+    per-split counts prove the partition sums to the corpus.
+
+    Shape: one narrow scan (bucket is codegen'd md5 arithmetic, no
+    shuffle) + a 3-group partial agg."""
+    b = t(spark, sf_dir, "documents").select(
+        "lang",
+        C.hash_bucket(F.col("text")).alias("bucket"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    s = b.withColumn(
+        "split",
+        F.when(F.col("bucket") < 900, "train")
+        .when(F.col("bucket") < 950, "val")
+        .otherwise("test"),
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("split")
+    )

@@ -15,6 +15,8 @@ initial plan, which is what these assertions read.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from s4_spark.queries import REGISTRY
@@ -354,3 +356,26 @@ def test_bloom_filter_write_in_footer(spark):
         assert all(o == -1 for o in offsets["l_quantity"]), offsets
     finally:
         reader.close()
+
+
+def test_shard_export_writes_hive_partitioned_tree(spark):
+    """q176: the export must land a lang=/shard= Hive layout (that
+    layout IS the operator's scale claim — shard-pruned training reads);
+    every (lang, shard) leaf holds parquet files and shard ids cover
+    0..3 (pack_bin % 4)."""
+    import glob
+    import tempfile
+
+    REGISTRY["q176_training_shard_export"].fn(spark, SF_DIR).collect()
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "s4_spark_scratch",
+        f"shards_{os.path.basename(SF_DIR)}",
+    )
+    leaves = glob.glob(os.path.join(root, "lang=*", "shard=*"))
+    assert leaves, f"no partition dirs under {root}"
+    shards = {os.path.basename(p).split("=")[1] for p in leaves}
+    assert shards == {"0", "1", "2", "3"}, shards
+    assert all(
+        glob.glob(os.path.join(p, "*.parquet")) for p in leaves
+    ), "empty partition leaf"
