@@ -94,19 +94,6 @@ def multiprobe_keys(sig: Column, n_planes: int) -> Column:
     )
 
 
-def lsh_tables_signatures(
-    vec: Column, dim: int, n_tables: int, planes_per_table: int, seed: int = 42
-) -> list[Column]:
-    """L independent hyperplane tables — the standard recall amplifier:
-    P(candidate) = 1 - Π_t (1 - p_t). One signature column per table."""
-    return [
-        hyperplane_signature(
-            vec, random_hyperplanes(dim, planes_per_table, seed=seed + 1000 * t)
-        )
-        for t in range(n_tables)
-    ]
-
-
 def lsh_candidates_multitable(
     queries: DataFrame,
     candidates: DataFrame,

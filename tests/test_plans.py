@@ -379,3 +379,23 @@ def test_shard_export_writes_hive_partitioned_tree(spark):
     assert all(
         glob.glob(os.path.join(p, "*.parquet")) for p in leaves
     ), "empty partition leaf"
+
+
+def test_vocab_induction_broadcast_probe_and_topk(spark):
+    """q177: the vocab cut must compile to TakeOrderedAndProject (top-k,
+    never a global sort of the frequency table) and coverage must probe
+    via BroadcastHashJoin — a shuffle join here would move the whole
+    corpus token stream."""
+    p = plan(spark, "q177_vocab_induction_oov")
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_split_is_single_scan_no_join(spark):
+    """q178: split membership is computed in the scan's projection — one
+    parquet scan, no join anywhere (the whole point of hash-bucket
+    splits: no membership table to look up)."""
+    p = plan(spark, "q178_train_val_test_split")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 2, p  # tree node + details header
