@@ -630,3 +630,29 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
     """,
         section="B9-streaming",
     )(_q174)
+
+
+@query(
+    "q179_dedup_within_watermark",
+    oracle="""
+    SELECT count(*) AS n_after_dedup FROM events
+    """,
+    section="B9-streaming",
+)
+def q179(spark, sf_dir):
+    """Streaming dedup with WATERMARK-BOUNDED state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+) — the form that
+    survives 100 TB: q095's plain ``dropDuplicates`` keeps every key
+    seen FOREVER (state grows with the stream's lifetime; on an
+    unbounded ingest that is an OOM with a delay fuse), while this
+    operator evicts a key's state once the watermark passes its event
+    time + delay, bounding state to the duplicate-arrival window (here
+    10 minutes — the realistic at-least-once-redelivery horizon, not
+    corpus history). The doubled feed replays every event twice inside
+    the window, so the deduped count equals the distinct set exactly —
+    same oracle as q095, different state contract."""
+    ev = events_stream(spark, sf_dir)
+    doubled = ev.unionByName(ev).withWatermark("ts", "10 minutes")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = deduped.agg(F.count("*").alias("n_after_dedup"))
+    return run_to_memory(agg, mode="complete", tag="q179")
