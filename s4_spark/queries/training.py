@@ -1249,3 +1249,87 @@ def q178(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q180_bm25_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN ('hash','merge','vector') GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+    idf AS (SELECT w,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfreq, stats),
+    scored AS (
+      SELECT tf.doc_id,
+             round(sum(idf.idf * tf.tf * 2.2 /
+                       (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                   6) AS score
+      FROM tf
+      JOIN idf USING (w)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    section="B12-training",
+)
+def q180(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) for the query bag {hash, merge,
+    vector} — the scorer behind benchmark-similarity data curation and
+    retrieval-based corpus selection; upgrades q138's raw tf-idf with tf
+    saturation (k1) and document-length normalization (b), the two
+    effects that matter on web corpora with wildly varying doc lengths.
+
+    Scale shape mirrors q138: tf is pre-filtered to query terms BELOW
+    aggregation so the shuffle carries matching postings only; idf
+    (|terms| rows) and the corpus stats (1 row: N, avgdl) broadcast onto
+    the postings; doc length joins on doc_id. Per-doc lengths would be a
+    stored column at real scale (computed at ingest, like content
+    hashes) — here the dl aggregate stands in for that column."""
+    d = t(spark, sf_dir, "documents")
+    terms = ["hash", "merge", "vector"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs, avgdl = dl.agg(
+        F.count("*"), F.avg(F.col("dl").cast("double"))
+    ).collect()[0]
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("w").agg(
+        F.log(
+            (F.lit(float(n_docs)) - F.count_distinct("doc_id") + 0.5)
+            / (F.count_distinct("doc_id") + 0.5)
+            + 1.0
+        ).alias("idf")
+    )
+    k1, b = 1.2, 0.75
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * F.col("tf")
+                    * (k1 + 1)
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)
