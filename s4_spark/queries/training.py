@@ -1333,3 +1333,106 @@ def q180(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+def incremental_shard_dir(sf_dir: str) -> str:
+    """Deterministic output dir for q181's incremental refresh, shared
+    with the partition-pruned-overwrite test (tests/test_plans.py).
+    Not routed through a scratch-clearing helper — the test resolves the
+    path without destroying the output (q173's bloom_sink_dir pattern)."""
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        "s4_spark_scratch",
+        f"incr_shards_{os.path.basename(sf_dir)}",
+    )
+
+
+@query(
+    "q181_incremental_shard_refresh",
+    oracle="""
+    WITH cur AS (
+      SELECT lang, doc_id,
+             CASE WHEN lang = 'en' AND doc_id % 7 = 0
+                  THEN text || ' v2' ELSE text END AS text2
+      FROM documents)
+    SELECT lang, doc_id % 4 AS shard, count(*) AS n_docs,
+           CAST(sum(len(string_split(text2, ' '))) AS BIGINT) AS sum_tokens
+    FROM cur GROUP BY lang, shard ORDER BY lang, shard
+    """,
+    section="B12-training",
+)
+def q181(spark, sf_dir):
+    """Incremental shard refresh via DYNAMIC partition overwrite — the
+    nightly-update path q176's full export can't afford at 100 TB: when
+    one source re-crawls (here: lang 'en' re-ingested with some docs
+    changed), only that source's partitions are recomputed and swapped;
+    every other partition's files are untouched (asserted by file-listing
+    identity in tests/test_plans.py). Spark's
+    ``partitionOverwriteMode=dynamic`` replaces exactly the partitions
+    PRESENT in the write, instead of static overwrite's truncate-all.
+
+    Shard assignment is doc_id % n — STABLE under content updates (a
+    changed doc stays in its shard), which is what makes a sparse delta
+    touch few partitions; pack-bin sharding (q176) would cascade a
+    content change through the lang's whole packing order, so the
+    incremental table keys on identity, and packing runs downstream per
+    refreshed partition. The conf flip is saved/restored — no session
+    leak (same hygiene as the nanos conf, ADVICE r3)."""
+    import shutil as _shutil
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.pmod("doc_id", F.lit(4)).alias("shard"),
+    )
+    path = incremental_shard_dir(sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    # full build (v1)
+    d.write.partitionBy("lang", "shard").mode("overwrite").parquet(path)
+    # delta: lang 'en' re-crawled, every doc_id % 7 == 0 doc changed
+    delta = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(
+                F.split(
+                    F.when(
+                        F.col("doc_id") % 7 == 0,
+                        F.concat("text", F.lit(" v2")),
+                    ).otherwise(F.col("text")),
+                    " ",
+                )
+            ).alias("n_tokens"),
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+        )
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(conf, None)
+    try:
+        spark.conf.set(conf, "dynamic")
+        delta.write.partitionBy("lang", "shard").mode("overwrite").parquet(path)
+    finally:
+        if saved is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, saved)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("shard").cast("long").alias("shard"),
+            "n_docs",
+            "sum_tokens",
+        )
+        .orderBy("lang", "shard")
+    )

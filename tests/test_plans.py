@@ -399,3 +399,59 @@ def test_split_is_single_scan_no_join(spark):
     p = plan(spark, "q178_train_val_test_split")
     assert "Join" not in p, p
     assert p.count("Scan parquet") == 2, p  # tree node + details header
+
+
+def test_incremental_refresh_leaves_other_partitions_untouched(spark):
+    """q181: dynamic partition overwrite must replace ONLY the delta's
+    partitions. Proof by file identity: after the query runs (full build
+    + en-only delta), rewrite a second en-only delta and assert every
+    non-en partition's file set (names + mtimes) is byte-for-byte
+    untouched while en partitions changed. Static overwrite mode would
+    truncate the whole table — the difference between an incremental
+    nightly refresh and a full re-export at 100 TB."""
+    import glob
+    import tempfile
+
+    from s4_spark.queries.training import incremental_shard_dir
+
+    REGISTRY["q181_incremental_shard_refresh"].fn(spark, SF_DIR).collect()
+    root = incremental_shard_dir(SF_DIR)
+
+    def snapshot(pattern):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(root, pattern, "shard=*", "*.parquet"))
+        }
+
+    import pyspark.sql.functions as F
+
+    from s4_spark.catalog import table as cat_table
+
+    delta = (
+        cat_table(spark, SF_DIR, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            F.pmod("doc_id", F.lit(4)).alias("shard"),
+        )
+    )
+    before_other = snapshot("lang=[!e]*")
+    before_en = snapshot("lang=en")
+    assert before_other and before_en
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        delta.write.partitionBy("lang", "shard").mode("overwrite").parquet(root)
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    after_other = snapshot("lang=[!e]*")
+    after_en = snapshot("lang=en")
+    assert after_other == before_other, "non-delta partitions were rewritten"
+    assert set(after_en) != set(before_en) or any(
+        after_en[f] != before_en.get(f) for f in after_en
+    ), "en partitions should have been replaced"
