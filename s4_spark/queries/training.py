@@ -1436,3 +1436,77 @@ def q181(spark, sf_dir):
         )
         .orderBy("lang", "shard")
     )
+
+
+@query(
+    "q182_global_row_number",
+    oracle="""
+    WITH numbered AS (
+      SELECT lang, doc_id,
+             row_number() OVER (ORDER BY doc_id) - 1 AS rid
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           CAST(min(rid) AS BIGINT) AS min_rid,
+           CAST(max(rid) AS BIGINT) AS max_rid,
+           CAST(sum(rid) AS BIGINT) AS sum_rid
+    FROM numbered GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q182(spark, sf_dir):
+    """Global contiguous row numbering WITHOUT a global sort — the
+    scalable zipWithIndex, needed wherever a corpus gets stable dense
+    ids (example packing order, shard-internal offsets, matrix row
+    indices for embedding dumps). ``row_number() OVER (ORDER BY ...)``
+    funnels the whole table through ONE reducer; the two-phase form
+    never does:
+
+      1. bucket rows by range (bounds from one tiny quantile probe —
+         the same sampling a global sort's range partitioner performs);
+      2. count per bucket (partial agg), prefix-sum the counts
+         driver-side (|buckets| integers) into bucket offsets;
+      3. number rows within their bucket (per-bucket window — each
+         bucket sorts independently, in parallel) and add the offset.
+
+    Result is bit-identical to the single-reducer window (the oracle IS
+    row_number over the global order) while the largest single sort is
+    one bucket. Buckets come from explicit collected bounds, not
+    repartitionByRange, so phase-1/phase-2 assignment can't drift with
+    sampling."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("lang", "doc_id")
+    n_buckets = 8
+    qs = d.approxQuantile(
+        "doc_id", [i / n_buckets for i in range(1, n_buckets)], 0.01
+    )
+    bounds = sorted(set(int(v) for v in qs))
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(F.col("doc_id") > b, i + 1).otherwise(bucket)
+    bd = d.withColumn("bucket", bucket)
+    counts = {
+        r.bucket: r.n
+        for r in bd.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for bidx in range(len(bounds) + 1):
+        offsets[bidx] = acc
+        acc += counts.get(bidx, 0)
+    off_col = F.lit(0)
+    for bidx, off in offsets.items():
+        off_col = F.when(F.col("bucket") == bidx, off).otherwise(off_col)
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    numbered = bd.withColumn(
+        "rid", F.row_number().over(w) - 1 + off_col
+    )
+    return (
+        numbered.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("rid").cast("long").alias("min_rid"),
+            F.max("rid").cast("long").alias("max_rid"),
+            F.sum("rid").cast("long").alias("sum_rid"),
+        )
+        .orderBy("lang")
+    )

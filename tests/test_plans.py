@@ -455,3 +455,13 @@ def test_incremental_refresh_leaves_other_partitions_untouched(spark):
     assert set(after_en) != set(before_en) or any(
         after_en[f] != before_en.get(f) for f in after_en
     ), "en partitions should have been replaced"
+
+
+def test_global_row_number_has_no_single_partition_exchange(spark):
+    """q182: the two-phase numbering must never funnel the table through
+    one reducer — a naive row_number() OVER (ORDER BY ...) compiles to
+    Exchange SinglePartition + global Sort, which is exactly the
+    bottleneck the operator exists to avoid. Buckets partition the
+    window, so every sort is per-bucket."""
+    p = plan(spark, "q182_global_row_number")
+    assert "SinglePartition" not in p, p
