@@ -31,6 +31,11 @@ from s4_spark.queries import (  # noqa: F401,E402
 # (48 of the 60 oracle-backed ones — the 12 overflow plus the 3 declared
 # rows-only entries rotate in next round). B2/B3 have no never-verified
 # entries left, so one fast already-green canary keeps each family covered.
+# Round-5 rotation queue (all pre-verified on a vanilla session this round):
+# q041 q042 q048 q049 q106 q109 q159 q163 q167-q169 q171 (r3 leftovers),
+# q173 q175-q182 (new this round), q094/q162/q165 (rows-only), then fill
+# with canaries; test_window_maximizes_never_verified_entries recomputes
+# the exact set from the committed CORRECTNESS_r0*.json files.
 DRIVER_WINDOW = (
     # B1-scans (q108 = listen-mode fan-in, round-3 source work)
     "q108_unix_socket_listen_stream",
