@@ -1510,3 +1510,54 @@ def q182(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q183_epoch_shuffle",
+    oracle="""
+    WITH e1 AS (
+      SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    top1 AS (SELECT doc_id, k FROM e1 ORDER BY k, doc_id LIMIT 10),
+    e2 AS (
+      SELECT doc_id, md5('epoch2:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents),
+    top2 AS (SELECT doc_id, k FROM e2 ORDER BY k, doc_id LIMIT 10)
+    SELECT 1 AS epoch, doc_id, k FROM top1
+    UNION ALL
+    SELECT 2 AS epoch, doc_id, k FROM top2
+    ORDER BY epoch, k, doc_id
+    """,
+    section="B12-training",
+)
+def q183(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle — training-order
+    reproducibility: each epoch orders the corpus by a seeded content
+    key (md5 of "epoch<N>:" + doc_id), so (1) any run, restart, or
+    backfill regenerates the SAME order for the same epoch (rand()
+    cannot — task retries reshuffle); (2) different epochs get
+    independent permutations; (3) the order needs no stored state — the
+    key recomputes anywhere. The check pins the head of two epochs'
+    orders cross-engine, which locks the entire permutation (any
+    upstream change to the key formula moves the head).
+
+    Scale shape: an epoch's order materializes as sort keys at export
+    (q176's shard tree sorted within shards by the epoch key), never as
+    a global sorted table; the head-of-order check compiles to
+    TakeOrdered (per-partition heap + driver merge), no global sort."""
+    d = t(spark, sf_dir, "documents")
+
+    def top(epoch: int):
+        return (
+            d.select(
+                F.lit(epoch).alias("epoch"),
+                "doc_id",
+                F.md5(
+                    F.concat(F.lit(f"epoch{epoch}:"), F.col("doc_id").cast("string"))
+                ).alias("k"),
+            )
+            .orderBy("k", "doc_id")
+            .limit(10)
+        )
+
+    return top(1).unionByName(top(2)).orderBy("epoch", "k", "doc_id")
