@@ -1561,3 +1561,85 @@ def q183(spark, sf_dir):
         )
 
     return top(1).unionByName(top(2)).orderBy("epoch", "k", "doc_id")
+
+
+@query(
+    "q184_file_provenance",
+    oracle="""
+    SELECT lang, doc_id % 4 AS shard, count(*) AS n_rows,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(0 AS BIGINT) AS n_provenance_mismatches
+    FROM documents GROUP BY lang, shard ORDER BY lang, shard
+    """,
+    section="B12-training",
+)
+def q184(spark, sf_dir):
+    """Row-level file provenance via the parquet ``_metadata`` column —
+    the lineage primitive behind takedown requests, corrupted-file
+    quarantine, and per-source audits on a multi-million-file corpus:
+    every row reports WHICH physical file it came from, with no stored
+    lineage table (the reader synthesizes it from the scan).
+
+    The check round-trips a Hive-partitioned write (one file per
+    (lang, shard) leaf via repartition on the partition keys), re-reads
+    with ``_metadata.file_path``, and re-derives the partition values by
+    PARSING THE PATH — `n_provenance_mismatches` counts rows whose
+    path-derived (lang, shard) disagrees with their column values, which
+    the oracle pins to zero. `n_files` (distinct files per leaf) pins
+    the write's file layout. At 100 TB `_metadata` joins rows to a file
+    manifest (size, mtime, checksum) for incremental re-validation —
+    the same manifest q142's docstring describes for binary corpora."""
+    import shutil as _shutil
+    import tempfile
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.pmod("doc_id", F.lit(4)).alias("shard")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "s4_spark_scratch",
+        f"prov_{os.path.basename(sf_dir)}",
+    )
+    _shutil.rmtree(path, ignore_errors=True)
+    (
+        d.repartition("lang", "shard")
+        .write.partitionBy("lang", "shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "doc_id",
+        "lang",
+        "shard",
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    parsed = back.select(
+        "lang",
+        "shard",
+        "fp",
+        F.regexp_extract("fp", r"lang=([^/]+)/", 1).alias("p_lang"),
+        F.regexp_extract("fp", r"shard=(\d+)/", 1).cast("int").alias("p_shard"),
+    )
+    return (
+        parsed.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("fp").alias("n_files"),
+            F.sum(
+                (
+                    (F.col("p_lang") != F.col("lang"))
+                    | (F.col("p_shard") != F.col("shard"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_provenance_mismatches"),
+        )
+        .select(
+            "lang",
+            F.col("shard").cast("long").alias("shard"),
+            "n_rows",
+            "n_files",
+            "n_provenance_mismatches",
+        )
+        .orderBy("lang", "shard")
+    )
