@@ -727,3 +727,61 @@ def q173(spark, sf_dir):
         F.sum("l_partkey").cast("long").alias("sum_pk"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+@query(
+    "q185_corrupt_parquet_quarantine",
+    oracle="""
+    SELECT count(*) AS n_rows_recovered,
+           CAST(4 AS BIGINT) AS n_files_readable,
+           CAST(1 AS BIGINT) AS n_files_quarantined
+    FROM documents
+    """,
+    section="B1-scans",
+)
+def q185(spark, sf_dir):
+    """Corrupt-FILE quarantine for columnar data — the parquet
+    complement of q164's per-record JSON dead-letter: a landing prefix
+    holds 4 valid parquet files plus one truncated/garbage ``.parquet``
+    (the shape a killed writer or partial upload leaves). The scan
+    survives it with the per-read ``ignoreCorruptFiles`` OPTION (scoped
+    to this reader — not the session-wide conf, same hygiene as the
+    nanos handling), recovers every row of the valid files, and the
+    quarantine list is derived by anti-diffing the directory listing
+    against ``_metadata``'s readable-file set — so bad files are
+    IDENTIFIED for replay/repair, not silently skipped and forgotten
+    (ignoreCorruptFiles alone is a silent dropper; the listing diff is
+    what makes it an auditable quarantine).
+
+    At 100 TB: partial multipart uploads and torn writes are routine;
+    the quarantine diff runs on the manifest (file names), never the
+    data, and the recovered row count reconciles against the upstream
+    ledger exactly as here."""
+    import glob as _glob
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = _scratch(f"quarantine_{os.path.basename(sf_dir)}")
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    good = set(
+        os.path.basename(f) for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    bad_file = os.path.join(path, "part-99999-torn-upload.snappy.parquet")
+    with open(bad_file, "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer")
+    back = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .select("doc_id", F.col("_metadata.file_name").alias("fn"))
+    )
+    readable = {r.fn for r in back.select("fn").distinct().collect()}
+    listed = set(
+        os.path.basename(f) for f in _glob.glob(os.path.join(path, "*.parquet"))
+    )
+    quarantined = listed - readable
+    assert quarantined == {os.path.basename(bad_file)}, quarantined
+    assert readable == good, (readable, good)
+    return back.agg(
+        F.count("*").alias("n_rows_recovered"),
+        F.lit(len(readable)).cast("long").alias("n_files_readable"),
+        F.lit(len(quarantined)).cast("long").alias("n_files_quarantined"),
+    )
