@@ -78,6 +78,19 @@ def normalize_events(df: DataFrame) -> DataFrame:
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+# Error signatures Spark raises when schema inference rejects a
+# TIMESTAMP(NANOS) parquet column while the legacy conf is off. Matched
+# case-insensitively; anything NOT matching is a genuine failure (listing
+# race, missing path, corrupt footer) that the conf flip cannot fix — it
+# must re-raise unchanged instead of masking the error AND leaking the
+# legacy conf onto µs-typed data (ADVICE r4).
+_NANOS_ERR_SIGNATURES = ("timestamp(nanos", "nanosaslong", "illegal parquet type")
+
+
+def _is_nanos_error(exc: Exception) -> bool:
+    msg = str(exc).lower()
+    return any(sig in msg for sig in _NANOS_ERR_SIGNATURES)
+
 
 def read_parquet_adaptive(spark: SparkSession, path: str) -> DataFrame:
     """Parquet read that tolerates TIMESTAMP(NANOS) columns WITHOUT
@@ -97,7 +110,9 @@ def read_parquet_adaptive(spark: SparkSession, path: str) -> DataFrame:
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        if not _is_nanos_error(exc):
+            raise  # transient/unrelated failure; the conf flip can't fix it
         if spark.conf.get(_NANOS_CONF, "false") == "true":
             raise  # conf already on; the failure is something else
         spark.conf.set(_NANOS_CONF, "true")

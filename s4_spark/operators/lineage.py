@@ -42,5 +42,19 @@ def cut_lineage(df: DataFrame, reliable: bool = False) -> DataFrame:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isEmpty():
-        sc.setCheckpointDir(DEFAULT_CHECKPOINT_DIR)
+        # Namespace by app id so two concurrent local sessions never share
+        # (and never clobber) a checkpoint root, and prune leftovers from
+        # a previous app with the same id-less default (ADVICE r4).
+        ckpt_dir = os.path.join(DEFAULT_CHECKPOINT_DIR, sc.applicationId)
+        if os.path.isdir(ckpt_dir):
+            import shutil
+
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+        sc.setCheckpointDir(ckpt_dir)
+    # Per-round checkpoint data is deleted when the superseded round's RDD
+    # is GC'd, but ONLY under spark.cleaner.referenceTracking.cleanCheckpoints
+    # — a core conf the ContextCleaner reads at context start, so it lives
+    # in session.get_spark(), not here. Sessions built elsewhere should set
+    # it too, or long fixpoint loops grow the checkpoint dir by one
+    # (node-count/k×dim-sized) state copy per round.
     return df.checkpoint(eager=True)

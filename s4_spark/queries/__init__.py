@@ -26,79 +26,79 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-4 rotation: rounds 1-3 drove 84 distinct entries green; this window
-# is built from the 63 entries with NO green row in any CORRECTNESS_r0*.json
-# (48 of the 60 oracle-backed ones — the 12 overflow plus the 3 declared
-# rows-only entries rotate in next round). B2/B3 have no never-verified
-# entries left, so one fast already-green canary keeps each family covered.
-# Round-5 rotation queue (all pre-verified on a vanilla session this round):
-# q041 q042 q048 q049 q106 q109 q159 q163 q167-q169 q171 (r3 leftovers),
-# q173 q175-q182 (new this round), q094/q162/q165 (rows-only), then fill
-# with canaries; test_window_maximizes_never_verified_entries recomputes
-# the exact set from the committed CORRECTNESS_r0*.json files.
+# Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
+# this window holds ALL 28 remaining never-verified oracle-backed entries
+# (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
+# q175-q185 minus the rows-only ones, plus new q186-q189)
+# and 22 already-green fillers — one canary per family with no
+# never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
+# cross-family fillers. After this round every oracle-backed entry has a
+# driver row; only q008/q094/q162/q165 remain rows-only by declared
+# design (console sink, watermark replay rig, k-means property tests,
+# stream-stream outer replay rig).
 DRIVER_WINDOW = (
-    # B1-scans (q108 = listen-mode fan-in, round-3 source work)
-    "q108_unix_socket_listen_stream",
-    # B2-projection-filter (canary — driver-green r3)
+    # B1-scans: 2 never-verified + canary
+    "q173_bloom_filter_write",
+    "q185_corrupt_parquet_quarantine",
+    "q001_parquet_scan",
+    # B2-projection-filter (canaries — driver-green r2/r4)
     "q011_filter_comparison",
-    # B3-joins (canary — driver-green r3)
+    "q010_projection",
+    "q012_in_predicate",
+    "q013_null_predicates",
+    "q016_distinct",
+    # B3-joins (canaries)
     "q021_broadcast_join",
-    # B4-aggregations
-    "q040_partial_final_agg",
-    "q144_time_rollup",
-    "q147_hll_sketch_rollup",
-    "q160_gap_fill",
-    # B5-windows
-    "q051_ntile_percent_rank",
-    "q054_range_frame",
-    # B6-sorts
-    "q060_global_sort",
-    # B7-setops
-    "q072_except",
-    # B8-functions
-    "q082_math_functions",
-    "q083_array_functions",
-    "q084_map_functions",
-    "q085_json_functions",
-    "q087_hash_functions",
-    "q158_pii_tokenization",
-    # B9-streaming
-    "q095_streaming_dedup",
-    "q097_arbitrary_stateful",
-    "q099_foreachbatch_sink",
-    "q149_incremental_ingest_dedup",
-    # B10-udfs
-    "q102_grouped_agg_pandas_udf",
-    "q104_udtf_split_to_rows",
-    "q105_mapInPandas",
-    # B11-llm
-    "q113_lsh_ann",
-    "q115_token_df_topk",
-    "q116_binary_columns",
-    "q117_embedding_normalize",
-    "q120_simhash_neardup",
-    "q121_ngram_jaccard_exact",
-    "q122_embedding_neardup_pairs",
-    "q124_quality_score",
-    "q126_doc_fingerprint",
-    "q127_multimodal_decode_stub",
-    "q128_ivf_ann",
-    "q129_cosine_topk_blocked",
-    "q148_dedup_cluster_cc",
-    # B12-training
-    "q131_doc_chunking",
-    "q132_stratified_sample",
-    "q134_sequence_packing",
-    "q135_pii_redaction",
-    "q136_stopword_coverage",
-    "q137_embedding_quantize",
-    "q138_tfidf_retrieval",
-    "q141_semantic_dedup_clustered",
-    "q143_segment_dedup",
-    "q151_snapshot_diff",
-    "q155_postings_retrieval",
-    "q156_exact_k_sample",
-    "q157_text_normalize",
+    "q024_left_semi_join",
+    # B4-aggregations: 7 never-verified + fillers
+    "q041_pivot",
+    "q042_unpivot",
+    "q048_recursive_cte",
+    "q049_pipe_sql",
+    "q163_observed_metrics",
+    "q167_incremental_agg_maintenance",
+    "q168_approx_quantile_profile",
+    "q031_count_distinct",
+    # B5-windows (canaries)
+    "q050_ranking",
+    "q052_lag_lead",
+    # B6-sorts (canaries)
+    "q061_topk",
+    # B7-setops (canaries)
+    "q071_intersect",
+    "q070_union",
+    # B8-functions: 2 never-verified + fillers
+    "q109_variant_json",
+    "q159_data_quality_audit",
+    "q080_string_functions",
+    "q086_cast_conversions",
+    # B9-streaming: 3 never-verified
+    "q106_stream_stream_join",
+    "q171_state_store_introspection",
+    "q179_dedup_within_watermark",
+    # B10-udfs (canaries)
+    "q101_pandas_udf",
+    "q100_python_udf",
+    # B11-llm (canaries)
+    "q110_exact_dedup",
+    "q114_text_stats",
+    "q123_language_id",
+    "q125_token_counting",
+    # B12-training: 10 never-verified + filler
+    "q169_source_cap",
+    "q175_repeated_ngram_spans",
+    "q176_training_shard_export",
+    "q177_vocab_induction_oov",
+    "q178_train_val_test_split",
+    "q180_bm25_retrieval",
+    "q181_incremental_shard_refresh",
+    "q182_global_row_number",
+    "q183_epoch_shuffle",
+    "q184_file_provenance",
+    "q186_bpe_merge_learn",
+    "q187_bpe_apply_compression",
+    "q188_lm_familiarity_filter",
+    "q189_dataset_card_profile",
 )
 
 

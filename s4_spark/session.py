@@ -52,6 +52,13 @@ def get_spark(
         # scan of the session (ADVICE r3).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Reliable checkpoints (cut_lineage(reliable=True) in fixpoint
+        # loops) are deleted when their RDD is GC'd only if this is on;
+        # off, a long CC/k-means run accumulates one state copy per round
+        # in the checkpoint dir forever (ADVICE r4). Core conf — read by
+        # ContextCleaner at context START, so it must be set here, not at
+        # runtime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         .config("spark.ui.showConsoleProgress", "false")

@@ -259,8 +259,25 @@ class _SpoolingStreamReader(SimpleDataSourceStreamReader):
                         f"socket path {self._sock_path} is owned by a live "
                         "process; refusing to bind over it"
                     )
-                except (ConnectionRefusedError, socket.timeout):
-                    os.unlink(self._sock_path)  # stale leftover
+                except ConnectionRefusedError:
+                    # Nothing is accepting: genuinely stale leftover. The
+                    # unlink can still race a concurrent cleanup — a
+                    # missing path at that point is the outcome we wanted.
+                    try:
+                        os.unlink(self._sock_path)
+                    except FileNotFoundError:
+                        pass
+                except FileNotFoundError:
+                    pass  # vanished between exists() and connect(): free
+                except socket.timeout:
+                    # A saturated-backlog listener times the probe out
+                    # while very much alive; unlinking here would destroy
+                    # a live endpoint (ADVICE r4). Timeout ⇒ assume live.
+                    raise RuntimeError(
+                        f"socket path {self._sock_path} did not answer the "
+                        "liveness probe in time; assuming a live (busy) "
+                        "owner and refusing to bind over it"
+                    ) from None
                 finally:
                     probe.close()
             with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as srv:

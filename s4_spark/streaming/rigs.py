@@ -9,18 +9,18 @@ from __future__ import annotations
 import itertools
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from s4_spark.catalog import normalize_events
+from s4_spark.scratch import scratch_root
 
 _counter = itertools.count()
 
 
 def scratch(tag: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), "s4_spark_scratch", "stream")
+    base = os.path.join(scratch_root(), "stream")
     os.makedirs(base, exist_ok=True)
     path = os.path.join(base, tag)
     shutil.rmtree(path, ignore_errors=True)

@@ -364,14 +364,11 @@ def test_shard_export_writes_hive_partitioned_tree(spark):
     every (lang, shard) leaf holds parquet files and shard ids cover
     0..3 (pack_bin % 4)."""
     import glob
-    import tempfile
+
+    from s4_spark.scratch import scratch_root
 
     REGISTRY["q176_training_shard_export"].fn(spark, SF_DIR).collect()
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "s4_spark_scratch",
-        f"shards_{os.path.basename(SF_DIR)}",
-    )
+    root = os.path.join(scratch_root(), f"shards_{os.path.basename(SF_DIR)}")
     leaves = glob.glob(os.path.join(root, "lang=*", "shard=*"))
     assert leaves, f"no partition dirs under {root}"
     shards = {os.path.basename(p).split("=")[1] for p in leaves}

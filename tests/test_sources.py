@@ -347,8 +347,10 @@ def test_compaction_reduces_file_count(spark):
     from s4_spark.queries import REGISTRY
     from tests.conftest import SF_DIR
 
+    from s4_spark.scratch import scratch_root
+
     REGISTRY["q153_small_file_compaction"].fn(spark, SF_DIR).collect()
-    base = os.path.join(tempfile.gettempdir(), "s4_spark_scratch")
+    base = scratch_root()
     sf = os.path.basename(SF_DIR)
     n_frag = len(glob.glob(os.path.join(base, f"frag_{sf}", "*.parquet")))
     n_comp = len(glob.glob(os.path.join(base, f"compacted_{sf}", "*.parquet")))

@@ -101,3 +101,77 @@ def test_adaptive_read_handles_nanos_typed_parquet(spark, tmp_path):
         assert spark.conf.get(_NANOS_CONF) == "true"
     finally:
         spark.conf.unset(_NANOS_CONF)
+
+
+class _CountingSession:
+    """Proxy exposing exactly the surface read_parquet_adaptive touches
+    (``.read`` and ``.conf``) with call counting, so the happy-path
+    contract — ONE read attempt, ZERO conf mutations — is pinned
+    directly rather than inferred from end-state."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self.read_attempts = 0
+        self.conf_sets = 0
+        outer = self
+
+        class _Conf:
+            def get(self, k, d=None):
+                return outer._spark.conf.get(k, d)
+
+            def set(self, k, v):
+                outer.conf_sets += 1
+                outer._spark.conf.set(k, v)
+
+            def unset(self, k):
+                outer.conf_sets += 1
+                outer._spark.conf.unset(k)
+
+        self.conf = _Conf()
+
+    @property
+    def read(self):
+        self.read_attempts += 1
+        return self._spark.read
+
+
+def test_adaptive_read_happy_path_is_one_attempt_no_conf_flip(spark):
+    """VERDICT r4 item 7: on µs/NTZ-typed data (the current generator)
+    the adaptive probe must cost nothing — exactly one read attempt and
+    no conf mutation — so the fallback machinery can never regress into
+    a double-read or the r3 conf leak."""
+    from s4_spark.catalog import _NANOS_CONF, read_parquet_adaptive
+    from tests.conftest import SMOKE_SF_DIR
+    import os
+
+    try:
+        spark.conf.unset(_NANOS_CONF)
+    except Exception:
+        pass
+    proxy = _CountingSession(spark)
+    df = read_parquet_adaptive(proxy, os.path.join(SMOKE_SF_DIR, "events.parquet"))
+    df.limit(1).collect()
+    assert proxy.read_attempts == 1
+    assert proxy.conf_sets == 0
+    assert spark.conf.get(_NANOS_CONF, "false") == "false"
+
+
+def test_adaptive_read_reraises_non_nanos_errors_without_conf_flip(spark):
+    """ADVICE r4: a failure whose message does NOT match the
+    TIMESTAMP(NANOS) signature (here: missing path) must re-raise
+    unchanged — flipping the legacy conf on it would both mask the real
+    error and leak nanos-as-long semantics onto µs-typed data."""
+    import pytest as _pytest
+
+    from s4_spark.catalog import _NANOS_CONF, read_parquet_adaptive
+
+    try:
+        spark.conf.unset(_NANOS_CONF)
+    except Exception:
+        pass
+    proxy = _CountingSession(spark)
+    with _pytest.raises(Exception) as exc_info:
+        read_parquet_adaptive(proxy, "/nonexistent/s4_spark/no_such.parquet")
+    assert "nanos" not in str(exc_info.value).lower()
+    assert proxy.conf_sets == 0
+    assert spark.conf.get(_NANOS_CONF, "false") == "false"
