@@ -138,6 +138,54 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 24,
+    rows: int = 4,
+) -> DataFrame:
+    """Cross-SET banded LSH: a left-side doc and a right-side doc sharing
+    any band become a candidate (id_a from ``left``, id_b from
+    ``right``). The decontamination shape: ``left`` is the protected set
+    (benchmark/eval), ``right`` the corpus — same band keys as
+    ``lsh_candidate_pairs``, but the join is between two relations, so a
+    small protected set hashes into a broadcast-size band table while
+    the corpus side streams through it.
+
+    No ``id_a < id_b`` ordering: the two sides are disjoint sets and
+    each (eval, corpus) pairing is meaningful exactly once."""
+
+    def banded(df: DataFrame) -> DataFrame:
+        entries = ", ".join(
+            "struct({j} AS band_id, xxhash64({j}, {cols}) AS band_key)".format(
+                j=j,
+                cols=", ".join(f"{sig_col}[{j * rows + k}]" for k in range(rows)),
+            )
+            for j in range(bands)
+        )
+        return df.sparkSession.sql(
+            f"SELECT {id_col}, b.band_id, b.band_key FROM "
+            f"(SELECT {id_col}, explode(array({entries})) AS b FROM {{src}})",
+            src=df,
+        )
+
+    a = banded(left).alias("a")
+    b = banded(right).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two (distinct-element) arrays."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -27,10 +27,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
 # Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
-# this window holds ALL 28 remaining never-verified oracle-backed entries
+# this window holds ALL 30 remaining never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q189)
-# and 22 already-green fillers — one canary per family with no
+# q175-q185 minus the rows-only ones, plus new q186-q191)
+# and 20 already-green fillers — one canary per family with no
 # never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
 # cross-family fillers. After this round every oracle-backed entry has a
 # driver row; only q008/q094/q162/q165 remain rows-only by declared
@@ -66,12 +66,10 @@ DRIVER_WINDOW = (
     "q061_topk",
     # B7-setops (canaries)
     "q071_intersect",
-    "q070_union",
     # B8-functions: 2 never-verified + fillers
     "q109_variant_json",
     "q159_data_quality_audit",
     "q080_string_functions",
-    "q086_cast_conversions",
     # B9-streaming: 3 never-verified
     "q106_stream_stream_join",
     "q171_state_store_introspection",
@@ -99,6 +97,8 @@ DRIVER_WINDOW = (
     "q187_bpe_apply_compression",
     "q188_lm_familiarity_filter",
     "q189_dataset_card_profile",
+    "q190_fuzzy_decontamination",
+    "q191_token_budget_prefix_cut",
 )
 
 

@@ -1466,43 +1466,13 @@ def q182(spark, sf_dir):
     expression-tree level PER BUCKET, which at thousands of range
     buckets (a realistic 100 TB numbering job) hits the analyzer/codegen
     depth tax this repo measured in round 2 (VERDICT r4 item 2); the
-    join form is O(1) plan nodes regardless of bucket count."""
-    from pyspark.sql import Window
+    join form is O(1) plan nodes regardless of bucket count. The
+    two-phase machinery is shared with q191 via
+    s4_spark/operators/prefix.py."""
+    from s4_spark.operators.prefix import with_global_prefix
 
     d = t(spark, sf_dir, "documents").select("lang", "doc_id")
-    n_buckets = 8
-    qs = d.approxQuantile(
-        "doc_id", [i / n_buckets for i in range(1, n_buckets)], 0.01
-    )
-    bounds = sorted(set(int(v) for v in qs))
-    lo, hi = -(1 << 62), (1 << 62)
-    ranges = spark.createDataFrame(
-        [
-            (i, (bounds[i - 1] if i > 0 else lo), (bounds[i] if i < len(bounds) else hi))
-            for i in range(len(bounds) + 1)
-        ],
-        "bucket int, lo long, hi long",
-    )
-    # half-open (lo, hi] intervals ≡ "count of bounds < doc_id"; each row
-    # matches exactly one bucket, so the broadcast NLJ is |rows|×|buckets|
-    # comparisons with no exchange of the fact side
-    bd = d.join(
-        F.broadcast(ranges),
-        (F.col("doc_id") > F.col("lo")) & (F.col("doc_id") <= F.col("hi")),
-    ).drop("lo", "hi")
-    counts = {
-        r.bucket: r.n
-        for r in bd.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = [], 0
-    for bidx in range(len(bounds) + 1):
-        offsets.append((bidx, acc))
-        acc += counts.get(bidx, 0)
-    off = spark.createDataFrame(offsets, "bucket int, bucket_offset long")
-    w = Window.partitionBy("bucket").orderBy("doc_id")
-    numbered = bd.join(F.broadcast(off), "bucket").withColumn(
-        "rid", F.row_number().over(w) - 1 + F.col("bucket_offset")
-    )
+    numbered = with_global_prefix(d, "doc_id", ["doc_id"])
     return (
         numbered.groupBy("lang")
         .agg(
@@ -1983,4 +1953,139 @@ def q189(spark, sf_dir):
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
         .orderBy("source", "len_bucket")
+    )
+
+
+@query(
+    "q190_fuzzy_decontamination",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    sh AS (SELECT doc_id, lang,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS ws
+           FROM w),
+    ev AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+    co AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+    pairs AS (
+      SELECT co.doc_id AS did, co.lang,
+             CAST(len(list_intersect(ev.ws, co.ws)) AS DOUBLE)
+               / (len(ev.ws) + len(co.ws) - len(list_intersect(ev.ws, co.ws)))
+               AS jac
+      FROM ev, co),
+    cont AS (SELECT DISTINCT did, lang FROM pairs WHERE jac >= 0.8)
+    SELECT lang, count(*) AS n_contaminated,
+           CAST(sum(did) AS BIGINT) AS id_sum
+    FROM cont GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q190(spark, sf_dir):
+    """FUZZY eval-set decontamination — the near-duplicate complement of
+    q139's exact 5-gram screen: a paraphrased or lightly-edited copy of
+    a benchmark item shares few exact 5-grams but keeps high shingle
+    Jaccard, so exact screens miss it. Protected set = doc_id % 5 == 0
+    (the stand-in benchmark); corpus docs with verified Jaccard ≥ 0.8
+    against ANY protected doc are flagged per language.
+
+    Pipeline: MinHash signatures on both sets (q111's one-SQL-string
+    builder) → cross-set banded LSH join (24×4 — P(miss | jac 0.8) ≈
+    3e-6, and every planted pair here sits at ≥ 0.9 where the miss
+    probability is ~1e-11, so the exact all-pairs oracle is matched) →
+    exact-Jaccard verification of candidates only.
+
+    Scale shape: at 100 TB the protected side is benchmark-sized
+    (thousands of docs) — its band table broadcasts, so the corpus
+    streams through the probe without a corpus-wide shuffle; the
+    verify stage touches candidates only (q111's semi-join prefilter).
+    The shuffle never carries shingles, only 96-int signatures."""
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    sig_e = D.with_minhash_signature(D.shingles_exploded(ev, "doc_id"), "doc_id")
+    sig_c = D.with_minhash_signature(
+        D.shingles_exploded(corpus, "doc_id"), "doc_id"
+    )
+    cands = D.lsh_candidate_pairs_between(
+        sig_e, sig_c, "doc_id"
+    ).localCheckpoint(eager=False)
+    verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
+    contaminated = (
+        verified.filter(F.col("jac") >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        contaminated.join(corpus.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q191_token_budget_prefix_cut",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang,
+                         md5('budget:' || CAST(doc_id AS VARCHAR)) AS k,
+                         length(string_split(text, ' ')) AS n_toks
+                  FROM documents),
+    tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total FROM toks),
+    cum AS (SELECT doc_id, lang, n_toks,
+                   CAST(sum(n_toks) OVER (ORDER BY k, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum
+            FROM toks),
+    kept AS (SELECT * FROM cum
+             WHERE run_sum * 10 <= (SELECT total FROM tot))
+    SELECT lang, count(*) AS n_docs_kept,
+           CAST(sum(n_toks) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q191(spark, sf_dir):
+    """Deterministic token-budget subsampling — fit a fixed training
+    budget (here 10% of corpus tokens) by cutting a PREFIX of the
+    deterministically-shuffled corpus: order docs by a seeded content
+    key (q183's epoch-key construction), keep every doc whose inclusive
+    running token total fits the budget. Reproducible across runs,
+    retries and engines (the key and the cut are pure functions of the
+    data); the budget comparison is integer-exact
+    (``run_sum * 10 <= total`` — no float ratio).
+
+    Scale shape: the running sum is the two-phase global prefix
+    (operators/prefix.py — q182's machinery with a value column): range
+    buckets on an integer prefix of the hash key (monotone with the
+    full-key order), per-bucket parallel windows, |buckets| offsets
+    driver-side. No single-reducer sort anywhere; the corpus shuffles
+    once on the bucket key."""
+    from s4_spark.operators.prefix import with_global_prefix
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    # lowercase-hex md5 orders identically as a string and as the
+    # integer value of its head, so an 8-hex-digit prefix is a valid
+    # monotone bucketing proxy for the (k, doc_id) total order
+    d = d.withColumn("kp", F.conv(F.substring("k", 1, 8), 16, 10).cast("long"))
+    total = d.agg(F.sum("n_toks").cast("long")).collect()[0][0]
+    cum = with_global_prefix(
+        d, "kp", ["k", "doc_id"], value_col="n_toks"
+    )
+    kept = cum.filter(F.col("run_sum") * 10 <= F.lit(total))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_toks").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("lang")
     )

@@ -462,3 +462,38 @@ def test_global_row_number_has_no_single_partition_exchange(spark):
     window, so every sort is per-bucket."""
     p = plan(spark, "q182_global_row_number")
     assert "SinglePartition" not in p, p
+
+
+def test_lm_familiarity_probes_are_broadcast(spark):
+    """q188: the reference-LM tables (bigram + prefix counts) must probe
+    via BroadcastHashJoin — a shuffle join on the bigram key would move
+    the entire exploded corpus token stream; the only shuffles allowed
+    are the doc/source aggregations."""
+    p = plan(spark, "q188_lm_familiarity_filter")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_dataset_card_is_single_scan_partial_agg(spark):
+    """q189: one narrow parquet scan (no text column beyond the token
+    count projection), no join — the card is a pure partial+final agg."""
+    p = plan(spark, "q189_dataset_card_profile")
+    assert "Join" not in p, p
+    assert "HashAggregate" in p, p
+
+
+def test_bpe_apply_has_no_python_stage(spark):
+    """q187: merge application is k chained literal replace()s — fully
+    codegen'd; any Python/Arrow eval node here would mean the merge
+    chain fell off the JVM path."""
+    p = plan(spark, "q187_bpe_apply_compression")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in p, p
+
+
+def test_token_budget_cut_has_no_single_partition_exchange(spark):
+    """q191: the running token sum must come from the two-phase prefix
+    (per-bucket windows + driver offsets) — a global window would show
+    as Exchange SinglePartition, the one shape that cannot scale."""
+    p = plan(spark, "q191_token_budget_prefix_cut")
+    assert "Exchange SinglePartition" not in p, p
