@@ -171,11 +171,16 @@ def lsh_candidate_pairs_between(
             src=df,
         )
 
-    a = banded(left).alias("a")
+    # the protected set is benchmark-sized by contract — broadcast its
+    # band table explicitly so the corpus side streams through the probe
+    # without shuffling (the whole point of the cross-set shape; AQE
+    # would usually infer this, but the claim should not depend on
+    # runtime statistics)
+    a = F.broadcast(banded(left)).alias("a")
     b = banded(right).alias("b")
     return (
-        a.join(
-            b,
+        b.join(
+            a,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key")),
         )

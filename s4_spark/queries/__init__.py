@@ -27,10 +27,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
 # Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
-# this window holds ALL 30 remaining never-verified oracle-backed entries
+# this window holds ALL 32 remaining never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q191)
-# and 20 already-green fillers — one canary per family with no
+# q175-q185 minus the rows-only ones, plus new q186-q193)
+# and 18 already-green fillers — one canary per family with no
 # never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
 # cross-family fillers. After this round every oracle-backed entry has a
 # driver row; only q008/q094/q162/q165 remain rows-only by declared
@@ -58,7 +58,7 @@ DRIVER_WINDOW = (
     "q163_observed_metrics",
     "q167_incremental_agg_maintenance",
     "q168_approx_quantile_profile",
-    "q031_count_distinct",
+    "q192_exact_median_twophase",
     # B5-windows (canaries)
     "q050_ranking",
     "q052_lag_lead",
@@ -81,7 +81,7 @@ DRIVER_WINDOW = (
     "q110_exact_dedup",
     "q114_text_stats",
     "q123_language_id",
-    "q125_token_counting",
+    "q193_heavy_hitters_twopass",
     # B12-training: 10 never-verified + filler
     "q169_source_cap",
     "q175_repeated_ngram_spans",

@@ -934,3 +934,76 @@ def q172(spark, sf_dir):
         ORDER BY event_type
         """
     )
+
+
+@query(
+    "q192_exact_median_twophase",
+    oracle="""
+    WITH s AS (SELECT l_extendedprice AS x FROM lineitem),
+    nn AS (SELECT count(*) AS n FROM s),
+    ranked AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM s)
+    SELECT CAST(nn.n AS BIGINT) AS n_rows,
+           CAST((nn.n + 1) // 2 AS BIGINT) AS k,
+           (SELECT x FROM ranked, nn WHERE r = (nn.n + 1) // 2) AS median
+    FROM nn
+    """,
+    section="B4-aggregations",
+)
+def q192(spark, sf_dir):
+    """EXACT global median (k-th smallest) without a global sort — the
+    distributed selection algorithm: q038/q168's approx sketches give
+    error-bounded answers; this returns the bit-exact order statistic
+    at any scale.
+
+      1. one GK-sketch probe (`approxQuantile`, deterministic rank
+         error ≤ 1e-4·n) brackets the target rank with a ±1e-3 rank
+         margin — the bracket provably contains the k-th value;
+      2. count rows below the bracket (rank offset), filter to the
+         bracket (~2e-3·n rows);
+      3. repeat on the bracket while it exceeds a TakeOrdered-safe
+         size — each pass shrinks it ~500×, so 100 TB needs ≤3 passes;
+      4. the k-th value is then a per-partition-heap TakeOrdered over
+         the final small bracket (never a full sort, never a
+         single-reducer window).
+
+    The driver holds only scalars (counts + two bracket bounds per
+    pass); the column is localCheckpoint'd once so the passes rescan a
+    lineage-free 8-byte-per-row projection. The oracle IS the
+    single-reducer ranked window — bit-identical k-th value."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    n = li.count()
+    k = (n + 1) // 2
+    eps = 1e-3
+    qk = k / n
+    lo, hi = li.stat.approxQuantile(
+        "x", [max(0.0, qk - eps), min(1.0, qk + eps)], 1e-4
+    )
+    below = li.filter(F.col("x") < lo).count()
+    bracket = li.filter((F.col("x") >= lo) & (F.col("x") <= hi))
+    r = k - below
+    bc = bracket.count()
+    for _ in range(5):
+        if bc <= 65536:
+            break
+        qr = r / bc
+        lo2, hi2 = bracket.stat.approxQuantile(
+            "x", [max(0.0, qr - eps), min(1.0, qr + eps)], 1e-4
+        )
+        below2 = bracket.filter(F.col("x") < lo2).count()
+        bracket = bracket.filter((F.col("x") >= lo2) & (F.col("x") <= hi2))
+        r -= below2
+        bc = bracket.count()
+    return (
+        bracket.orderBy("x")
+        .limit(r)
+        .agg(F.max("x").alias("median"))
+        .select(
+            F.lit(n).cast("long").alias("n_rows"),
+            F.lit(k).cast("long").alias("k"),
+            "median",
+        )
+    )

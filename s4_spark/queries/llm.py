@@ -949,3 +949,75 @@ def q170(spark, sf_dir):
     )
     exact5 = S.brute_force_topk(qvecs, cvecs, k=5).select("q_id", "c_id")
     return _recall_result(qvecs.select("q_id"), ann5, exact5)
+
+
+@query(
+    "q193_heavy_hitters_twopass",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    nn AS (SELECT count(*) AS n FROM toks),
+    freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+    SELECT w, c AS cnt,
+           round(c / CAST((SELECT n FROM nn) AS DOUBLE), 6) AS frac
+    FROM freq
+    WHERE c * 100 >= (SELECT n FROM nn)
+    ORDER BY cnt DESC, w
+    """,
+    section="B11-llm",
+)
+def q193(spark, sf_dir):
+    """EXACT heavy hitters (all tokens with ≥1% corpus frequency)
+    WITHOUT shuffling the full token-frequency table — the two-pass
+    candidate scheme:
+
+      1. a PARTITION-LOCAL pass (`mapInPandas` — the candidate filter
+         runs inside the partition, so NOTHING vocabulary-sized ever
+         reaches a shuffle; a plain groupBy(token) would ship one row
+         per distinct token, Heaps-law-sized at 100 TB) emits only the
+         tokens reaching the threshold within that partition — ≤ 1/θ
+         rows per partition. Pigeonhole guarantees this is a SUPERSET
+         of the true heavy hitters: a token with global count ≥ θ·n
+         has count ≥ θ·n_p in at least one partition, for ANY
+         partitioning — so the verified result is partition-layout-
+         independent even though the candidate set is not;
+      2. exact-count ONLY the candidates (broadcast semi-join on the
+         token stream) and keep those passing the global threshold.
+
+    The local pass holds per-partition exact counts (a dict — Heaps-
+    bounded per partition); at extreme per-partition vocabularies the
+    drop-in replacement is Misra-Gries with ⌈1/θ⌉ counters, which
+    preserves the same superset guarantee in O(1/θ) memory. The integer
+    threshold compare (c·100 ≥ n) keeps the contract float-free; `frac`
+    is one final exact-integer division."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    n = toks.count()
+
+    def local_heavy(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        total = 0
+        for pdf in batches:
+            vc = pdf["w"].value_counts()
+            counts.update(vc.to_dict())
+            total += int(vc.sum())
+        yield pd.DataFrame(
+            [w for w, c in counts.items() if c * 100 >= total],
+            columns=["w"],
+        )
+
+    candidates = toks.mapInPandas(local_heavy, "w string").distinct()
+    exact = (
+        toks.join(F.broadcast(candidates), "w", "left_semi")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") * 100 >= F.lit(n))
+    )
+    return exact.select(
+        "w",
+        "cnt",
+        F.round(F.col("cnt") / F.lit(n).cast("double"), 6).alias("frac"),
+    ).orderBy(F.desc("cnt"), "w")

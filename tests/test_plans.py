@@ -497,3 +497,21 @@ def test_token_budget_cut_has_no_single_partition_exchange(spark):
     as Exchange SinglePartition, the one shape that cannot scale."""
     p = plan(spark, "q191_token_budget_prefix_cut")
     assert "Exchange SinglePartition" not in p, p
+
+
+def test_exact_median_final_stage_is_take_ordered(spark):
+    """q192: the terminal k-th-value extraction must compile to
+    TakeOrderedAndProject over the narrowed bracket — a global Sort or
+    single-partition exchange would mean the selection fell back to the
+    unscalable full-sort path."""
+    p = plan(spark, "q192_exact_median_twophase")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_fuzzy_decontamination_broadcasts_protected_bands(spark):
+    """q190: the protected (benchmark) band table must broadcast — the
+    corpus side streams through the probe; a sort-merge band join would
+    shuffle the whole corpus band table."""
+    p = plan(spark, "q190_fuzzy_decontamination")
+    assert "BroadcastHashJoin" in p, p

@@ -225,3 +225,40 @@ def test_reliable_checkpoint_paths_identical(spark):
     a2, c2, h2, ac2 = kmeans_fit(df, "embedding", k=3, n_iters=3, reliable=True)
     assert c1 == c2 and h1 == h2 and ac1 == ac2
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_global_prefix_matches_single_reducer_window(spark):
+    """operators/prefix.py: the two-phase global rank + running sum must
+    be bit-identical to the single-reducer window under the same total
+    order — on seeded random data with duplicate proxy values (the case
+    where bucket boundaries could mis-assign if intervals overlapped)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from s4_spark.operators.prefix import with_global_prefix
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(0, 40), rng.randrange(1, 100)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id long, proxy long, val long")
+    got = {
+        r.id: (r.rid, r.run_sum)
+        for r in with_global_prefix(
+            df, "proxy", ["proxy", "id"], value_col="val", n_buckets=6
+        ).collect()
+    }
+    w = Window.orderBy("proxy", "id")
+    want = {
+        r.id: (r.rid, r.run_sum)
+        for r in df.select(
+            "id",
+            (F.row_number().over(w) - 1).alias("rid"),
+            F.sum("val")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long")
+            .alias("run_sum"),
+        ).collect()
+    }
+    assert got == want
