@@ -525,3 +525,74 @@ def q166(spark, sf_dir):
         GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
         """
     )
+
+
+_BLOOM_CONFS = {
+    # injection gates tuned for test SF: the application side must look
+    # scan-worthy (default threshold 10GB) and the creation side must fit
+    # the builder budget; production clusters keep the defaults and the
+    # same plan appears once the fact table is actually 10GB+
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # force the shuffle-join path: bloom injection targets shuffle joins
+    # (a broadcast join already ships the exact key set)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _q194_join(spark, sf_dir):
+    """The join q194 runs; split out so the plan test can inspect the
+    UN-materialized plan under the same confs."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q194_runtime_bloom_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           {s} AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.format(s=sql_dsum("l_extendedprice")),
+    section="B3-joins",
+)
+def q194(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Spark 3.3+ runtime filters) —
+    the semi-join reduction that matters most at 100 TB: a SELECTIVE
+    dimension filter (here high-value orders) is turned into a bloom
+    filter AT RUNTIME and pushed into the fact-side scan as
+    ``might_contain``, so lineitem rows that cannot join are dropped at
+    the scan instead of being shuffled. Complements q173's WRITE-side
+    blooms (file skipping on stored keys): this one is per-query,
+    derived from the other join side.
+
+    Conf scoping: the injection gates are set for the duration of ONE
+    eager materialization and restored in ``finally`` — leaking
+    ``autoBroadcastJoinThreshold=-1`` would degrade every later join on
+    a shared session (the q181 save/restore discipline). The returned
+    frame is the small materialized aggregate. Plan shape (bloom_filter_agg
+    on the creation side, might_contain above the fact scan) is pinned in
+    tests/test_plans.py on the un-materialized plan under the same confs."""
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        return _q194_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

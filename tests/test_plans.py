@@ -515,3 +515,28 @@ def test_fuzzy_decontamination_broadcasts_protected_bands(spark):
     shuffle the whole corpus band table."""
     p = plan(spark, "q190_fuzzy_decontamination")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_runtime_bloom_join_injects_filter(spark):
+    """q194: under the injection confs, the creation side must build a
+    bloom_filter_agg and the fact-side scan must be guarded by
+    might_contain — the runtime semi-join reduction the operator
+    exists to demonstrate."""
+    from s4_spark.queries.joins import _BLOOM_CONFS, _q194_join
+
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _q194_join(spark, SF_DIR)
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
