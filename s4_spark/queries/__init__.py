@@ -27,10 +27,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
 # Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
-# this window holds ALL 33 remaining never-verified oracle-backed entries
+# this window holds ALL 36 remaining never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q194)
-# and 17 already-green fillers — one canary per family with no
+# q175-q185 minus the rows-only ones, plus new q186-q197)
+# and 14 already-green fillers — one canary per family with no
 # never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
 # cross-family fillers. After this round every oracle-backed entry has a
 # driver row; only q008/q094/q162/q165 remain rows-only by declared
@@ -61,7 +61,8 @@ DRIVER_WINDOW = (
     "q192_exact_median_twophase",
     # B5-windows (canaries)
     "q050_ranking",
-    "q052_lag_lead",
+    "q196_scd2_history",
+    "q197_batch_sessionization",
     # B6-sorts (canaries)
     "q061_topk",
     # B7-setops (canaries)
@@ -69,7 +70,6 @@ DRIVER_WINDOW = (
     # B8-functions: 2 never-verified + fillers
     "q109_variant_json",
     "q159_data_quality_audit",
-    "q080_string_functions",
     # B9-streaming: 3 never-verified
     "q106_stream_stream_join",
     "q171_state_store_introspection",
@@ -80,7 +80,6 @@ DRIVER_WINDOW = (
     # B11-llm (canaries)
     "q110_exact_dedup",
     "q114_text_stats",
-    "q123_language_id",
     "q193_heavy_hitters_twopass",
     # B12-training: 10 never-verified + filler
     "q169_source_cap",
@@ -93,6 +92,7 @@ DRIVER_WINDOW = (
     "q182_global_row_number",
     "q183_epoch_shuffle",
     "q184_file_provenance",
+    "q195_cdc_apply",
     "q186_bpe_merge_learn",
     "q187_bpe_apply_compression",
     "q188_lm_familiarity_filter",

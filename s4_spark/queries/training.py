@@ -2089,3 +2089,97 @@ def q191(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q195_cdc_apply",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    updates AS (SELECT doc_id, text || ' v2' AS text, lang, 'u' AS op
+                FROM documents WHERE doc_id % 7 = 0),
+    deletes AS (SELECT doc_id, NULL AS text, NULL AS lang, 'd' AS op
+                FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+    inserts AS (SELECT doc_id + (SELECT m FROM mx) + 1 AS doc_id,
+                       text, lang, 'i' AS op
+                FROM documents WHERE doc_id % 13 = 0),
+    delta AS (SELECT * FROM updates UNION ALL SELECT * FROM deletes
+              UNION ALL SELECT * FROM inserts),
+    applied AS (
+      SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+             CASE WHEN d.op IN ('u', 'i') THEN d.text ELSE s.text END AS text,
+             CASE WHEN d.op IN ('u', 'i') THEN d.lang ELSE s.lang END AS lang
+      FROM documents s FULL JOIN delta d USING (doc_id)
+      WHERE d.op IS NULL OR d.op <> 'd')
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+                AS BIGINT) AS content_fp
+    FROM applied GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q195(spark, sf_dir):
+    """CDC delta application (MERGE-INTO semantics without a table
+    format): a change feed of upserts/deletes/inserts is applied to the
+    corpus snapshot in ONE full-outer join on the key — delta wins on
+    update/insert, delete drops the row, untouched rows pass through.
+    The complement of q151 (which DERIVES the change feed by diffing
+    snapshots); together they are the refresh loop a 100 TB corpus runs
+    per re-crawl. Per-lang content fingerprints (md5-prefix integer
+    sums — exact cross-engine) prove the applied state, not just its
+    row counts.
+
+    Scale shape: one doc_id-keyed shuffle join (bucketed co-location at
+    scale, as q151's docstring details); the delta is change-sized, so
+    AQE broadcast-converts it when small. Delete/update/insert markers
+    are resolved in the join projection — no second pass, no
+    anti-join + union-of-three plan."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    m = docs.agg(F.max("doc_id")).collect()[0][0]
+    updates = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat("text", F.lit(" v2")).alias("text"),
+        "lang",
+        F.lit("u").alias("op"),
+    )
+    deletes = docs.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("d").alias("op"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + F.lit(m + 1)).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("i").alias("op"),
+    )
+    delta = updates.unionByName(deletes).unionByName(inserts)
+    s, d = docs.alias("s"), delta.alias("d")
+    applied = (
+        s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer")
+        .filter(F.col("d.op").isNull() | (F.col("d.op") != "d"))
+        .select(
+            F.when(
+                F.col("d.op").isin("u", "i"), F.col("d.text")
+            ).otherwise(F.col("s.text")).alias("text"),
+            F.when(
+                F.col("d.op").isin("u", "i"), F.col("d.lang")
+            ).otherwise(F.col("s.lang")).alias("lang"),
+        )
+    )
+    return (
+        applied.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            )
+            .cast("long")
+            .alias("content_fp"),
+        )
+        .orderBy("lang")
+    )

@@ -253,3 +253,115 @@ def q062(spark, sf_dir):
         .drop("rn")
         .orderBy("p_brand", "p_partkey")
     )
+
+
+@query(
+    "q196_scd2_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           CAST(lead(o_orderdate) OVER w IS NULL AS INT) AS is_current
+    FROM orders WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, valid_from, o_orderkey
+    """,
+    section="B5-windows",
+)
+def q196(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build — each key's
+    change events become effective-dated rows: valid_from = the event
+    date, valid_to = the NEXT event's date (open-ended for the current
+    row), is_current flags the live version. The standard
+    dimension-versioning shape every warehouse refresh runs; at corpus
+    scale the same pattern dates document versions across re-crawls.
+
+    Scale shape: one key-partitioned window (lead) — partitions are
+    per-entity history lengths, never table-sized; no self-join (the
+    naive SCD2 formulation joins the table to itself on consecutive
+    dates)."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+            F.lead("o_orderdate").over(w).isNull().cast("int").alias(
+                "is_current"
+            ),
+        )
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    )
+
+
+@query(
+    "q197_batch_sessionization",
+    oracle="""
+    WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 50),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+      FROM flagged)
+    SELECT user_id, session_num, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_num
+    ORDER BY user_id, session_num
+    """,
+    section="B5-windows",
+)
+def q197(spark, sf_dir):
+    """Batch sessionization — the gap-based session assignment (new
+    session when >30 min since the user's previous event) that q093
+    performs with the streaming session window, here as the batch
+    backfill shape: lag-gap flag → running sum = session number →
+    per-session stats. Running the SAME session definition in batch and
+    streaming is how a pipeline backfills history while the stream
+    handles the live edge (the kappa-architecture pairing this repo's
+    streaming rigs verify batch-equivalence with).
+
+    Scale shape: two user-partitioned windows on one shuffle (same
+    partitioning, no second exchange) + a (user, session) partial agg.
+    Timestamps stay NTZ end-to-end (session-timezone-independent);
+    the 30-min gap compares NTZ-interval on both engines."""
+    w = W.partitionBy("user_id").orderBy("ts")
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50).select(
+        "user_id", "ts"
+    )
+    flagged = e.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "ts",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.expr("timestampdiff(SECOND, prev_ts, ts)") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_num"),
+    )
+    return (
+        sess.groupBy("user_id", "session_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_num")
+    )
