@@ -540,3 +540,12 @@ def test_runtime_bloom_join_injects_filter(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cdc_apply_full_outer_is_shuffled_hash(spark):
+    """q195: the snapshot⟗delta full outer must take the ShuffledHashJoin
+    path (q151's finding — SMJ sorts both sides for nothing on unique
+    uniform keys)."""
+    p = plan(spark, "q195_cdc_apply")
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
