@@ -1021,3 +1021,79 @@ def q193(spark, sf_dir):
         "cnt",
         F.round(F.col("cnt") / F.lit(n).cast("double"), 6).alias("frac"),
     ).orderBy(F.desc("cnt"), "w")
+
+
+_FRAME_SIZE, _FRAME_STRIDE = 16, 4
+
+
+@query(
+    "q198_video_frame_sampling",
+    oracle=f"""
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    frames AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+                 CAST(floor(length(text) / {_FRAME_SIZE}) AS INT) - 1,
+                 {_FRAME_STRIDE})) AS frame_idx,
+             text
+      FROM v),
+    sampled AS (
+      SELECT doc_id, frame_idx,
+             sha256(substring(text, frame_idx * {_FRAME_SIZE} + 1,
+                              {_FRAME_SIZE})) AS frame_sha
+      FROM frames)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_sha
+    FROM sampled ORDER BY doc_id, frame_idx
+    """,
+    section="B11-llm",
+)
+def q198(spark, sf_dir):
+    """Video frame SAMPLING plumbing (every {stride}-th fixed-size frame
+    out of an opaque binary payload) — the multimodal pre-processing
+    stage between q142's binary ingest and q127's decode stub: a
+    training pipeline rarely decodes whole videos, it samples frames
+    first and ships only those to the (GPU) decoder. The codec is not in
+    this container, so a "frame" is deterministically a fixed-size
+    window of the payload (character-indexed here because the fixture
+    payload is text-derived and DuckDB 1.0 cannot slice BLOBs; a real
+    byte payload swaps the slice for bytes without touching the plan or
+    schema) — which makes the part that matters on Spark REAL and
+    oracle-checkable: the Arrow-batched ``mapInPandas`` row-to-many-rows
+    expansion, its output schema, the per-frame content hashes, and the
+    partition-parallel shape (each doc's frames emit from its
+    partition; nothing shuffles until the caller aggregates).
+
+    At 100 TB: payloads stream batch-by-batch through the Python worker
+    (spark.sql.execution.arrow.maxRecordsPerBatch bounds memory); frame
+    extraction is pure per-row work, so the stage scales with input
+    splits. A real decoder drops into the same iterator (decode +
+    sample per row) without touching the plan."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.col("text").alias("payload"))
+    )
+
+    def sample_frames(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // _FRAME_SIZE
+                for j in range(0, n_frames, _FRAME_STRIDE):
+                    chunk = payload[j * _FRAME_SIZE : (j + 1) * _FRAME_SIZE]
+                    out.append(
+                        (
+                            int(doc_id),
+                            j,
+                            hashlib.sha256(chunk.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_sha"]
+            )
+
+    return docs.mapInPandas(
+        sample_frames, "doc_id long, frame_idx long, frame_sha string"
+    ).orderBy("doc_id", "frame_idx")

@@ -29,6 +29,8 @@ TZ_SENSITIVE = [
     "q146_retention_cohorts",
     "q160_gap_fill",
     "q171_state_store_introspection",
+    "q196_scd2_history",
+    "q197_batch_sessionization",
 ]
 
 
