@@ -27,10 +27,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
 # Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
-# this window holds ALL 37 remaining never-verified oracle-backed entries
+# this window holds ALL 38 remaining never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q198)
-# and 13 already-green fillers — one canary per family with no
+# q175-q185 minus the rows-only ones, plus new q186-q199)
+# and 12 already-green fillers — one canary per family with no
 # never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
 # cross-family fillers. After this round every oracle-backed entry has a
 # driver row; only q008/q094/q162/q165 remain rows-only by declared
@@ -76,7 +76,7 @@ DRIVER_WINDOW = (
     "q179_dedup_within_watermark",
     # B10-udfs (canaries)
     "q101_pandas_udf",
-    "q100_python_udf",
+    "q199_arrow_python_udf",
     # B11-llm (canaries)
     "q110_exact_dedup",
     "q193_heavy_hitters_twopass",

@@ -209,3 +209,40 @@ def q105(spark, sf_dir):
         .orderBy("l_orderkey", "l_linenumber")
         .limit(200)
     )
+
+
+@query(
+    "q199_arrow_python_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
+    """,
+    section="B10-udfs",
+)
+def q199(spark, sf_dir):
+    """Arrow-optimized scalar Python UDF (`useArrow=True`, Spark 3.5+) —
+    q100's contract on the third Python execution path: same per-row
+    function signature as the pickled UDF but batched over Arrow like a
+    pandas UDF, closing the B10 matrix (pickled row UDF / Arrow row UDF
+    / pandas UDF / grouped / map / UDTF). Where per-row Python logic is
+    genuinely unavoidable, this is the variant to reach for: the
+    (de)serialization cost drops from per-row pickle to columnar Arrow
+    batches while keeping the simple one-value-at-a-time authoring
+    model. The plan shows ArrowEvalPython instead of BatchEvalPython
+    (pinned in tests/test_plans.py)."""
+
+    @F.udf("double", useArrow=True)
+    def net_price(price: float, discount: float) -> float:
+        return round(price * (1 - discount), 4)
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            net_price("l_extendedprice", "l_discount").alias("net"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )

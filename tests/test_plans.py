@@ -549,3 +549,12 @@ def test_cdc_apply_full_outer_is_shuffled_hash(spark):
     p = plan(spark, "q195_cdc_apply")
     assert "ShuffledHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_arrow_udf_uses_arrow_eval(spark):
+    """q199: the Arrow-optimized UDF must execute as ArrowEvalPython —
+    if it silently degrades to the pickled BatchEvalPython path the
+    entry duplicates q100 instead of covering the Arrow row-UDF lane."""
+    p = plan(spark, "q199_arrow_python_udf")
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, p
