@@ -27,10 +27,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
 # Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
-# this window holds ALL 38 remaining never-verified oracle-backed entries
+# this window holds ALL 40 remaining never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q199)
-# and 12 already-green fillers — one canary per family with no
+# q175-q185 minus the rows-only ones, plus new q186-q201)
+# and 10 already-green fillers — one canary per family with no
 # never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
 # cross-family fillers. After this round every oracle-backed entry has a
 # driver row; only q008/q094/q162/q165 remain rows-only by declared
@@ -40,7 +40,7 @@ DRIVER_WINDOW = (
     # B1-scans: 2 never-verified + canary
     "q173_bloom_filter_write",
     "q185_corrupt_parquet_quarantine",
-    "q001_parquet_scan",
+    "q200_dynamic_partition_pruning",
     # B2-projection-filter (canaries — driver-green r2/r4)
     "q011_filter_comparison",
     "q010_projection",
@@ -48,8 +48,8 @@ DRIVER_WINDOW = (
     "q013_null_predicates",
     "q016_distinct",
     # B3-joins (canaries)
-    "q021_broadcast_join",
     "q194_runtime_bloom_join",
+    "q201_cbo_join_reorder",
     # B4-aggregations: 7 never-verified + fillers
     "q041_pivot",
     "q042_unpivot",

@@ -596,3 +596,100 @@ def q194(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_CBO_CONFS = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    # forbid broadcast so the reorder is visible in join structure (with
+    # broadcast every order is cheap at test SF; at 100 TB the big-big
+    # join order is exactly what CBO must get right)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _cbo_tables(spark, sf_dir):
+    """Metastore tables + column stats for q201 (q045's external-path
+    warehouse pattern: a fresh session's in-memory metastore forgets
+    the table while the old location survives, so data lives under the
+    pid-namespaced scratch root and a missing catalog entry or missing
+    path triggers a clean rebuild)."""
+    import os
+
+    from s4_spark.scratch import scratch_root
+
+    tag = os.path.basename(sf_dir).replace(".", "_")
+    names = {}
+    for name in ("region", "nation", "customer"):
+        tbl = f"s4_cbo_{name}_{tag}"
+        path = os.path.join(scratch_root(), f"cbo_{tag}", name)
+        if not (spark.catalog.tableExists(tbl) and os.path.isdir(path)):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                t(spark, sf_dir, name)
+                .write.option("path", path)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+            spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        names[name] = tbl
+    return names
+
+
+def _q201_sql(names) -> str:
+    # deliberately BAD textual order: the two big tables first, the
+    # selective region dim last — CBO must rotate region⋈nation innermost
+    return f"""
+    SELECT r.r_name, count(*) AS n
+    FROM {names["customer"]} c
+    JOIN {names["nation"]} n ON c.c_nationkey = n.n_nationkey
+    JOIN {names["region"]} r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY r.r_name
+    """
+
+
+@query(
+    "q201_cbo_join_reorder",
+    oracle="""
+    SELECT r_name, count(*) AS n
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY r_name
+    """,
+    section="B3-joins",
+)
+def q201(spark, sf_dir):
+    """Cost-based-optimizer join reordering from ANALYZE statistics —
+    the planner capability that keeps multi-way joins viable at 100 TB:
+    the SQL deliberately lists the two big tables first and the
+    selective dim last, and CBO (row counts + column NDVs from
+    ``ANALYZE TABLE ... FOR ALL COLUMNS``) rotates the plan so the
+    selective region⋈nation join runs innermost, shrinking the
+    intermediate to dim size before the big join (plan order pinned in
+    tests/test_plans.py on the cost-annotated optimized plan). Without
+    stats the optimizer can only trust the written order or raw file
+    sizes; the ANALYZE habit is what a production 100 TB warehouse
+    runs after every load.
+
+    Conf scoping: cbo flags + the no-broadcast gate are active for one
+    eager materialization and restored in ``finally`` (q194's
+    discipline)."""
+    names = _cbo_tables(spark, sf_dir)
+    saved = {}
+    for k, v in _CBO_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        return spark.sql(_q201_sql(names)).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -787,3 +787,61 @@ def q185(spark, sf_dir):
         .alias("all_valid_files_readable"),
         F.lit(len(quarantined)).cast("long").alias("n_files_quarantined"),
     )
+
+
+def _q200_tables(spark, sf_dir):
+    """Partitioned fact + day dim for q200; split out so the plan test
+    can assert on the un-collected join under the same layout."""
+    fpath = os.path.join(scratch_root(), f"dpp_fact_{os.path.basename(sf_dir)}")
+    dpath = os.path.join(scratch_root(), f"dpp_dim_{os.path.basename(sf_dir)}")
+    if not (os.path.isdir(fpath) and os.path.isdir(dpath)):
+        ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        ev.write.partitionBy("day").mode("overwrite").parquet(fpath)
+        (
+            ev.select("day")
+            .distinct()
+            .withColumn("hot", F.dayofmonth("day").cast("int"))
+            .write.mode("overwrite")
+            .parquet(dpath)
+        )
+    return spark.read.parquet(fpath), spark.read.parquet(dpath)
+
+
+@query(
+    "q200_dynamic_partition_pruning",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           {s} AS sum_value
+    FROM events WHERE date_part('day', ts) <= 3
+    GROUP BY event_type ORDER BY event_type
+    """.format(s=sql_dsum("value")),
+    section="B1-scans",
+)
+def q200(spark, sf_dir):
+    """Dynamic partition pruning (DPP) — THE scan optimization for a
+    date-partitioned 100 TB fact table: the dim side's selective filter
+    is evaluated first and its surviving join keys become a runtime
+    partition filter on the fact scan
+    (``dynamicpruningexpression(day IN dynamicpruning#N)`` in
+    PartitionFilters, pinned in tests/test_plans.py) — untouched
+    day-partitions are never listed, opened, or read. Static pruning
+    can't do this: the day set comes from DATA (the dim filter), not a
+    literal predicate.
+
+    DPP gotcha worth the docstring: the dim predicate must be one
+    Catalyst considers *likely selective* (a comparison/IN/LIKE — a
+    bare boolean attribute does NOT qualify and silently disables the
+    rewrite; measured on this exact shape).
+
+    The fixture stages events as a day-partitioned tree + a (day, hot)
+    dim in scratch; re-used across calls in-process. Runtime filters
+    family: q194 prunes ROWS at the scan via a runtime bloom; this
+    prunes whole PARTITIONS via the broadcast's key set."""
+    fact, dim = _q200_tables(spark, sf_dir)
+    hot = dim.filter(F.col("hot") <= 3)
+    return (
+        fact.join(hot, "day")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )

@@ -558,3 +558,50 @@ def test_arrow_udf_uses_arrow_eval(spark):
     p = plan(spark, "q199_arrow_python_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_dynamic_partition_pruning_injects(spark):
+    """q200: the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression — the dim filter's surviving day keys prune
+    whole partitions at run time. Also pins the selectivity gotcha: the
+    dim predicate is a comparison (a bare boolean attribute disables
+    the rewrite)."""
+    from s4_spark.queries.scans import _q200_tables
+
+    import pyspark.sql.functions as SF
+
+    fact, dim = _q200_tables(spark, SF_DIR)
+    j = fact.join(dim.filter(SF.col("hot") <= 3), "day").groupBy().count()
+    p = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in p, p
+
+
+def test_cbo_reorders_selective_dim_innermost(spark):
+    """q201: with ANALYZE stats + CBO on, the cost-annotated optimized
+    plan must run region⋈nation innermost (the deepest Join line binds
+    n_regionkey = r_regionkey) even though the SQL lists
+    customer⋈nation first — the statistics, not the written order,
+    decide."""
+    from s4_spark.queries.joins import _CBO_CONFS, _cbo_tables, _q201_sql
+
+    names = _cbo_tables(spark, SF_DIR)
+    saved = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
+    for k, v in _CBO_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql(_q201_sql(names))
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "cost"
+        )
+        joins = [l for l in p.splitlines() if "Join Inner" in l]
+        assert joins, p
+        assert "r_regionkey" in joins[-1], joins  # innermost = dim join
+        assert "c_nationkey" in joins[0], joins  # outermost = big join
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
