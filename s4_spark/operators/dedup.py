@@ -95,6 +95,38 @@ def with_minhash_signature(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    bands: int = 24,
+    rows: int = 4,
+) -> DataFrame:
+    """Band table for a signature relation: (id, band_id, band_key) rows,
+    ``bands`` per document. This IS the persistable LSH index — write it
+    once per corpus snapshot and probe it with only the new batch's bands
+    (q203); both candidate generators below build their join inputs here.
+
+    band key = xxhash64 over the band's signature values directly —
+    multi-arg xxhash64 stays in whole-stage codegen, where the earlier
+    transform+array_join formulation was interpreted per band per row
+    (HOFs never codegen; measured ~2x on the candidate stage). Like
+    the signature, the band array is ONE generated SQL string — a
+    single JVM parse instead of ~200 py4j Column constructions."""
+    entries = ", ".join(
+        "struct({j} AS band_id, xxhash64({j}, {cols}) AS band_key)".format(
+            j=j,
+            cols=", ".join(f"{sig_col}[{j * rows + k}]" for k in range(rows)),
+        )
+        for j in range(bands)
+    )
+    return df.sparkSession.sql(
+        f"SELECT {id_col}, b.band_id, b.band_key FROM "
+        f"(SELECT {id_col}, explode(array({entries})) AS b FROM {{src}})",
+        src=df,
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -104,24 +136,7 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
     candidate pair. Returns distinct (id_a, id_b) with id_a < id_b."""
-    # band key = xxhash64 over the band's signature values directly —
-    # multi-arg xxhash64 stays in whole-stage codegen, where the earlier
-    # transform+array_join formulation was interpreted per band per row
-    # (HOFs never codegen; measured ~2x on the candidate stage). Like
-    # the signature, the band array is ONE generated SQL string — a
-    # single JVM parse instead of ~200 py4j Column constructions.
-    entries = ", ".join(
-        "struct({j} AS band_id, xxhash64({j}, {cols}) AS band_key)".format(
-            j=j,
-            cols=", ".join(f"{sig_col}[{j * rows + k}]" for k in range(rows)),
-        )
-        for j in range(bands)
-    )
-    bd = df.sparkSession.sql(
-        f"SELECT {id_col}, b.band_id, b.band_key FROM "
-        f"(SELECT {id_col}, explode(array({entries})) AS b FROM {{src}})",
-        src=df,
-    )
+    bd = banded_signatures(df, id_col, sig_col, bands, rows)
     a = bd.alias("a")
     b = bd.alias("b")
     return (
@@ -158,18 +173,7 @@ def lsh_candidate_pairs_between(
     each (eval, corpus) pairing is meaningful exactly once."""
 
     def banded(df: DataFrame) -> DataFrame:
-        entries = ", ".join(
-            "struct({j} AS band_id, xxhash64({j}, {cols}) AS band_key)".format(
-                j=j,
-                cols=", ".join(f"{sig_col}[{j * rows + k}]" for k in range(rows)),
-            )
-            for j in range(bands)
-        )
-        return df.sparkSession.sql(
-            f"SELECT {id_col}, b.band_id, b.band_key FROM "
-            f"(SELECT {id_col}, explode(array({entries})) AS b FROM {{src}})",
-            src=df,
-        )
+        return banded_signatures(df, id_col, sig_col, bands, rows)
 
     # the protected set is benchmark-sized by contract — broadcast its
     # band table explicitly so the corpus side streams through the probe

@@ -26,31 +26,29 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-5 rotation (final): rounds 1-4 drove 132 distinct entries green;
-# this window holds ALL 40 remaining never-verified oracle-backed entries
+# Round-5 rotation: rounds 1-4 drove 132 distinct entries green; this
+# window holds 48 of the 49 never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q201)
-# and 10 already-green fillers — one canary per family with no
-# never-verified entries left (B2 B3 B5 B6 B7 B10 B11) and cheap
-# cross-family fillers. After this round every oracle-backed entry has a
-# driver row; only q008/q094/q162/q165 remain rows-only by declared
-# design (console sink, watermark replay rig, k-means property tests,
-# stream-stream outer replay rig).
+# q175-q185 minus the rows-only ones, plus new q186-q209) and 2
+# already-green canaries for the families with no never-verified
+# entries left (B2: q011, B6: q061). q210_balanced_write is the one
+# never-verified entry the 50 slots can't fit — it heads the r6
+# rotation queue. After this round only q210 plus the 4 rows-only-by-
+# design entries (q008 console sink, q094 watermark replay rig, q162
+# k-means property tests, q165 stream-stream outer replay rig) lack a
+# driver row.
 DRIVER_WINDOW = (
-    # B1-scans: 2 never-verified + canary
+    # B1-scans: never-verified
     "q173_bloom_filter_write",
     "q185_corrupt_parquet_quarantine",
     "q200_dynamic_partition_pruning",
-    # B2-projection-filter (canaries — driver-green r2/r4)
+    "q202_zone_map_skipping",
+    # B2-projection-filter (canary — driver-green r4)
     "q011_filter_comparison",
-    "q010_projection",
-    "q012_in_predicate",
-    "q013_null_predicates",
-    "q016_distinct",
-    # B3-joins (canaries)
+    # B3-joins (never-verified)
     "q194_runtime_bloom_join",
     "q201_cbo_join_reorder",
-    # B4-aggregations: 7 never-verified + fillers
+    # B4-aggregations: never-verified
     "q041_pivot",
     "q042_unpivot",
     "q048_recursive_cte",
@@ -59,29 +57,29 @@ DRIVER_WINDOW = (
     "q167_incremental_agg_maintenance",
     "q168_approx_quantile_profile",
     "q192_exact_median_twophase",
-    # B5-windows (canaries)
-    "q050_ranking",
+    "q204_count_min_sketch",
+    "q205_kmv_sketch_setops",
+    # B5-windows (never-verified)
     "q196_scd2_history",
     "q197_batch_sessionization",
     # B6-sorts (canaries)
     "q061_topk",
-    # B7-setops (canaries)
-    "q071_intersect",
+    # B7-setops (never-verified)
+    "q208_setops_multiset",
     # B8-functions: 2 never-verified + fillers
     "q109_variant_json",
     "q159_data_quality_audit",
-    # B9-streaming: 3 never-verified
+    # B9-streaming: never-verified
     "q106_stream_stream_join",
     "q171_state_store_introspection",
     "q179_dedup_within_watermark",
-    # B10-udfs (canaries)
-    "q101_pandas_udf",
+    "q209_streaming_index_maintenance",
+    # B10-udfs (never-verified)
     "q199_arrow_python_udf",
-    # B11-llm (canaries)
-    "q110_exact_dedup",
+    # B11-llm (never-verified)
     "q193_heavy_hitters_twopass",
     "q198_video_frame_sampling",
-    # B12-training: 10 never-verified + filler
+    # B12-training: never-verified
     "q169_source_cap",
     "q175_repeated_ngram_spans",
     "q176_training_shard_export",
@@ -99,6 +97,9 @@ DRIVER_WINDOW = (
     "q189_dataset_card_profile",
     "q190_fuzzy_decontamination",
     "q191_token_budget_prefix_cut",
+    "q203_snapshot_index_dedup",
+    "q206_quality_classifier_filter",
+    "q207_trigram_novelty",
 )
 
 

@@ -1007,3 +1007,223 @@ def q192(spark, sf_dir):
             "median",
         )
     )
+
+
+@query(
+    "q204_count_min_sketch",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    depths AS (SELECT unnest([0, 1, 2]) AS d),
+    cells AS (
+      SELECT d, CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok),
+                                     1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM toks, depths),
+    sk AS (SELECT d, bucket, count(*) AS c FROM cells GROUP BY d, bucket),
+    probes(token) AS (VALUES ('the'), ('data'), ('value'), ('spark'),
+                             ('zzz_absent')),
+    pcells AS (
+      SELECT token, d,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token),
+                                  1, 8)) AS BIGINT) % 1024 AS bucket
+      FROM probes, depths),
+    est AS (SELECT token, CAST(min(coalesce(sk.c, 0)) AS BIGINT) AS cms_est
+            FROM pcells LEFT JOIN sk USING (d, bucket) GROUP BY token),
+    ex AS (SELECT p.token, CAST(count(t.tok) AS BIGINT) AS exact_count
+           FROM probes p LEFT JOIN toks t ON t.tok = p.token
+           GROUP BY p.token)
+    SELECT est.token, est.cms_est, ex.exact_count,
+           CAST(est.cms_est >= ex.exact_count AS BIGINT) AS bound_holds
+    FROM est JOIN ex USING (token) ORDER BY token
+    """,
+    section="B4-aggregations",
+)
+def q204(spark, sf_dir):
+    """Count-min sketch — mergeable frequency estimation for heavy-ish
+    keys without a per-key hash table: depth×width (3×1024) counters,
+    each occurrence increments one bucket per depth (bucket =
+    md5-derived hash of "depth:token"), estimate = min over depths.
+    Guarantees est ≥ exact always and est ≤ exact + εN with prob
+    1-(1/2)^depth — the `bound_holds` column pins the one-sided bound
+    cross-engine; the estimates themselves are deterministic (md5) so
+    the oracle matches them EXACTLY, unlike a sampled sketch.
+
+    Completes the mergeable-sketch family (q147 HLL distinct / q168
+    KLL-style quantiles / q172 bitmap distinct) with the frequency
+    axis: q193's two-pass heavy hitters finds WHICH keys are heavy;
+    the CMS answers point frequency queries for ANY key from 12 KB of
+    state.
+
+    Scale shape: the sketch IS a groupBy over synthetic (depth, bucket)
+    keys — partial aggregation compresses every partition to ≤ 3×1024
+    rows before the shuffle regardless of input size, and sketches of
+    shards/days merge by adding counters (the same rollup-ability as
+    the HLL entry). The probe side is a literal handful of tokens —
+    broadcast onto the sketch."""
+    width, depth = 1024, 3
+    probes = ["the", "data", "value", "spark", "zzz_absent"]
+
+    def bucket(col, d):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{d}:"), col)), 1, 8), 16, 10
+            ).cast("long")
+            % width
+        )
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"), bucket(F.col("tok"), d).alias("bucket")
+            )
+            for d in range(depth)
+        ]
+    )
+    sk = (
+        toks.select(F.explode(cells).alias("e"))
+        .select("e.d", "e.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probe = spark.createDataFrame([(w,) for w in probes], "token string")
+    pcells = probe.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket(F.col("token"), d).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select("token", "e.d", "e.bucket")
+    est = (
+        F.broadcast(pcells)
+        .join(sk, ["d", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
+    )
+    ex = (
+        F.broadcast(probe)
+        .join(toks, probe.token == toks.tok, "left")
+        .groupBy("token")
+        .agg(F.count("tok").cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(ex, "token")
+        .select(
+            "token",
+            "cms_est",
+            "exact_count",
+            (F.col("cms_est") >= F.col("exact_count"))
+            .cast("long")
+            .alias("bound_holds"),
+        )
+        .orderBy("token")
+    )
+
+
+@query(
+    "q205_kmv_sketch_setops",
+    oracle="""
+    WITH a_keys AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1995),
+    b_keys AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996),
+    a_h AS (SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                        1, 8)) AS BIGINT) AS h FROM a_keys),
+    b_h AS (SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                        1, 8)) AS BIGINT) AS h FROM b_keys),
+    ka AS (SELECT DISTINCT h FROM a_h ORDER BY h LIMIT 64),
+    kb AS (SELECT DISTINCT h FROM b_h ORDER BY h LIMIT 64),
+    ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT 64),
+    theta AS (SELECT max(h) AS th FROM ku),
+    inter AS (SELECT count(*) AS n FROM ku
+              WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    ex AS (SELECT
+             (SELECT count(*) FROM a_keys) AS na,
+             (SELECT count(*) FROM b_keys) AS nb,
+             (SELECT count(*) FROM a_keys
+              WHERE o_custkey IN (SELECT o_custkey FROM b_keys)) AS ni)
+    SELECT CAST(63 AS BIGINT) AS k,
+           round(63 * 4294967296.0 / (SELECT th FROM theta), 6)
+             AS est_union,
+           round((SELECT n FROM inter) / 64.0, 6) AS est_jaccard,
+           CAST(na + nb - ni AS BIGINT) AS exact_union,
+           round(ni / CAST(na + nb - ni AS DOUBLE), 6) AS exact_jaccard
+    FROM ex
+    """,
+    section="B4-aggregations",
+)
+def q205(spark, sf_dir):
+    """KMV (k-minimum-values) sketch set operations — the distinct-count
+    sketch that, unlike HLL (q147, union-only), supports INTERSECTION
+    and Jaccard estimates: keep the k smallest hash values of each set;
+    union sketch = k smallest of the merged sketches; distinct-count
+    estimate = (k-1) · H / θ with θ the k-th minimum hash and H the
+    hash space; Jaccard estimate = |{union sketch} ∩ A-sketch ∩
+    B-sketch| / k (Beyer et al., SIGMOD'07 — the sketch behind
+    DataSketches Theta). md5-derived hashes make every estimate
+    DETERMINISTIC, so the oracle pins the estimates bit-for-bit, not
+    just a tolerance band.
+
+    Sets: customers ordering in 1995 (A) vs 1996 (B). Both sketch
+    builds compile to TakeOrdered(64) — per-partition heap + driver
+    merge, no global sort; set membership checks run over ≤64-row
+    broadcast sketches. At 100 TB the per-set sketch is a mergeable
+    64-long state (like q147's HLL registers) rollup-able across
+    shards/days; the final estimate arithmetic touches three scalars."""
+    k = 64
+    orders = t(spark, sf_dir, "orders")
+
+    def hashed_keys(year: int):
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("h")
+            )
+        )
+
+    a_keys = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    b_keys = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    ka = hashed_keys(1995).distinct().orderBy("h").limit(k)
+    kb = hashed_keys(1996).distinct().orderBy("h").limit(k)
+    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+    inter = (
+        ku.join(F.broadcast(ka.withColumnRenamed("h", "ha")), ku.h == F.col("ha"))
+        .join(F.broadcast(kb.withColumnRenamed("h", "hb")), ku.h == F.col("hb"))
+        .agg(F.count("*").alias("n"))
+    )
+    na = a_keys.count()
+    nb = b_keys.count()
+    ni = a_keys.join(b_keys, "o_custkey", "left_semi").count()
+    theta = ku.agg(F.max("h").alias("th"))
+    return (
+        theta.crossJoin(F.broadcast(inter))
+        .select(
+            F.lit(k - 1).cast("long").alias("k"),
+            F.round(F.lit(float(k - 1)) * 4294967296.0 / F.col("th"), 6).alias(
+                "est_union"
+            ),
+            F.round(F.col("n") / float(k), 6).alias("est_jaccard"),
+            F.lit(na + nb - ni).cast("long").alias("exact_union"),
+            F.round(F.lit(ni) / F.lit(float(na + nb - ni)), 6).alias(
+                "exact_jaccard"
+            ),
+        )
+    )

@@ -845,3 +845,135 @@ def q200(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q202_zone_map_skipping",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx FROM lineitem),
+    w AS (SELECT mn, mx, (mx - mn) // 8 + 1 AS w FROM bounds),
+    b AS (SELECT (l_orderkey - (SELECT mn FROM w)) // (SELECT w FROM w)
+                   AS zbucket,
+                 l_orderkey
+          FROM lineitem),
+    zm AS (SELECT zbucket, min(l_orderkey) AS min_key,
+                  max(l_orderkey) AS max_key, count(*) AS n_rows
+           FROM b GROUP BY zbucket)
+    SELECT zbucket, min_key, max_key, n_rows,
+           CAST(1 AS BIGINT) AS files_present,
+           CAST((max_key < (SELECT mn + 2 * w FROM w)
+                 OR min_key > (SELECT mn + 3 * w - 1 FROM w)) AS BIGINT)
+             AS can_skip
+    FROM zm ORDER BY zbucket
+    """,
+    section="B1-scans",
+)
+def q202(spark, sf_dir):
+    """Zone maps + file skipping — the data-skipping primitive behind
+    Delta/Iceberg min-max pruning and parquet row-group statistics: if
+    a table is CLUSTERED on a key, each physical file covers a narrow
+    key range, and a range predicate can skip whole files from the
+    footer stats alone, no data pages read.
+
+    The operator (1) clusters lineitem into 8 equal-width key buckets
+    computed from two driver-side scalars (min/max — deliberately NOT
+    ntile/range-partitioning: a global ntile is one single-partition
+    window exchange, while equal-width bucketing is a pure map over the
+    scan and produces deterministic, engine-independent boundaries);
+    (2) writes one Hive leaf per bucket; (3) re-reads with
+    ``_metadata.file_path`` and re-derives the zone map (per-file
+    min/max/count) FROM THE FILES, proving the physical clustering
+    honored the logical one; (4) evaluates a range predicate covering
+    exactly bucket 2 against the zone map — ``can_skip`` marks files
+    the scan never needs to open (7 of 8 here).
+
+    Scale shape: at 100 TB this is the maintenance pass that turns a
+    write-ordered table into a query-ordered one (q152's Z-order is the
+    multi-column generalization); the zone-map audit itself is one
+    scan + one 8-group aggregate. The skip decision is metadata-only —
+    the engine's own footer-stat pruning of the same layout is pinned
+    in tests/test_plans.py (parquet min/max PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    mn, mx = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    w = (mx - mn) // 8 + 1
+    path = os.path.join(scratch_root(), f"zmap_{os.path.basename(sf_dir)}")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        li.withColumn("zbucket", F.expr(f"(l_orderkey - {mn}) div {w}"))
+        .repartition("zbucket")
+        .write.partitionBy("zbucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        "l_orderkey",
+        "zbucket",
+        F.col("_metadata.file_path").alias("fp"),
+    )
+    lo, hi = mn + 2 * w, mn + 3 * w - 1
+    return (
+        back.groupBy("zbucket")
+        .agg(
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.count("*").alias("n_rows"),
+            (F.countDistinct("fp") >= 1).cast("long").alias("files_present"),
+        )
+        .select(
+            F.col("zbucket").cast("long").alias("zbucket"),
+            "min_key",
+            "max_key",
+            "n_rows",
+            "files_present",
+            ((F.col("max_key") < lo) | (F.col("min_key") > hi))
+            .cast("long")
+            .alias("can_skip"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+@query(
+    "q210_balanced_write",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    section="B1-scans",
+)
+def q210(spark, sf_dir):
+    """Rebalanced partitioned write — the output-file-sizing tool for a
+    skewed 100 TB write: ``hint("rebalance", key)`` inserts an AQE
+    RebalancePartitions exchange that SPLITS oversized partitions and
+    COALESCES undersized ones at runtime (target =
+    spark.sql.adaptive.advisoryPartitionSizeInBytes), so a dominant
+    partition key yields several right-sized files instead of one huge
+    straggler file, and rare keys don't spray thousands of tiny files.
+    ``repartition(key)`` can do neither: it fixes one partition per
+    hash bucket whatever the size; a skewed key makes one task write
+    one giant file (the straggler that gates the whole job at 100 TB).
+
+    RebalancePartitions presence is pinned in tests/test_plans.py; the
+    oracle pins that rebalancing is CONTENT-NEUTRAL — the round-tripped
+    per-lang counts and char sums are identical to reading the source
+    directly (file layout is a physical property, never a semantic
+    one)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _scratch(f"rebal_{os.path.basename(sf_dir)}")
+    (
+        d.hint("rebalance", "lang")
+        .write.partitionBy("lang")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -60,3 +60,51 @@ def q072(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     return c.exceptAll(o).distinct().orderBy("k").limit(500)
+
+
+@query(
+    "q208_setops_multiset",
+    oracle="""
+    WITH i_all AS (
+      SELECT o_custkey AS k FROM orders
+      INTERSECT ALL
+      SELECT c_custkey FROM customer),
+    e_all AS (
+      SELECT o_custkey AS k FROM orders
+      EXCEPT ALL
+      SELECT c_custkey FROM customer)
+    SELECT (SELECT count(*) FROM i_all) AS n_intersect_all,
+           (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM i_all)
+             AS intersect_key_sum,
+           (SELECT count(*) FROM e_all) AS n_except_all,
+           (SELECT CAST(coalesce(sum(k), 0) AS BIGINT) FROM e_all)
+             AS except_key_sum
+    """,
+    section="B7-setops",
+)
+def q208(spark, sf_dir):
+    """Multiset set operations — INTERSECT ALL / EXCEPT ALL preserve
+    DUPLICATE COUNTS (bag semantics: min resp. difference of
+    multiplicities per value), which the q071/q072 distinct forms
+    erase. The distinction matters whenever rows are observations, not
+    identities — e.g. "orders whose customer also exists" keeps one row
+    PER ORDER. Orders places multiple orders per customer, so the ALL
+    results differ from the distinct ones at every SF.
+
+    Spark implements both as a single hash aggregation computing per-key
+    multiplicities on each side then replicating min(na, nb) resp.
+    max(na - nb, 0) copies — one shuffle per side, partial-aggregated,
+    no join; same scale profile as count-distinct. The check pins
+    count + key checksum of both bags (the bag itself is row-count
+    data, not interesting to hash whole)."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    i_all = o.intersectAll(c).agg(
+        F.count("*").alias("n_intersect_all"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("intersect_key_sum"),
+    )
+    e_all = o.exceptAll(c).agg(
+        F.count("*").alias("n_except_all"),
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("except_key_sum"),
+    )
+    return i_all.crossJoin(e_all)

@@ -656,3 +656,91 @@ def q179(spark, sf_dir):
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     agg = deduped.agg(F.count("*").alias("n_after_dedup"))
     return run_to_memory(agg, mode="complete", tag="q179")
+
+
+@query(
+    "q209_streaming_index_maintenance",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 24 AS BIGINT) AS n_band_rows,
+           CAST(24 AS BIGINT) AS bands_per_doc,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    """,
+    section="B9-streaming",
+)
+def q209(spark, sf_dir):
+    """Streaming maintenance of the q203 LSH dedup index — the piece
+    that makes cross-snapshot dedup CONTINUOUS: new documents stream
+    in, each micro-batch minhash-signs ONLY ITSELF and appends its band
+    rows to the persisted index, so the index is always current without
+    any corpus-wide rebuild (the kappa pairing of q203's batch
+    snapshot split, exactly as q197 pairs q093).
+
+    Exactly-once: each micro-batch writes to a ``batch_id=<N>`` leaf
+    with overwrite — a replayed batch (sink failure after write,
+    before commit) rewrites the SAME leaf with the SAME deterministic
+    rows (xxhash signatures, no rand), so duplication is structurally
+    impossible; blind ``mode("append")`` would double-index on replay.
+    The seed snapshot (first corpus half) lands as leaf batch_id=-1 by
+    the same path.
+
+    The check re-reads the maintained index and pins its global
+    invariants (every doc indexed exactly once, exactly 24 band rows
+    each, id range) against the corpus — hash-dependent band values
+    themselves are never oracled, per the B11 methodology. At 100 TB
+    the index partitions by band_key range under each batch leaf, and
+    compaction (q153) folds old batch leaves together."""
+    docs = t(spark, sf_dir, "documents")
+    half = docs.count() // 2
+    name = os.path.basename(sf_dir)
+    landing = scratch(f"q209_landing_{name}")
+    index_dir = scratch(f"q209_index_{name}")
+    os.makedirs(index_dir, exist_ok=True)
+
+    from s4_spark.operators import dedup as D
+
+    def band_rows(df):
+        sig = D.with_minhash_signature(
+            D.shingles_exploded(df, "doc_id"), "doc_id"
+        )
+        return D.banded_signatures(sig, "doc_id")
+
+    band_rows(docs.filter(F.col("doc_id") < half)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "batch_id=-1"))
+
+    os.makedirs(landing, exist_ok=True)
+    docs.filter(F.col("doc_id") >= half).write.mode("overwrite").parquet(
+        os.path.join(landing, "new")
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .load(os.path.join(landing, "new"))
+    )
+
+    def upsert(batch_df, batch_id):
+        band_rows(batch_df).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"q209_ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+
+    index = spark.read.parquet(index_dir).select("doc_id")
+    return index.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_band_rows"),
+        (F.count("*") / F.countDistinct("doc_id")).cast("long").alias(
+            "bands_per_doc"
+        ),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

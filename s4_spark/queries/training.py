@@ -2186,3 +2186,254 @@ def q195(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q203_snapshot_index_dedup",
+    oracle="""
+    WITH half AS (SELECT count(*) // 2 AS h FROM documents),
+    w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+          FROM documents),
+    sh AS (SELECT doc_id, lang,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS ws
+           FROM w),
+    old AS (SELECT * FROM sh WHERE doc_id < (SELECT h FROM half)),
+    new AS (SELECT * FROM sh WHERE doc_id >= (SELECT h FROM half)),
+    pairs AS (
+      SELECT new.doc_id AS did, new.lang,
+             CAST(len(list_intersect(old.ws, new.ws)) AS DOUBLE)
+               / (len(old.ws) + len(new.ws)
+                  - len(list_intersect(old.ws, new.ws))) AS jac
+      FROM old, new),
+    dup AS (SELECT DISTINCT did, lang FROM pairs WHERE jac >= 0.5)
+    SELECT lang, count(*) AS n_new_dups,
+           CAST(sum(did) AS BIGINT) AS id_sum
+    FROM dup GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q203(spark, sf_dir):
+    """Cross-snapshot dedup against a PERSISTED LSH index — the
+    production shape for a corpus that grows by snapshots: the existing
+    corpus's banded MinHash index is written once
+    (operators/dedup.py ``banded_signatures`` — (id, band_id, band_key)
+    rows in parquet) and each new batch hashes ONLY ITSELF, probes the
+    index, and exact-verifies the candidates. Re-shingling or
+    re-signing the old corpus per ingest — what q111's self-join form
+    would require — is O(corpus) per batch; this is O(batch + index
+    probe).
+
+    Fixture: old snapshot = doc_id < n/2, new batch = the rest (the
+    planted near-dup pairs straddle the split). The index round-trips
+    through parquet to prove the persisted artifact, not the in-memory
+    lineage, is what gets probed.
+
+    Scale shape: the index is laid out by (band_id, band_key) — the
+    probe is a plain equi-join on uniform hash keys (bucketable on disk
+    so the probe co-locates without a full index shuffle); the verify
+    stage builds shingle sets for CANDIDATE docs only (semi-join
+    prefilter inside verify_pairs_jaccard). The new batch never
+    all-pairs-compares with the corpus; the shuffle carries band keys
+    and 96-int signatures, never shingles."""
+    docs = t(spark, sf_dir, "documents")
+    half = docs.count() // 2
+    old = docs.filter(F.col("doc_id") < half)
+    new = docs.filter(F.col("doc_id") >= half)
+
+    index_path = os.path.join(
+        scratch_root(), f"lsh_index_{os.path.basename(sf_dir)}"
+    )
+    if not os.path.isdir(index_path):
+        sig_old = D.with_minhash_signature(
+            D.shingles_exploded(old, "doc_id"), "doc_id"
+        )
+        D.banded_signatures(sig_old, "doc_id").write.mode("overwrite").parquet(
+            index_path
+        )
+    index = spark.read.parquet(index_path)
+
+    sig_new = D.with_minhash_signature(
+        D.shingles_exploded(new, "doc_id"), "doc_id"
+    )
+    probe = D.banded_signatures(sig_new, "doc_id")
+    cands = (
+        index.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
+    dups = (
+        verified.filter(F.col("jac") >= 0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        dups.join(new.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_new_dups"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q206_quality_classifier_filter",
+    oracle="""
+    WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    feat AS (SELECT doc_id, lang,
+                    count(*) AS n_tok,
+                    count(DISTINCT tok) AS n_uniq,
+                    sum(CASE WHEN tok IN ('the', 'a', 'and', 'of', 'to')
+                             THEN 1 ELSE 0 END) AS n_stop
+             FROM toks GROUP BY doc_id, lang),
+    scored AS (SELECT doc_id, lang,
+                      50 * n_stop - 4 * n_tok + 2 * n_uniq AS margin
+               FROM feat)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(margin) AS BIGINT) AS margin_sum,
+           CAST(sum(CASE WHEN margin > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q206(spark, sf_dir):
+    """Model-based quality filtering — the classifier-inference stage of
+    a modern pretraining pipeline (fasttext/DCLM/fineweb-edu style):
+    a tiny trained model's weights BROADCAST to every executor and
+    applied as a pure map over the corpus; docs below the decision
+    boundary drop before the expensive dedup/tokenize stages.
+
+    The stand-in model is a linear scorer over exact token features
+    (margin = 50·n_stop − 4·n_tok + 2·n_uniq, integer weights) so the
+    decision boundary is integer-exact cross-engine; a real fasttext /
+    logistic model is the same plan with float weights and a sigmoid —
+    a monotone map that moves no row across the boundary rankings.
+    Features come from one explode + groupBy(doc) pass (count, distinct
+    count, stoplist membership sum) — all codegen'd builtins.
+
+    Scale shape: feature extraction partial-aggregates per partition
+    before the single doc-keyed shuffle; the model itself is bytes
+    (weights in the plan as literals — the broadcast degenerate case);
+    scoring and the keep/drop decision never shuffle. At 100 TB this
+    is embarrassingly parallel and I/O-bound, exactly what a filter
+    pass should be. The per-lang audit (kept counts, margin mass,
+    kept-id checksum) is the 6-group rollup a pipeline dashboard
+    reads."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    stop = ["the", "a", "and", "of", "to"]
+    feat = toks.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"),
+        F.countDistinct("tok").alias("n_uniq"),
+        F.sum(F.col("tok").isin(stop).cast("int")).alias("n_stop"),
+    )
+    scored = feat.select(
+        "doc_id",
+        "lang",
+        (
+            50 * F.col("n_stop") - 4 * F.col("n_tok") + 2 * F.col("n_uniq")
+        ).alias("margin"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("margin") > 0).cast("int")).cast("long").alias("n_kept"),
+            F.sum("margin").cast("long").alias("margin_sum"),
+            F.sum(F.when(F.col("margin") > 0, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q207_trigram_novelty",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+               FROM documents),
+    sh AS (SELECT doc_id, lang,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS g
+           FROM w),
+    dfc AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+    per_doc AS (SELECT s.doc_id, s.lang,
+                       count(*) AS total,
+                       sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS uniq
+                FROM sh s JOIN dfc USING (g)
+                GROUP BY s.doc_id, s.lang)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(uniq) AS BIGINT) AS sum_unique,
+           CAST(sum(total) AS BIGINT) AS sum_total,
+           round(sum(uniq) / CAST(sum(total) AS DOUBLE), 6) AS novelty,
+           CAST(sum(CASE WHEN 2 * uniq < total THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_derivative
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q207(spark, sf_dir):
+    """Cross-document n-gram novelty — the memorization-risk /
+    boilerplate signal that doc-level dedup misses: a document whose
+    trigrams mostly appear in OTHER documents is template/derivative
+    content even when no single pair crosses a dedup threshold.
+    Per doc: the fraction of its DISTINCT trigrams that are
+    corpus-unique (document frequency = 1); per lang: micro-averaged
+    novelty (integer sums, ONE final division — never an average of
+    per-doc float ratios, whose summation order is engine-dependent)
+    and the count of derivative docs (under half their trigrams
+    unique). Novelty complements q175 (within-doc repeats), q111
+    (pairwise near-dup) and q203 (cross-snapshot): it is a POINTWISE
+    corpus-frequency score, usable as a sampling weight (soft dedup,
+    à la SemDeDup/D4 weighting) rather than a hard drop.
+
+    Scale shape: (doc, gram)-distinct explode → gram-keyed df count
+    (partial-agg compresses each partition to its distinct grams) →
+    doc-keyed rollup. Two shuffles, both on uniform hash keys; grams
+    could ride q175's xxhash64-int64 trick at 100 TB (ints, not
+    strings, through the exchange) — kept as strings here because the
+    oracle pins values, not layout."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D.shingles_exploded(docs, "doc_id").distinct()
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total"),
+            F.sum((F.col("df") == 1).cast("int")).alias("uniq"),
+        )
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("uniq").cast("long").alias("sum_unique"),
+            F.sum("total").cast("long").alias("sum_total"),
+            F.round(
+                F.sum("uniq") / F.sum("total").cast("double"), 6
+            ).alias("novelty"),
+            F.sum((2 * F.col("uniq") < F.col("total")).cast("int"))
+            .cast("long")
+            .alias("n_derivative"),
+        )
+        .orderBy("lang")
+    )

@@ -605,3 +605,72 @@ def test_cbo_reorders_selective_dim_innermost(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zone_map_predicate_prunes_parquet_files(spark):
+    """q202's clustered layout must actually enable engine-side skipping:
+    a range predicate over the bucket-partitioned tree reaches the scan
+    as a pushed filter AND the zbucket partition column prunes. Reads the
+    layout the query itself wrote (same process → same scratch root)."""
+    from s4_spark.scratch import scratch_root
+
+    REGISTRY["q202_zone_map_skipping"].fn(spark, SF_DIR).collect()
+    path = os.path.join(
+        scratch_root(), f"zmap_{os.path.basename(SF_DIR)}"
+    )
+    df = spark.read.parquet(path).filter("zbucket = 2 AND l_orderkey > 0")
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in p, p
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "zbucket" in pf, pf
+    assert "PushedFilters: [" in p, p
+    assert "l_orderkey" in p.split("PushedFilters: [", 1)[1].split("]", 1)[0], p
+
+
+def test_snapshot_index_probe_joins_on_band_keys(spark):
+    """q203: the persisted-index probe must be an equi-join on
+    (band_id, band_key) — never a nested-loop — and the verify stage
+    must not drag shingle arrays through the candidate join.
+
+    (Attribute names are unreliable here — the 96-wide signature
+    expressions trip plan-string truncation — so the assertion reads
+    join STRUCTURE: only equi-join strategies, plus the two LeftSemi
+    candidate prefilters that keep shingle-set building
+    candidates-only.)"""
+    p = plan(spark, "q203_snapshot_index_dedup")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("LeftSemi") >= 2, p
+
+
+def test_count_min_sketch_partial_aggregates(spark):
+    """q204: the sketch build must partial-aggregate (map-side combine
+    compresses every partition to ≤ depth×width rows before the
+    exchange)."""
+    p = plan(spark, "q204_count_min_sketch")
+    assert "partial_count" in p or "Partial" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_kmv_sketches_compile_to_take_ordered(spark):
+    """q205: every k-minimum sketch is a TakeOrdered (per-partition heap
+    + driver merge), never a global Sort followed by Limit."""
+    p = plan(spark, "q205_kmv_sketch_setops")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_balanced_write_uses_rebalance_partitions(spark):
+    """q210: the rebalance hint must survive to the physical plan as an
+    AQE RebalancePartitions exchange (split-capable, unlike
+    repartition's fixed hash buckets)."""
+    from s4_spark.queries.helpers import t
+
+    d = t(spark, SF_DIR, "documents").select("doc_id", "lang").hint(
+        "rebalance", "lang"
+    )
+    p = d._sc._jvm.PythonSQLUtils.explainString(
+        d._jdf.queryExecution(), "formatted"
+    )
+    assert "RebalancePartitions" in p or "rebalance" in p.lower(), p
