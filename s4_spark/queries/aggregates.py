@@ -1060,63 +1060,31 @@ def q204(spark, sf_dir):
     shards/days merge by adding counters (the same rollup-ability as
     the HLL entry). The probe side is a literal handful of tokens —
     broadcast onto the sketch."""
+    from s4_spark.operators.sketch import cms_lookup, cms_sketch
+
     width, depth = 1024, 3
     probes = ["the", "data", "value", "spark", "zzz_absent"]
-
-    def bucket(col, d):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{d}:"), col)), 1, 8), 16, 10
-            ).cast("long")
-            % width
-        )
-
     toks = t(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("tok")
     )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"), bucket(F.col("tok"), d).alias("bucket")
-            )
-            for d in range(depth)
-        ]
-    )
-    sk = (
-        toks.select(F.explode(cells).alias("e"))
-        .select("e.d", "e.bucket")
-        .groupBy("d", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    sk = cms_sketch(toks, "tok", depth=depth, width=width)
     probe = spark.createDataFrame([(w,) for w in probes], "token string")
-    pcells = probe.select(
-        "token",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        bucket(F.col("token"), d).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("e"),
-    ).select("token", "e.d", "e.bucket")
-    est = (
-        F.broadcast(pcells)
-        .join(sk, ["d", "bucket"], "left")
+    est = cms_lookup(sk, probe, "token", depth=depth, width=width)
+    # exact counts: inner-join the corpus against the BROADCAST probe
+    # (a left join from the 5-row probe cannot broadcast its own side
+    # and would shuffle the corpus); absent probes re-enter via the
+    # tiny probe⋈counts left join.
+    hits = (
+        toks.join(F.broadcast(probe), toks.tok == probe.token)
         .groupBy("token")
-        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
+        .agg(F.count("*").alias("n_hits"))
     )
-    ex = (
-        F.broadcast(probe)
-        .join(toks, probe.token == toks.tok, "left")
-        .groupBy("token")
-        .agg(F.count("tok").cast("long").alias("exact_count"))
+    ex = probe.join(F.broadcast(hits), "token", "left").select(
+        "token",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("exact_count"),
     )
     return (
-        est.join(ex, "token")
+        est.join(F.broadcast(ex), "token")
         .select(
             "token",
             "cms_est",
@@ -1180,30 +1148,15 @@ def q205(spark, sf_dir):
     broadcast sketches. At 100 TB the per-set sketch is a mergeable
     64-long state (like q147's HLL registers) rollup-able across
     shards/days; the final estimate arithmetic touches three scalars."""
+    from s4_spark.operators.sketch import kmv_merge, kmv_sketch
+
     k = 64
     orders = t(spark, sf_dir, "orders")
-
-    def hashed_keys(year: int):
-        return (
-            orders.filter(F.year("o_orderdate") == year)
-            .select("o_custkey")
-            .distinct()
-            .select(
-                F.conv(
-                    F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .alias("h")
-            )
-        )
-
     a_keys = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
     b_keys = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    ka = hashed_keys(1995).distinct().orderBy("h").limit(k)
-    kb = hashed_keys(1996).distinct().orderBy("h").limit(k)
-    ku = ka.union(kb).distinct().orderBy("h").limit(k)
+    ka = kmv_sketch(a_keys, "o_custkey", k)
+    kb = kmv_sketch(b_keys, "o_custkey", k)
+    ku = kmv_merge(ka, kb, k)
     inter = (
         ku.join(F.broadcast(ka.withColumnRenamed("h", "ha")), ku.h == F.col("ha"))
         .join(F.broadcast(kb.withColumnRenamed("h", "hb")), ku.h == F.col("hb"))

@@ -652,6 +652,10 @@ def test_count_min_sketch_partial_aggregates(spark):
     p = plan(spark, "q204_count_min_sketch")
     assert "partial_count" in p or "Partial" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+    # both probe joins (sketch lookup, exact recount) broadcast their
+    # small side — the token stream must never shuffle for a 5-row probe
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_kmv_sketches_compile_to_take_ordered(spark):

@@ -262,3 +262,73 @@ def test_global_prefix_matches_single_reducer_window(spark):
         ).collect()
     }
     assert got == want
+
+
+words = st.lists(
+    st.text(alphabet="abcde", min_size=1, max_size=4), min_size=0, max_size=30
+)
+
+
+@given(a=words, b=words)
+@SETTINGS
+def test_cms_merges_counterwise_and_upper_bounds(spark, a, b):
+    """CMS mergeability (the 100 TB rollup claim): sketch(A ⊎ B) equals
+    the counter-wise outer sum of sketch(A) and sketch(B); and every
+    estimate upper-bounds the true count."""
+    from s4_spark.operators.sketch import cms_lookup, cms_sketch
+
+    depth, width = 3, 32  # narrow width to force collisions
+    schema = "w string"
+    df_a = spark.createDataFrame([(w,) for w in a], schema)
+    df_b = spark.createDataFrame([(w,) for w in b], schema)
+    df_ab = spark.createDataFrame([(w,) for w in a + b], schema)
+
+    def counters(df):
+        return {
+            (r["d"], r["bucket"]): r["c"]
+            for r in cms_sketch(df, "w", depth, width).collect()
+        }
+
+    ca, cb, cab = counters(df_a), counters(df_b), counters(df_ab)
+    merged = dict(ca)
+    for key, c in cb.items():
+        merged[key] = merged.get(key, 0) + c
+    assert merged == cab
+
+    vocab = sorted(set(a + b))
+    if vocab:
+        probe = spark.createDataFrame([(w,) for w in vocab], schema)
+        est = {
+            r["w"]: r["cms_est"]
+            for r in cms_lookup(
+                cms_sketch(df_ab, "w", depth, width), probe, "w", depth, width
+            ).collect()
+        }
+        from collections import Counter
+
+        truth = Counter(a + b)
+        for w in vocab:
+            assert est[w] >= truth[w], (w, est[w], truth[w])
+
+
+@given(a=st.lists(st.integers(0, 10_000), min_size=0, max_size=40),
+       b=st.lists(st.integers(0, 10_000), min_size=0, max_size=40),
+       k=st.integers(2, 16))
+@SETTINGS
+def test_kmv_merge_equals_sketch_of_union(spark, a, b, k):
+    """KMV mergeability: the k smallest of the two per-set sketches'
+    union equals the sketch of the concatenated input — per-shard
+    sketches suffice for the union estimator."""
+    from s4_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    schema = "v long"
+    df_a = spark.createDataFrame([(v,) for v in a], schema)
+    df_b = spark.createDataFrame([(v,) for v in b], schema)
+    df_ab = spark.createDataFrame([(v,) for v in a + b], schema)
+    merged = sorted(
+        r["h"] for r in kmv_merge(
+            kmv_sketch(df_a, "v", k), kmv_sketch(df_b, "v", k), k
+        ).collect()
+    )
+    direct = sorted(r["h"] for r in kmv_sketch(df_ab, "v", k).collect())
+    assert merged == direct
