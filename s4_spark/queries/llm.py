@@ -1097,3 +1097,85 @@ def q198(spark, sf_dir):
     return docs.mapInPandas(
         sample_frames, "doc_id long, frame_idx long, frame_sha string"
     ).orderBy("doc_id", "frame_idx")
+
+
+_SEG_SIZE, _SEG_STRIDE, _SEG_ENERGY_MIN = 64, 32, 320
+
+
+@query(
+    "q211_audio_segment_plumbing",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    segs AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0,
+                 CAST(floor((length(text) - {_SEG_SIZE}) / {_SEG_STRIDE})
+                      AS INT),
+                 1)) AS seg_idx
+      FROM a WHERE length(text) >= {_SEG_SIZE}),
+    scored AS (
+      SELECT doc_id, seg_idx,
+             CAST(list_sum([unicode(text[seg_idx * {_SEG_STRIDE} + j]) % 16
+                            for j in range(1, {_SEG_SIZE} + 1)])
+                  AS BIGINT) AS energy
+      FROM segs)
+    SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, energy,
+           CAST(energy >= {_SEG_ENERGY_MIN} AS BIGINT) AS kept
+    FROM scored ORDER BY doc_id, seg_idx
+    """,
+    section="B11-llm",
+)
+def q211(spark, sf_dir):
+    """Audio segmentation + energy gating plumbing — the VAD-ish
+    (voice-activity-detection) preprocessing a speech corpus runs
+    before transcription/feature extraction: OVERLAPPING fixed-duration
+    windows (size 64, stride 32 — q198's frames are disjoint samples;
+    overlap is what spectral/VAD windows need), a per-window additive
+    energy reduce, and a silence gate that marks low-energy segments
+    for dropping. Completes the modality triple: q127 image decode,
+    q198 video frame sampling, this audio segmentation — all three are
+    the same Spark shape (Arrow-batched ``mapInPandas`` row→many-rows
+    expansion) with modality-specific per-row work.
+
+    No audio codec lives in this container, so a "sample" is
+    deterministically a character code of the payload (energy =
+    Σ codepoint mod 16 over the window — integer-exact cross-engine);
+    a real pipeline swaps in PCM frames + RMS energy at the same
+    iterator without touching plan, schema, or partitioning.
+
+    At 100 TB: per-row work, partition-parallel, Arrow-batch memory
+    bound; segments stay on their doc's partition until the caller
+    aggregates. The energy gate drops silence BEFORE the expensive
+    decode/ASR stage — the same cost argument as q198's
+    sample-then-decode."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.col("text").alias("payload"))
+    )
+
+    def segment(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if len(payload) < _SEG_SIZE:
+                    continue
+                n_segs = (len(payload) - _SEG_SIZE) // _SEG_STRIDE + 1
+                for j in range(n_segs):
+                    chunk = payload[j * _SEG_STRIDE : j * _SEG_STRIDE + _SEG_SIZE]
+                    energy = sum(ord(c) % 16 for c in chunk)
+                    out.append(
+                        (
+                            int(doc_id),
+                            j,
+                            energy,
+                            int(energy >= _SEG_ENERGY_MIN),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "seg_idx", "energy", "kept"]
+            )
+
+    return docs.mapInPandas(
+        segment, "doc_id long, seg_idx long, energy long, kept long"
+    ).orderBy("doc_id", "seg_idx")
