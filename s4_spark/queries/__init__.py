@@ -31,10 +31,11 @@ from s4_spark.queries import (  # noqa: F401,E402
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
 # q175-q185 minus the rows-only ones, plus new q186-q209) and 2
 # already-green canaries for the families with no never-verified
-# entries left (B2: q011, B6: q061). q210_balanced_write and
-# q211_audio_segment_plumbing are the never-verified entries the 50
-# slots can't fit — they head the r6 rotation queue. After this round
-# only those two plus the 4 rows-only-by-design entries (q008 console
+# entries left (B2: q011, B6: q061). q210_balanced_write,
+# q211_audio_segment_plumbing, and q212_packed_loss_masks are the
+# never-verified entries the 50 slots cannot fit — they head the r6
+# rotation queue. After this round
+# only those three plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165
 # stream-stream outer replay rig) lack a driver row.
 DRIVER_WINDOW = (

@@ -2437,3 +2437,96 @@ def q207(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q212_packed_loss_masks",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_tok
+               FROM documents),
+    pos AS (SELECT doc_id, n_tok,
+                   CAST(sum(n_tok + 1) OVER (ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) - (n_tok + 1)
+                     AS start_pos
+            FROM d),
+    marks AS (SELECT doc_id,
+                     start_pos // 128 AS start_seq,
+                     (start_pos + n_tok) // 128 AS sep_seq,
+                     (start_pos + n_tok) % 128 AS sep_off
+              FROM pos),
+    starts AS (SELECT start_seq AS seq_id, count(*) AS n_doc_starts
+               FROM marks GROUP BY start_seq),
+    seps AS (SELECT sep_seq AS seq_id, count(*) AS n_seps,
+                    CAST(sum(sep_off) AS BIGINT) AS sep_offset_sum
+             FROM marks GROUP BY sep_seq)
+    SELECT coalesce(st.seq_id, sp.seq_id) AS seq_id,
+           CAST(coalesce(st.n_doc_starts, 0) AS BIGINT) AS n_doc_starts,
+           CAST(coalesce(sp.n_seps, 0) AS BIGINT) AS n_seps,
+           CAST(coalesce(sp.sep_offset_sum, 0) AS BIGINT) AS sep_offset_sum
+    FROM starts st FULL JOIN seps sp USING (seq_id)
+    ORDER BY seq_id
+    """,
+    section="B12-training",
+)
+def q212(spark, sf_dir):
+    """Packed-sequence LOSS-MASK construction — the per-token metadata a
+    dataloader actually ships with q134's packed bins: documents
+    concatenate in deterministic doc_id order with one separator token
+    each, the stream chops into fixed 128-token sequences (GPT-style
+    concat-then-chop), and every sequence reports its document-start
+    count (attention-reset boundaries) and separator positions (the
+    loss-masked offsets). Packing bugs live exactly at these
+    boundaries — a dataloader that mis-slices by one token silently
+    trains on separators — so the check pins the boundary positions
+    themselves (offset checksums), not just bin counts.
+
+    All arithmetic is integer-exact: doc start = running Σ(n_tok+1) via
+    the shared two-phase global prefix (operators/prefix.py — q182/q191's
+    machinery; NEVER a single-reducer window), then seq assignment and
+    in-seq offsets are div/mod. Per-seq stats are two uniform groupBys
+    on seq ids + a seq-count-sized full-outer merge.
+
+    At 100 TB the prefix operator is the only global coordination
+    (|buckets| driver-side offsets); everything downstream is
+    embarrassingly parallel, and the emitted (seq_id, mask metadata)
+    table is exactly what the shard exporter (q176) co-writes next to
+    the token shards."""
+    from s4_spark.operators.prefix import with_global_prefix
+
+    L = 128
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(F.split("text", " ")) + 1).alias("n_tok1"),
+    )
+    cum = with_global_prefix(d, "doc_id", ["doc_id"], value_col="n_tok1")
+    marks = cum.select(
+        "doc_id",
+        (F.col("run_sum") - F.col("n_tok1")).alias("start_pos"),
+        (F.col("run_sum") - 1).alias("sep_pos"),
+    ).select(
+        F.expr(f"start_pos div {L}").alias("start_seq"),
+        F.expr(f"sep_pos div {L}").alias("sep_seq"),
+        F.expr(f"sep_pos % {L}").alias("sep_off"),
+    )
+    starts = marks.groupBy(F.col("start_seq").alias("seq_id")).agg(
+        F.count("*").alias("n_doc_starts")
+    )
+    seps = marks.groupBy(F.col("sep_seq").alias("seq_id")).agg(
+        F.count("*").alias("n_seps"),
+        F.sum("sep_off").cast("long").alias("sep_offset_sum"),
+    )
+    return (
+        starts.join(seps, "seq_id", "full")
+        .select(
+            "seq_id",
+            F.coalesce("n_doc_starts", F.lit(0)).cast("long").alias(
+                "n_doc_starts"
+            ),
+            F.coalesce("n_seps", F.lit(0)).cast("long").alias("n_seps"),
+            F.coalesce("sep_offset_sum", F.lit(0)).cast("long").alias(
+                "sep_offset_sum"
+            ),
+        )
+        .orderBy("seq_id")
+    )
