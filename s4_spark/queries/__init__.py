@@ -32,10 +32,11 @@ from s4_spark.queries import (  # noqa: F401,E402
 # q175-q185 minus the rows-only ones, plus new q186-q209) and 2
 # already-green canaries for the families with no never-verified
 # entries left (B2: q011, B6: q061). q210_balanced_write,
-# q211_audio_segment_plumbing, and q212_packed_loss_masks are the
+# q211_audio_segment_plumbing, q212_packed_loss_masks, and
+# q213_image_resize_features are the
 # never-verified entries the 50 slots cannot fit — they head the r6
 # rotation queue. After this round
-# only those three plus the 4 rows-only-by-design entries (q008 console
+# only those four plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165
 # stream-stream outer replay rig) lack a driver row.
 DRIVER_WINDOW = (

@@ -1179,3 +1179,92 @@ def q211(spark, sf_dir):
     return docs.mapInPandas(
         segment, "doc_id long, seg_idx long, energy long, kept long"
     ).orderBy("doc_id", "seg_idx")
+
+
+@query(
+    "q213_image_resize_features",
+    oracle="""
+    WITH img AS (SELECT doc_id, text, length(text) AS n
+                 FROM documents WHERE doc_id < 40 AND length(text) >= 64),
+    dims AS (SELECT doc_id, text,
+                    n // 32 AS in_h,
+                    (n // 32) // 2 AS out_h
+             FROM img),
+    px AS (SELECT doc_id, in_h, out_h, CAST(16 AS BIGINT) AS out_w,
+                  CAST(list_sum([unicode(text[2 * (i // 16) * 32
+                                               + 2 * (i % 16) + 1])
+                                 for i in range(0, out_h * 16)])
+                       AS BIGINT) AS pixel_sum,
+                  CAST(list_sum([(i // 16 + 1)
+                                 * unicode(text[2 * (i // 16) * 32
+                                                + 2 * (i % 16) + 1])
+                                 for i in range(0, out_h * 16)])
+                       AS BIGINT) AS row_weighted_sum
+           FROM dims)
+    SELECT doc_id, CAST(in_h AS BIGINT) AS in_h,
+           CAST(out_h AS BIGINT) AS out_h, out_w,
+           pixel_sum, row_weighted_sum
+    FROM px ORDER BY doc_id
+    """,
+    section="B11-llm",
+)
+def q213(spark, sf_dir):
+    """Image RESIZE + feature-extraction plumbing — the remaining two
+    multimodal verbs (q127 decodes, q198/q211 sample/segment; this
+    downsamples and featurizes): the payload is treated as an H×32 byte
+    raster, stride-2 subsampled in BOTH axes (nearest-neighbor resize to
+    H/2×16), then reduced to features. Two features on purpose:
+    ``pixel_sum`` (content) and ``row_weighted_sum`` (row-index-weighted
+    — it pins SPATIAL layout, catching the transpose/row-major bugs a
+    bare content sum cannot see). All integer-exact cross-engine.
+
+    The raster is a deterministic fake (no PIL in this container); a
+    real pipeline swaps the byte grid for decoded pixels and the
+    stride-2 slice for a proper filter inside the same Arrow-batched
+    ``mapInPandas`` iterator — schema, batching, and partitioning are
+    the real, tested part.
+
+    At 100 TB: per-row work, partition-parallel, Arrow memory-bounded;
+    resize-then-featurize runs where the bytes already are (no shuffle
+    before the caller aggregates) — the locality argument that makes
+    preprocessing pipelines scan-bound, not network-bound."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 40) & (F.length("text") >= 64))
+        .select("doc_id", F.col("text").alias("payload"))
+    )
+
+    def resize_features(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = 32
+                in_h = len(payload) // w
+                out_h, out_w = in_h // 2, w // 2  # stride-2 both axes
+                pixel_sum = 0
+                row_weighted = 0
+                for r in range(out_h):
+                    for c in range(out_w):
+                        v = ord(payload[(2 * r) * w + 2 * c])
+                        pixel_sum += v
+                        row_weighted += (r + 1) * v
+                out.append(
+                    (int(doc_id), in_h, out_h, out_w, pixel_sum, row_weighted)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "in_h",
+                    "out_h",
+                    "out_w",
+                    "pixel_sum",
+                    "row_weighted_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        resize_features,
+        "doc_id long, in_h long, out_h long, out_w long, "
+        "pixel_sum long, row_weighted_sum long",
+    ).orderBy("doc_id")
