@@ -190,3 +190,45 @@ def test_transform_with_state_matches_batch_when_available(spark, duck):
 
     q = REGISTRY["q174_transform_with_state"]
     assert_oracle_match(q.fn(spark, SF_DIR), duck, q.oracle, q.name)
+
+
+def test_q209_index_batch_replay_is_idempotent(spark, tmp_path):
+    """q209's exactly-once claim: a replayed micro-batch (failure after
+    write, before checkpoint commit) rewrites its batch_id leaf with the
+    SAME deterministic rows — the maintained index is bit-identical
+    after the replay, where a blind append would double-index."""
+    import os
+
+    from s4_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a b c d e f") for i in range(20)],
+        "doc_id long, text string",
+    )
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(index_dir, exist_ok=True)
+
+    def band_rows(df):
+        sig = D.with_minhash_signature(
+            D.shingles_exploded(df, "doc_id"), "doc_id"
+        )
+        return D.banded_signatures(sig, "doc_id")
+
+    def upsert(batch_df, batch_id):
+        band_rows(batch_df).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+
+    batch = docs.filter(F.col("doc_id") < 10)
+    upsert(batch, 0)
+    first = sorted(
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    assert len(first) == 10 * 24
+    upsert(batch, 0)  # replay of the same committed batch
+    second = sorted(
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in spark.read.parquet(index_dir).collect()
+    )
+    assert second == first
