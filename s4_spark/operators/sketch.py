@@ -36,6 +36,22 @@ def md5_bucket(col: Column, depth: int, width: int) -> Column:
     )
 
 
+def _cells(col: Column, depth: int, width: int) -> Column:
+    """The exploded (d, bucket) cell array for one value — the ONE place
+    the sketch/probe hashing contract lives: cms_sketch and cms_lookup
+    must bucket identically or every estimate silently probes the wrong
+    counters."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                md5_bucket(col, d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
 def cms_sketch(
     df: DataFrame, col: str, depth: int = 3, width: int = 1024
 ) -> DataFrame:
@@ -44,17 +60,8 @@ def cms_sketch(
     ≤ depth×width rows before the single exchange, whatever the input
     size. Absent counters are implicitly zero (sparse representation —
     merge with an outer sum, look up with coalesce(c, 0))."""
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                md5_bucket(F.col(col), d, width).alias("bucket"),
-            )
-            for d in range(depth)
-        ]
-    )
     return (
-        df.select(F.explode(cells).alias("e"))
+        df.select(F.explode(_cells(F.col(col), depth, width)).alias("e"))
         .select("e.d", "e.bucket")
         .groupBy("d", "bucket")
         .agg(F.count("*").alias("c"))
@@ -75,18 +82,7 @@ def cms_lookup(
     must be the build side anyway, since the probe is the left/outer
     side of the left join and a left-side broadcast is unsatisfiable."""
     pcells = probe.select(
-        col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        md5_bucket(F.col(col), d, width).alias("bucket"),
-                    )
-                    for d in range(depth)
-                ]
-            )
-        ).alias("e"),
+        col, F.explode(_cells(F.col(col), depth, width)).alias("e")
     ).select(col, "e.d", "e.bucket")
     return (
         pcells.join(F.broadcast(sketch), ["d", "bucket"], "left")

@@ -1148,7 +1148,7 @@ def q205(spark, sf_dir):
     broadcast sketches. At 100 TB the per-set sketch is a mergeable
     64-long state (like q147's HLL registers) rollup-able across
     shards/days; the final estimate arithmetic touches three scalars."""
-    from s4_spark.operators.sketch import kmv_merge, kmv_sketch
+    from s4_spark.operators.sketch import HASH_SPACE, kmv_merge, kmv_sketch
 
     k = 64
     orders = t(spark, sf_dir, "orders")
@@ -1170,7 +1170,9 @@ def q205(spark, sf_dir):
         theta.crossJoin(F.broadcast(inter))
         .select(
             F.lit(k - 1).cast("long").alias("k"),
-            F.round(F.lit(float(k - 1)) * 4294967296.0 / F.col("th"), 6).alias(
+            # HASH_SPACE must stay in sync with the oracle's 4294967296.0
+            # literal (SQL strings can't reference the constant)
+            F.round(F.lit(float(k - 1)) * float(HASH_SPACE) / F.col("th"), 6).alias(
                 "est_union"
             ),
             F.round(F.col("n") / float(k), 6).alias("est_jaccard"),

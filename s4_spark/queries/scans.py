@@ -861,7 +861,6 @@ def q200(spark, sf_dir):
                   max(l_orderkey) AS max_key, count(*) AS n_rows
            FROM b GROUP BY zbucket)
     SELECT zbucket, min_key, max_key, n_rows,
-           CAST(1 AS BIGINT) AS files_present,
            CAST((max_key < (SELECT mn + 2 * w FROM w)
                  OR min_key > (SELECT mn + 3 * w - 1 FROM w)) AS BIGINT)
              AS can_skip
@@ -881,12 +880,17 @@ def q202(spark, sf_dir):
     ntile/range-partitioning: a global ntile is one single-partition
     window exchange, while equal-width bucketing is a pure map over the
     scan and produces deterministic, engine-independent boundaries);
-    (2) writes one Hive leaf per bucket; (3) re-reads with
-    ``_metadata.file_path`` and re-derives the zone map (per-file
-    min/max/count) FROM THE FILES, proving the physical clustering
-    honored the logical one; (4) evaluates a range predicate covering
-    exactly bucket 2 against the zone map — ``can_skip`` marks files
-    the scan never needs to open (7 of 8 here).
+    (2) writes one Hive leaf per bucket; (3) re-reads and re-derives
+    the zone map (per-bucket min/max/count) FROM THE FILES, proving the
+    physical clustering honored the logical one; (4) evaluates a range
+    predicate covering exactly bucket 2 against the zone map —
+    ``can_skip`` marks files the scan never needs to open (7 of 8
+    here). The one-file-per-leaf layout claim is pinned in
+    tests/test_plans.py by LISTING the written tree (an in-query
+    file-count column can only be tautological here — any group that
+    aggregates exists, so `countDistinct(file) >= 1` cannot fail, and
+    exact counts would break under file rolling, per the q184
+    oracle-design note).
 
     Scale shape: at 100 TB this is the maintenance pass that turns a
     write-ordered table into a query-ordered one (q152's Z-order is the
@@ -906,11 +910,7 @@ def q202(spark, sf_dir):
         .mode("overwrite")
         .parquet(path)
     )
-    back = spark.read.parquet(path).select(
-        "l_orderkey",
-        "zbucket",
-        F.col("_metadata.file_path").alias("fp"),
-    )
+    back = spark.read.parquet(path).select("l_orderkey", "zbucket")
     lo, hi = mn + 2 * w, mn + 3 * w - 1
     return (
         back.groupBy("zbucket")
@@ -918,19 +918,28 @@ def q202(spark, sf_dir):
             F.min("l_orderkey").alias("min_key"),
             F.max("l_orderkey").alias("max_key"),
             F.count("*").alias("n_rows"),
-            (F.countDistinct("fp") >= 1).cast("long").alias("files_present"),
         )
         .select(
             F.col("zbucket").cast("long").alias("zbucket"),
             "min_key",
             "max_key",
             "n_rows",
-            "files_present",
             ((F.col("max_key") < lo) | (F.col("min_key") > hi))
             .cast("long")
             .alias("can_skip"),
         )
         .orderBy("zbucket")
+    )
+
+
+def _q210_write_df(spark, sf_dir):
+    """The exact pre-write DataFrame q210 hands to the sink — split out
+    so the plan test asserts the rebalance hint on the QUERY'S OWN
+    plan, not a reconstruction."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .hint("rebalance", "lang")
     )
 
 
@@ -955,19 +964,16 @@ def q210(spark, sf_dir):
     hash bucket whatever the size; a skewed key makes one task write
     one giant file (the straggler that gates the whole job at 100 TB).
 
-    RebalancePartitions presence is pinned in tests/test_plans.py; the
-    oracle pins that rebalancing is CONTENT-NEUTRAL — the round-tripped
-    per-lang counts and char sums are identical to reading the source
-    directly (file layout is a physical property, never a semantic
-    one)."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    RebalancePartitions presence is pinned in tests/test_plans.py ON
+    THIS QUERY'S OWN write plan (via _q210_write_df — a hand-built
+    lookalike in the test would keep passing after the hint was dropped
+    here); the oracle pins that rebalancing is CONTENT-NEUTRAL — the
+    round-tripped per-lang counts and char sums are identical to
+    reading the source directly (file layout is a physical property,
+    never a semantic one)."""
+    d = _q210_write_df(spark, sf_dir)
     path = _scratch(f"rebal_{os.path.basename(sf_dir)}")
-    (
-        d.hint("rebalance", "lang")
-        .write.partitionBy("lang")
-        .mode("overwrite")
-        .parquet(path)
-    )
+    d.write.partitionBy("lang").mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return (
         back.groupBy("lang")

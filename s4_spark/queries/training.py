@@ -2206,7 +2206,7 @@ def q195(spark, sf_dir):
                / (len(old.ws) + len(new.ws)
                   - len(list_intersect(old.ws, new.ws))) AS jac
       FROM old, new),
-    dup AS (SELECT DISTINCT did, lang FROM pairs WHERE jac >= 0.5)
+    dup AS (SELECT DISTINCT did, lang FROM pairs WHERE jac >= 0.8)
     SELECT lang, count(*) AS n_new_dups,
            CAST(sum(did) AS BIGINT) AS id_sum
     FROM dup GROUP BY lang ORDER BY lang
@@ -2227,7 +2227,17 @@ def q203(spark, sf_dir):
     Fixture: old snapshot = doc_id < n/2, new batch = the rest (the
     planted near-dup pairs straddle the split). The index round-trips
     through parquet to prove the persisted artifact, not the in-memory
-    lineage, is what gets probed.
+    lineage, is what gets probed; the cache guard keys on the _SUCCESS
+    marker, not bare directory existence — a failed/interrupted write
+    leaves a dir but no marker, and latching on the dir would silently
+    probe a truncated index on every later call in the process.
+
+    Recall contract (why the exact all-pairs oracle is matchable): the
+    verify threshold is 0.8, where the 24-band/4-row scheme misses a
+    qualifying pair with P ≈ 3e-6, and every planted fixture pair sits
+    at jac ≥ 0.9 (miss ≈ 1e-11) — same argument as q190. At 0.5 the
+    banded miss probability is ~0.2/pair and an exact oracle would be
+    hash-seed luck, so that regime is deliberately out of contract.
 
     Scale shape: the index is laid out by (band_id, band_key) — the
     probe is a plain equi-join on uniform hash keys (bucketable on disk
@@ -2244,7 +2254,7 @@ def q203(spark, sf_dir):
     index_path = os.path.join(
         scratch_root(), f"lsh_index_{os.path.basename(sf_dir)}"
     )
-    if not os.path.isdir(index_path):
+    if not os.path.isfile(os.path.join(index_path, "_SUCCESS")):
         sig_old = D.with_minhash_signature(
             D.shingles_exploded(old, "doc_id"), "doc_id"
         )
@@ -2272,7 +2282,7 @@ def q203(spark, sf_dir):
     )
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     dups = (
-        verified.filter(F.col("jac") >= 0.5)
+        verified.filter(F.col("jac") >= 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )

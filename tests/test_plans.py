@@ -611,13 +611,23 @@ def test_zone_map_predicate_prunes_parquet_files(spark):
     """q202's clustered layout must actually enable engine-side skipping:
     a range predicate over the bucket-partitioned tree reaches the scan
     as a pushed filter AND the zbucket partition column prunes. Reads the
-    layout the query itself wrote (same process → same scratch root)."""
+    layout the query itself wrote (same process → same scratch root).
+    Also pins the physical claim the query's result cannot express
+    without tautology: each zbucket leaf holds exactly one data file
+    (8 leaves, 8 files) under this write config."""
+    import glob as _glob
+
     from s4_spark.scratch import scratch_root
 
     REGISTRY["q202_zone_map_skipping"].fn(spark, SF_DIR).collect()
     path = os.path.join(
         scratch_root(), f"zmap_{os.path.basename(SF_DIR)}"
     )
+    leaves = sorted(_glob.glob(os.path.join(path, "zbucket=*")))
+    assert len(leaves) == 8, leaves
+    for leaf in leaves:
+        files = _glob.glob(os.path.join(leaf, "*.parquet"))
+        assert len(files) == 1, (leaf, files)
     df = spark.read.parquet(path).filter("zbucket = 2 AND l_orderkey > 0")
     p = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -668,13 +678,15 @@ def test_kmv_sketches_compile_to_take_ordered(spark):
 def test_balanced_write_uses_rebalance_partitions(spark):
     """q210: the rebalance hint must survive to the physical plan as an
     AQE RebalancePartitions exchange (split-capable, unlike
-    repartition's fixed hash buckets)."""
-    from s4_spark.queries.helpers import t
+    repartition's fixed hash buckets). Asserts on the query's OWN
+    pre-write DataFrame (_q210_write_df) — a hand-built lookalike would
+    keep passing after the hint was dropped from the query."""
+    from s4_spark.queries.scans import _q210_write_df
 
-    d = t(spark, SF_DIR, "documents").select("doc_id", "lang").hint(
-        "rebalance", "lang"
-    )
+    d = _q210_write_df(spark, SF_DIR)
     p = d._sc._jvm.PythonSQLUtils.explainString(
         d._jdf.queryExecution(), "formatted"
     )
-    assert "RebalancePartitions" in p or "rebalance" in p.lower(), p
+    # physical plan prints the node as
+    # `Exchange hashpartitioning(...), REBALANCE_PARTITIONS_BY_COL`
+    assert "rebalance_partitions" in p.lower(), p
