@@ -332,3 +332,46 @@ def test_kmv_merge_equals_sketch_of_union(spark, a, b, k):
     )
     direct = sorted(r["h"] for r in kmv_sketch(df_ab, "v", k).collect())
     assert merged == direct
+
+
+@given(
+    lrows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                   min_size=0, max_size=25),
+    rrows=st.sets(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                  min_size=0, max_size=25),
+)
+@SETTINGS
+def test_asof_join_matches_reference(spark, lrows, rrows):
+    """The union-merge as-of join equals the direct per-row definition
+    (latest right ts <= left ts within the key, <= inclusive). Right
+    rows get unique (key, ts) — the operator's tie order among equal-ts
+    right rows of one key is unspecified, like every as-of engine."""
+    from datetime import datetime, timezone
+
+    from s4_spark.operators.asof import asof_join
+
+    def ts(v):
+        return datetime.fromtimestamp(v * 3600, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    left = spark.createDataFrame(
+        [(k, ts(v), i) for i, (k, v) in enumerate(lrows)],
+        "k long, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(v), k * 1000 + v) for (k, v) in rrows],
+        "k long, rts timestamp, rval long",
+    )
+    got = {
+        r["lid"]: r["rval_asof"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", right_values=["rval"]
+        ).collect()
+    }
+    want = {}
+    for i, (k, v) in enumerate(lrows):
+        cands = [(rv, k * 1000 + rv) for (rk, rv) in rrows
+                 if rk == k and rv <= v]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
