@@ -983,3 +983,71 @@ def q210(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q214_manifest_time_travel",
+    oracle="""
+    WITH half AS (SELECT count(*) // 2 AS h FROM documents),
+    v1 AS (SELECT 1 AS version, count(*) AS n_docs,
+                  CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM documents WHERE doc_id < (SELECT h FROM half)),
+    v2 AS (SELECT 2 AS version, count(*) AS n_docs,
+                  CAST(sum(doc_id) AS BIGINT) AS id_sum
+           FROM documents)
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2 ORDER BY version
+    """,
+    section="B1-scans",
+)
+def q214(spark, sf_dir):
+    """Manifest-based snapshot reads (time-travel lite) — the core idea
+    under Iceberg/Delta: a table version is a MANIFEST (list of
+    immutable data files), never a directory listing. Append = write
+    new files + a new manifest version that includes them; old versions
+    stay readable forever because no file is ever rewritten; readers
+    pick a version and see an immutable snapshot regardless of
+    concurrent appends.
+
+    The operator writes snapshot v1 (first corpus half), appends a
+    second batch as NEW files, records a (version, file_path) manifest
+    as data, and answers "read version N" by scanning exactly the
+    manifest's files for N — proving v1 readers do NOT see the append.
+    The manifest collect is bounded (file list, not rows); at 100 TB
+    manifests are themselves partitioned data (Iceberg's avro manifest
+    tree) and version file-lists feed the scan as a file index, with
+    per-file stats enabling q202-style skipping BEFORE listing — a
+    directory listing of a million-file table is exactly what this
+    avoids.
+
+    Complements q151 (diff two snapshots), q195 (apply a delta), q181
+    (partition-level refresh): this is the VERSIONING substrate those
+    operators assume."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    half = docs.count() // 2
+    import glob as _glob
+
+    base = _scratch(f"ttl_{os.path.basename(sf_dir)}")
+    d1, d2 = os.path.join(base, "batch1"), os.path.join(base, "batch2")
+    docs.filter(F.col("doc_id") < half).write.parquet(d1)
+    docs.filter(F.col("doc_id") >= half).write.parquet(d2)
+    f1 = sorted(_glob.glob(os.path.join(d1, "*.parquet")))
+    f2 = sorted(_glob.glob(os.path.join(d2, "*.parquet")))
+    manifest = spark.createDataFrame(
+        [(1, f) for f in f1] + [(2, f) for f in f1 + f2],
+        "version int, file_path string",
+    )
+    manifest.write.mode("overwrite").parquet(os.path.join(base, "manifest"))
+    mf = spark.read.parquet(os.path.join(base, "manifest"))
+
+    def read_version(v: int):
+        files = [
+            r["file_path"]
+            for r in mf.filter(F.col("version") == v).collect()
+        ]
+        return spark.read.parquet(*files).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+
+    return read_version(1).unionByName(read_version(2)).orderBy("version")

@@ -2540,3 +2540,72 @@ def q212(spark, sf_dir):
         )
         .orderBy("seq_id")
     )
+
+
+@query(
+    "q215_per_group_regression",
+    oracle="""
+    WITH d AS (SELECT lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                      CAST(length(text) AS BIGINT) AS y
+               FROM documents),
+    s AS (SELECT lang, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY lang)
+    SELECT lang, n,
+           round((n * sxy - sx * sy)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((sy * sxx - sx * sxy)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+    FROM s ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q215(spark, sf_dir):
+    """Per-group closed-form model fit — distributed OLS of chars on
+    tokens per language, the aggregate-only form of grouped model
+    fitting: the fit reduces to five integer sufficient statistics per
+    group (n, Σx, Σy, Σxy, Σx²), each a partial-aggregated sum, and the
+    slope/intercept are ONE final IEEE division each (the repo's
+    cross-engine float rule — never sum doubles, divide once at the
+    end). Chars-per-token slope per language is the drift diagnostic a
+    corpus pipeline tracks across snapshots: a slope shift flags a
+    tokenizer or source-mix change before it reaches training.
+
+    The contrast with q103 (applyInPandas grouped-map) is the point:
+    when a model has a sufficient-statistic form, fit it as an
+    AGGREGATION — the shuffle carries 5 longs per (partition, group)
+    and no group ever materializes on one worker; reach for grouped
+    Pandas only when the model genuinely needs the group's rows (and
+    then a giant group is a real memory wall). At 100 TB this fit is
+    exactly as scalable as a groupBy count."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+        F.length("text").cast("long").alias("y"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "lang",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / det.cast("double"),
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            / det.cast("double"),
+            6,
+        ).alias("intercept"),
+    ).orderBy("lang")
