@@ -2609,3 +2609,123 @@ def q215(spark, sf_dir):
             6,
         ).alias("intercept"),
     ).orderBy("lang")
+
+
+@query(
+    "q216_contrastive_pair_mining",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS ws
+           FROM w),
+    pairs AS (
+      SELECT a.doc_id AS anchor_id, b.doc_id AS positive_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+              / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            >= 0.8),
+    anchors AS (SELECT anchor_id, min(positive_id) AS positive_id
+                FROM pairs GROUP BY anchor_id),
+    cands AS (
+      SELECT an.anchor_id, an.positive_id, d.doc_id AS cand,
+             md5(CAST(an.anchor_id AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS k
+      FROM anchors an, documents d
+      WHERE d.doc_id <> an.anchor_id AND d.doc_id <> an.positive_id
+        AND NOT EXISTS (SELECT 1 FROM pairs p
+                        WHERE (p.anchor_id = an.anchor_id
+                               AND p.positive_id = d.doc_id)
+                           OR (p.positive_id = an.anchor_id
+                               AND p.anchor_id = d.doc_id))),
+    ranked AS (
+      SELECT anchor_id, positive_id, cand,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY k, cand)
+               AS neg_rank
+      FROM cands)
+    SELECT anchor_id, positive_id, CAST(neg_rank AS BIGINT) AS neg_rank,
+           cand AS negative_id
+    FROM ranked WHERE neg_rank <= 3
+    ORDER BY anchor_id, neg_rank
+    """,
+    section="B12-training",
+)
+def q216(spark, sf_dir):
+    """Contrastive training-pair mining — the dataset-construction stage
+    for embedding/retrieval model training (DPR/SimCLR shape): every
+    anchor
+    needs a POSITIVE (a verified near-duplicate — the LSH stack's
+    output becomes supervision, not just a dedup decision) and k
+    deterministic NEGATIVES (md5(anchor:candidate)-ranked, so the pair
+    set is reproducible across runs/retries and never leaks a known
+    near-dup in as a false negative).
+
+    Positives: q111's banded-LSH candidates, exact-verified at ≥ 0.8
+    (recall argument as q203: planted pairs sit ≥ 0.9, banded miss
+    ~1e-11); anchor = the smaller id, positive = its smallest verified
+    partner. Negatives: hash-ranked over the corpus minus self,
+    positive, and ANY verified near-dup of the anchor.
+
+    Scale shape: anchors are pair-sized (tiny vs corpus) — the
+    anchor×corpus candidate join BROADCASTS the anchor side and the
+    per-anchor top-3 compiles to WindowGroupLimit (per-partition
+    group-heap before the one anchor-keyed exchange; pinned in
+    tests/test_plans.py). At 100 TB negatives draw from a hash-bucketed
+    sample of the corpus instead of the full table — same plan, a
+    sampled source."""
+    docs = t(spark, sf_dir, "documents")
+    sig = D.with_minhash_signature(D.shingles_exploded(docs, "doc_id"), "doc_id")
+    cands = D.lsh_candidate_pairs(sig, "doc_id").localCheckpoint(eager=False)
+    verified = (
+        D.verify_pairs_jaccard(cands, docs, "doc_id")
+        .filter(F.col("jac") >= 0.8)
+        .select("id_a", "id_b")
+    )
+    anchors = (
+        verified.groupBy(F.col("id_a").alias("anchor_id"))
+        .agg(F.min("id_b").alias("positive_id"))
+    )
+    # every verified near-dup of an anchor (either direction) is banned
+    # from its negative pool
+    banned = verified.unionByName(
+        verified.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).select(F.col("id_a").alias("anchor_id"), F.col("id_b").alias("banned_id"))
+    pool = (
+        F.broadcast(anchors)
+        .crossJoin(docs.select(F.col("doc_id").alias("cand")))
+        .filter(
+            (F.col("cand") != F.col("anchor_id"))
+            & (F.col("cand") != F.col("positive_id"))
+        )
+        .alias("p")
+        .join(
+            F.broadcast(banned).alias("bn"),
+            (F.col("p.anchor_id") == F.col("bn.anchor_id"))
+            & (F.col("p.cand") == F.col("bn.banned_id")),
+            "left_anti",
+        )
+        .withColumn(
+            "k",
+            F.md5(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("cand").cast("string"),
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("k", "cand")
+    return (
+        pool.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select(
+            "anchor_id",
+            "positive_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("cand").alias("negative_id"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -690,3 +690,12 @@ def test_balanced_write_uses_rebalance_partitions(spark):
     # physical plan prints the node as
     # `Exchange hashpartitioning(...), REBALANCE_PARTITIONS_BY_COL`
     assert "rebalance_partitions" in p.lower(), p
+
+
+def test_contrastive_mining_broadcasts_anchors_and_group_limits(spark):
+    """q216: the anchor×corpus negative pool must broadcast the
+    pair-sized anchor side (never shuffle the corpus for it) and the
+    per-anchor top-3 must group-limit below the window exchange."""
+    p = plan(spark, "q216_contrastive_pair_mining")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
