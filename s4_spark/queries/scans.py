@@ -1044,6 +1044,15 @@ def q214(spark, sf_dir):
             r["file_path"]
             for r in mf.filter(F.col("version") == v).collect()
         ]
+        if not files:
+            # an empty snapshot has an empty manifest — represent it as
+            # zero rows rather than handing spark.read an empty path
+            # list (which raises UNABLE_TO_INFER_SCHEMA)
+            return spark.range(1).select(
+                F.lit(v).alias("version"),
+                F.lit(0).cast("long").alias("n_docs"),
+                F.lit(None).cast("long").alias("id_sum"),
+            )
         return spark.read.parquet(*files).agg(
             F.lit(v).alias("version"),
             F.count("*").alias("n_docs"),

@@ -2557,9 +2557,10 @@ def q212(spark, sf_dir):
           FROM d GROUP BY lang)
     SELECT lang, n,
            round((n * sxy - sx * sy)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                 / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope,
            round((sy * sxx - sx * sxy)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept
+                 / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+             AS intercept
     FROM s ORDER BY lang
     """,
     section="B12-training",
@@ -2594,18 +2595,23 @@ def q215(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
+    # det == 0 (a group with one doc, or zero x-variance) must yield
+    # NULL, not a runtime error: Spark 4's ANSI default makes /0 THROW,
+    # killing every other group's result; the oracle NULLIFs the same
+    # denominator so both engines agree on NULL.
     det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    safe_det = F.when(det != 0, det.cast("double"))
     return s.select(
         "lang",
         "n",
         F.round(
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / det.cast("double"),
+            / safe_det,
             6,
         ).alias("slope"),
         F.round(
             (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
-            / det.cast("double"),
+            / safe_det,
             6,
         ).alias("intercept"),
     ).orderBy("lang")
