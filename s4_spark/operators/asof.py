@@ -28,10 +28,18 @@ def asof_join(
     right_ts: str,
     right_values: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right_ts <= left_ts`` within the same ``on`` key (ties on equal
     timestamps resolve to the right row, matching DuckDB ASOF `<=`).
+
+    ``tolerance`` (a SQL interval body, e.g. ``"10 minutes"``) bounds
+    match staleness: a matched right row older than
+    ``left_ts - tolerance`` is nulled out — pandas ``merge_asof``'s
+    tolerance / kdb ``wj``'s window, as a pure post-match projection:
+    the merge itself is unchanged, so the cost profile is identical
+    and no second pass or join is added.
 
     Returns the left rows plus ``{right_ts}{suffix}`` and
     ``{v}{suffix}`` for each requested right value column.
@@ -69,6 +77,7 @@ def asof_join(
     merged = l_tagged.unionByName(r_tagged).select(
         *keys,
         "__tag",
+        "__ts",
         "__lrow",
         F.last("__rts", ignorenulls=True).over(w).alias(f"{right_ts}{suffix}"),
         *[
@@ -77,6 +86,18 @@ def asof_join(
         ],
     )
     out = merged.filter(F.col("__tag") == 1)
+    rts_out = F.col(f"{right_ts}{suffix}")
+    if tolerance is not None:
+        fresh = rts_out >= F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
+        return out.select(
+            *keys,
+            *[F.col("__lrow")[c].alias(c) for c in lcols if c not in keys],
+            F.when(fresh, rts_out).alias(f"{right_ts}{suffix}"),
+            *[
+                F.when(fresh, F.col(f"{v}{suffix}")).alias(f"{v}{suffix}")
+                for v in right_values
+            ],
+        )
     return out.select(
         *keys,
         *[F.col("__lrow")[c].alias(c) for c in lcols if c not in keys],

@@ -27,17 +27,18 @@ from s4_spark.queries import (  # noqa: F401,E402
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
 # Round-5 rotation: rounds 1-4 drove 132 distinct entries green; this
-# window holds 48 of the 55 never-verified oracle-backed entries
+# window holds 48 of the 57 never-verified oracle-backed entries
 # (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
 # q175-q185 minus the rows-only ones, plus new q186-q209) and 2
 # already-green canaries for the families with no never-verified
 # entries left (B2: q011, B6: q061). q210_balanced_write,
 # q211_audio_segment_plumbing, q212_packed_loss_masks,
 # q213_image_resize_features, q214_manifest_time_travel,
-# q215_per_group_regression, and q216_contrastive_pair_mining are the
-# 7 never-verified entries the 50 slots cannot fit — they ARE the r6
+# q215_per_group_regression, q216_contrastive_pair_mining,
+# q217_point_in_time_join, and q218_asof_join_tolerance are the
+# 9 never-verified entries the 50 slots cannot fit — they ARE the r6
 # rotation queue. After this round
-# only those seven plus the 4 rows-only-by-design entries (q008 console
+# only those nine plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165
 # stream-stream outer replay rig) lack a driver row.
 DRIVER_WINDOW = (

@@ -10,6 +10,7 @@ a nested-loop cross product.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s4_spark.operators.asof import asof_join
@@ -693,3 +694,147 @@ def q201(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "q217_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+      SELECT o_custkey, o_orderkey AS version_id,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to
+      FROM orders WHERE o_custkey < 100 AND o_orderkey % 2 = 1
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    fact AS (
+      SELECT o_custkey, o_orderkey AS fact_id, o_orderdate AS ts
+      FROM orders WHERE o_custkey < 100 AND o_orderkey % 2 = 0)
+    SELECT f.fact_id, f.o_custkey, d.version_id, d.valid_from
+    FROM fact f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    ORDER BY f.fact_id
+    """,
+    section="B3-joins",
+)
+def q217(spark, sf_dir):
+    """Point-in-time (temporal) join — the dimension-correctness join
+    every warehouse fact load runs against an SCD2 dimension (q196's
+    output shape): each fact row joins the version whose
+    ``[valid_from, valid_to)`` interval contains the fact timestamp,
+    so re-running a historical backfill enriches with the attributes
+    AS OF the event, never today's. In ML-data terms this is
+    leakage-prevention: joining features "as they were known at
+    event time" instead of their current values.
+
+    Fixture: dim = odd-orderkey orders per customer as effective-dated
+    versions (q196's lead() dating), fact = even-orderkey orders.
+    Zero-length intervals (two versions dated the same day) match
+    nothing and the later version takes over — deterministic under the
+    identical (date, orderkey) window order both engines use. Facts
+    before a customer's first version drop (inner semantics).
+
+    Scale shape: the interval predicate RIDES AN EQUI KEY (custkey) —
+    the join is a plain key-shuffled hash/merge join with the range
+    condition as a post-match filter, so the pair space is bounded per
+    key (never a nested loop over facts×versions; no-NLJ plan-pinned).
+    This is q027's bounded-range-join discipline applied to the SCD2
+    enrichment shape; the as-of join (q028) is its nearest-version
+    cousin without validity windows."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dim = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("version_id"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w).alias("valid_to"),
+        )
+    )
+    fact = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("fact_id"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.o_custkey == dim.o_custkey)
+            & (fact.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (fact.ts < dim.valid_to)),
+        )
+        .select("fact_id", fact.o_custkey, "version_id", "valid_from")
+        .orderBy("fact_id")
+    )
+
+
+@query(
+    "q218_asof_join_tolerance",
+    oracle="""
+    WITH j AS (
+      SELECT p.event_id, p.ts AS p_ts, c.ts AS raw_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts)
+    SELECT event_id,
+           CASE WHEN raw_click_ts >= p_ts - INTERVAL 10 MINUTE
+                THEN raw_click_ts END AS click_ts,
+           CAST(raw_click_ts IS NOT NULL
+                AND raw_click_ts < p_ts - INTERVAL 10 MINUTE AS BIGINT)
+             AS stale_dropped
+    FROM j ORDER BY event_id
+    """,
+    section="B3-joins",
+)
+def q218(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof``
+    tolerance / kdb ``wj`` window) — attribution with a staleness
+    budget: a purchase is credited to the latest prior click only if
+    that click is within 10 minutes; an older match is dropped, not
+    attributed. Unbounded as-of (q028) silently credits arbitrarily
+    stale context — at corpus scale that is joining a document to a
+    crawl-metadata record from months earlier.
+
+    The bound is a post-match projection inside the same union-merge
+    operator (operators/asof.py ``tolerance=``): the one key-shuffled
+    window is unchanged, no second join or pass — so the cost profile
+    is exactly q028's. ``stale_dropped`` pins that the bound actually
+    fires on this data (matches exist beyond tolerance), guarding
+    against the check passing vacuously."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    bounded = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        suffix="_click",
+        tolerance="10 minutes",
+    ).select("event_id", "ts", F.col("ts_click").alias("click_ts"))
+    unbounded = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        suffix="_raw",
+    ).select("event_id", F.col("ts_raw").alias("raw_click_ts"))
+    return (
+        bounded.join(unbounded, "event_id")
+        .select(
+            "event_id",
+            "click_ts",
+            (
+                F.col("raw_click_ts").isNotNull()
+                & (F.col("raw_click_ts") < F.col("ts") - F.expr("INTERVAL 10 minutes"))
+            )
+            .cast("long")
+            .alias("stale_dropped"),
+        )
+        .orderBy("event_id")
+    )

@@ -699,3 +699,12 @@ def test_contrastive_mining_broadcasts_anchors_and_group_limits(spark):
     p = plan(spark, "q216_contrastive_pair_mining")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_point_in_time_join_rides_equi_key(spark):
+    """q217: the validity-interval predicate must ride the custkey
+    equi-join — a hash/merge join with a residual range filter, never a
+    nested loop over facts×versions."""
+    p = plan(spark, "q217_point_in_time_join")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
