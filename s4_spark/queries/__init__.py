@@ -35,10 +35,12 @@ from s4_spark.queries import (  # noqa: F401,E402
 # q211_audio_segment_plumbing, q212_packed_loss_masks,
 # q213_image_resize_features, q214_manifest_time_travel,
 # q215_per_group_regression, q216_contrastive_pair_mining,
-# q217_point_in_time_join, and q218_asof_join_tolerance are the
-# 9 never-verified entries the 50 slots cannot fit — they ARE the r6
-# rotation queue. After this round
-# only those nine plus the 4 rows-only-by-design entries (q008 console
+# q217_point_in_time_join, q218_asof_join_tolerance, plus the
+# post-rotation additions q219_funnel_analysis, q220_cohort_retention,
+# q221_domain_quality_propagation, q222_event_transitions, and
+# q223_tpch_q18_shape are the never-verified entries the 50 slots
+# cannot fit — they ARE the r6 rotation queue. After this round
+# only those plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165
 # stream-stream outer replay rig) lack a driver row.
 DRIVER_WINDOW = (

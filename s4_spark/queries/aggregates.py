@@ -1182,3 +1182,55 @@ def q205(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q220_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    joined AS (
+      SELECT date_trunc('week', f.first_ts) AS cohort_week,
+             CAST(floor(date_diff('second', f.first_ts, e.ts) / 604800.0)
+                  AS BIGINT) AS week_offset,
+             e.user_id
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT cohort_week, week_offset,
+           count(DISTINCT user_id) AS n_active_users
+    FROM joined GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    section="B4-aggregations",
+)
+def q220(spark, sf_dir):
+    """Cohort retention: users grouped by the week they first appeared,
+    counted as active in each subsequent week-offset from their own
+    first event. The activation/retention triangle every growth
+    dashboard is built on.
+
+    Scale shape: per-user min(ts) is one partial+final hash agg; the
+    join back to events is on the same user_id key, so the aggregate
+    (one row per user) rides the partitioning the agg just produced —
+    AQE broadcasts it when small, reuses the exchange when not. The
+    final count(DISTINCT user_id) per (cohort, offset) is Spark's
+    two-phase distinct-aggregate expansion — no per-cohort user set is
+    ever collected. Offsets anchor to each user's own first_ts (not a
+    calendar bucket), so a cohort's week-0 row always exists and the
+    arithmetic is pure NTZ second-diff — session-timezone-independent
+    on both engines."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = e.join(first_seen, "user_id").select(
+        F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+        F.floor(
+            F.expr("timestampdiff(SECOND, first_ts, ts)") / F.lit(604800.0)
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -838,3 +838,61 @@ def q218(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q223_tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 300)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    section="B3-joins",
+)
+def q223(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customer): orders whose total
+    lineitem quantity exceeds a threshold, joined back to order and
+    customer detail. The classic "aggregate, filter on the aggregate,
+    rejoin" pattern.
+
+    Scale shape: the quantity sum is a partial+final hash agg on
+    l_orderkey — map-side combine means the shuffle carries one partial
+    per (task, orderkey), never raw lineitems. HAVING prunes to the
+    handful of big orders BEFORE any join, so the surviving side is
+    tiny and AQE broadcasts it into orders (no second shuffle of the
+    fact table); customer joins the few result rows likewise. The
+    decimal-exact sum makes the >300 boundary and the output value
+    bit-identical across engines (a double-order-dependent sum could
+    flip membership at the threshold)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("dq"))
+        .filter(F.col("dq") > 300)
+        .select("l_orderkey", F.col("dq").cast("double").alias("sum_qty"))
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -2735,3 +2735,74 @@ def q216(spark, sf_dir):
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+@query(
+    "q221_domain_quality_propagation",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    src AS (
+      SELECT source,
+             CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+               / count(*) AS src_avg
+      FROM d GROUP BY source),
+    g AS (
+      SELECT CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+               / count(*) AS g_avg
+      FROM d),
+    flagged AS (
+      SELECT d.lang,
+             CASE WHEN s.src_avg >= 0.95 * g.g_avg THEN 1 ELSE 0 END
+               AS keep
+      FROM d JOIN src s ON d.source = s.source CROSS JOIN g)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+    FROM flagged GROUP BY lang ORDER BY lang
+    """,
+    section="B12-training",
+)
+def q221(spark, sf_dir):
+    """Domain-level quality propagation (RefinedWeb/CCNet-style host
+    filtering): a document's fate depends on its SOURCE's aggregate
+    quality, not just its own — sources whose mean token count falls
+    below 95% of the corpus mean are dropped wholesale. This catches
+    boilerplate farms whose individual pages each look plausible.
+
+    Scale shape: doc-level token counts are codegen'd builtins; the
+    per-source stats collapse to |sources| rows via partial+final agg,
+    and the corpus mean to ONE row — both then broadcast back onto the
+    document scan (explicit F.broadcast), so the only full-data shuffle
+    is the final per-lang agg of partials. The quality signal is a
+    ratio of exact integer sums (one division), so the 0.95-threshold
+    comparison is bit-identical across engines; at 100 TB the same
+    two-level "aggregate up to the domain, broadcast the verdict back
+    down" needs no change — |domains| << |docs| always."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    src = d.groupBy("source").agg(
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("src_avg")
+    )
+    g = d.agg(
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("g_avg")
+    )
+    flagged = (
+        d.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            (F.col("src_avg") >= 0.95 * F.col("g_avg"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -365,3 +365,144 @@ def q197(spark, sf_dir):
         )
         .orderBy("user_id", "session_num")
     )
+
+
+@query(
+    "q219_funnel_analysis",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 'step1_view' AS step, count(*) AS n_users,
+             CAST(0 AS BIGINT) AS total_lag_us FROM s1
+      UNION ALL
+      SELECT 'step2_click', count(*),
+             CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 'step3_purchase', count(*),
+             CAST(sum(epoch_us(t3) - epoch_us(t1)) AS BIGINT) FROM s3
+    ) ORDER BY step
+    """,
+    section="B5-windows",
+)
+def q219(spark, sf_dir):
+    """Ordered-step funnel (view -> click -> purchase): how many users
+    complete each step IN ORDER, and the cumulative lag from funnel
+    entry. Step N's timestamp must strictly follow step N-1's earliest
+    completion — the product-analytics query a naive per-type count
+    gets wrong (a click before the first view is not a conversion).
+
+    Scale shape: three per-user min-aggregations chained by user_id
+    equi-joins — every shuffle is on the SAME key, so one hash
+    partitioning carries all stages, and each join's right side is an
+    already-aggregated (one row per user) frame that AQE broadcasts at
+    dim size. No window sort, no per-user event list materialized:
+    state per user is one timestamp per step regardless of event count,
+    which is what lets the funnel run over a 100 TB event log."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+
+    def step(df, label, end_col):
+        # MICROSECOND, not SECOND: DuckDB's date_diff counts boundary
+        # crossings while Spark's timestampdiff truncates the true delta
+        # -- they disagree by 0/1 per row. The microsecond delta is the
+        # exact integer both engines agree on.
+        lag = (
+            F.lit(0).cast("long")
+            if end_col is None
+            else F.sum(
+                F.expr(f"timestampdiff(MICROSECOND, t1, {end_col})")
+            ).cast("long")
+        )
+        return df.agg(
+            F.lit(label).alias("step"),
+            F.count("*").alias("n_users"),
+            lag.alias("total_lag_us"),
+        )
+
+    return (
+        step(s1, "step1_view", None)
+        .unionAll(step(s2, "step2_click", "t2"))
+        .unionAll(step(s3, "step3_purchase", "t3"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "q222_event_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_type AS next_type
+      FROM events),
+    n AS (
+      SELECT prev_type, next_type, count(*) AS n
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type) AS p
+    FROM n ORDER BY prev_type, next_type
+    """,
+    section="B5-windows",
+)
+def q222(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag(event_type) within user gives (prev, next) bigrams;
+    counts normalize to row-stochastic probabilities. The
+    session-modeling primitive behind next-event prediction features
+    and anomaly scoring (improbable transitions).
+
+    Scale shape: ONE window sort on (user_id | ts, event_id) — the lag
+    carries a single string of state — then a 25-cell hash aggregate;
+    the normalizing window runs on the 25-row aggregate, not the events.
+    The orderBy is fully tie-broken by event_id so the bigram sequence
+    is deterministic under any parallelism. p is one bigint division,
+    bit-identical across engines."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    n = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    return n.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("prev_type"))
+        ).alias("p"),
+    ).orderBy("prev_type", "next_type")
