@@ -708,3 +708,53 @@ def test_point_in_time_join_rides_equi_key(spark):
     p = plan(spark, "q217_point_in_time_join")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_funnel_has_no_window_and_broadcasts_step_frames(spark):
+    """q219: the funnel is pure chained aggregation — no window sort over
+    the event log ever appears, every join is a hash join with the
+    one-row-per-user step frame on the build side, and each step's
+    min-agg is partial+final (Exchange between two HashAggregates)."""
+    p = plan(spark, "q219_funnel_analysis")
+    assert "Window" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_domain_propagation_broadcasts_verdicts(spark):
+    """q221: per-source stats hash-broadcast back onto the document scan;
+    the corpus-mean side is ONE row (its nested-loop cross is a 1-row
+    broadcast, bounded by construction). No sort-merge join anywhere."""
+    p = plan(spark, "q221_domain_quality_propagation")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_event_transitions_normalizes_on_aggregate(spark):
+    """q222: exactly two logical Window nodes (each printed twice in
+    formatted output: tree + details) — the event-log lag and the
+    25-row normalizer. The normalizing window must sit ABOVE the hash
+    aggregate in the tree, i.e. it runs on the aggregate, never
+    re-sorting the events."""
+    p = plan(spark, "q222_event_transitions")
+    assert p.count("Window") == 4, p
+    tree = p.split("\n\n")[0]
+    win_above = tree.index("Window")
+    agg = tree.index("HashAggregate")
+    assert win_above < agg, tree  # top-down print: upper window first
+
+
+def test_q18_prunes_before_join_and_takes_ordered(spark):
+    """q223: the quantity sum is partial+final on l_orderkey (map-side
+    combine) with the HAVING filter applied to the aggregate BEFORE any
+    join; both detail joins are hash joins; the top-100 compiles to
+    TakeOrderedAndProject, never a global sort."""
+    p = plan(spark, "q223_tpch_q18_shape")
+    assert "TakeOrderedAndProject" in p, p
+    assert "SortMergeJoin" not in p and "NestedLoop" not in p, p
+    tree = p.split("\n\n")[0]
+    # HAVING filter node sits above the final HashAggregate, below joins
+    agg_pos = tree.index("HashAggregate")
+    join_pos = tree.index("BroadcastHashJoin")
+    assert join_pos < agg_pos, tree  # joins consume the filtered agg
