@@ -37,9 +37,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # q215_per_group_regression, q216_contrastive_pair_mining,
 # q217_point_in_time_join, q218_asof_join_tolerance, plus the
 # post-rotation additions q219_funnel_analysis, q220_cohort_retention,
-# q221_domain_quality_propagation, q222_event_transitions, and
-# q223_tpch_q18_shape are the never-verified entries the 50 slots
-# cannot fit — they ARE the r6 rotation queue. After this round
+# q221_domain_quality_propagation, q222_event_transitions,
+# q223_tpch_q18_shape, q224_last_touch_attribution,
+# q225_rank_blend_quality, and q226_rolling_event_rate are the
+# never-verified entries the 50 slots cannot fit — they ARE the r6 rotation queue. After this round
 # only those plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165
 # stream-stream outer replay rig) lack a driver row.

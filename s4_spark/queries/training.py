@@ -2806,3 +2806,80 @@ def q221(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q225_rank_blend_quality",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+               AS pr_len,
+             percent_rank() OVER (PARTITION BY lang ORDER BY ttr)
+               AS pr_ttr
+      FROM sig),
+    blended AS (
+      SELECT doc_id, lang,
+             (pr_len + pr_ttr) / 2 AS blend,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY (pr_len + pr_ttr) / 2 DESC, doc_id) AS rn
+      FROM ranked)
+    SELECT lang, doc_id, round(blend, 6) AS blend
+    FROM blended WHERE rn <= 5 ORDER BY lang, doc_id
+    """,
+    section="B12-training",
+)
+def q225(spark, sf_dir):
+    """Rank-blended quality scoring: two raw quality signals on
+    incomparable scales (document length, type-token ratio) are each
+    percent-rank-normalized WITHIN language, then averaged — the
+    scale-free signal fusion that makes a length signal and a ratio
+    signal addable without hand-tuned weights, and keeps one language's
+    distribution from dominating another's (FineWeb-style per-language
+    calibration). Top-5 per language by the blend.
+
+    Scale shape: all three windows (two percent_ranks, the top-5
+    row_number) share the lang partition, so ONE shuffle on lang
+    carries every window sort; the rn<=5 filter compiles to
+    WindowGroupLimit, which caps each lang's sorted run at 5 rows
+    before the row_number window materializes (the blend is computed
+    post-shuffle, so the limit cannot move below the exchange — but
+    the exchange is shared with the rank windows, costing nothing
+    extra). Ranks are rational values (k/(n-1)) computed identically in both
+    engines; ties in a signal get identical percent_rank by
+    definition, and the final order is doc_id-tie-broken."""
+    sig = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " "))
+        ).alias("ttr"),
+    )
+    wl = Window.partitionBy("lang")
+    ranked = sig.select(
+        "doc_id",
+        "lang",
+        F.percent_rank().over(wl.orderBy("n_chars")).alias("pr_len"),
+        F.percent_rank().over(wl.orderBy("ttr")).alias("pr_ttr"),
+    )
+    blend = ((F.col("pr_len") + F.col("pr_ttr")) / 2).alias("blend")
+    blended = ranked.select("doc_id", "lang", blend).select(
+        "doc_id",
+        "lang",
+        "blend",
+        F.row_number()
+        .over(wl.orderBy(F.col("blend").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return (
+        blended.filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.round("blend", 6).alias("blend"))
+        .orderBy("lang", "doc_id")
+    )

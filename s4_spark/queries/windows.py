@@ -506,3 +506,50 @@ def q222(spark, sf_dir):
             / F.sum("n").over(W.partitionBy("prev_type"))
         ).alias("p"),
     ).orderBy("prev_type", "next_type")
+
+
+@query(
+    "q226_rolling_event_rate",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(*) OVER (
+             PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_last_hour
+    FROM events ORDER BY event_id
+    """,
+    section="B5-windows",
+)
+def q226(spark, sf_dir):
+    """Rolling 1-hour event rate per type: for every event, how many
+    same-type events landed in the trailing hour — the sliding-window
+    rate behind alerting thresholds and burst detection, computed in
+    batch over the full log (the streaming analog is q092's sliding
+    window, which buckets instead of sliding per-row).
+
+    Scale shape: ONE range-frame window per event_type — a single sort
+    per partition; the frame is evaluated by Spark's sliding
+    range-frame machinery (two moving pointers over the sorted run),
+    O(n) per partition, no self-join against the hour interval (the
+    naive SQL spelling is events x events ON ts BETWEEN). The frame
+    bound is exact integer microseconds; the epoch anchor is an NTZ
+    diff (never a cast through LTZ, which would shift with the session
+    timezone), so peer groups are identical across engines and
+    sessions."""
+    epoch_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.count("*").over(w).cast("long").alias("n_last_hour"),
+        )
+        .orderBy("event_id")
+    )
