@@ -39,7 +39,8 @@ from s4_spark.queries import (  # noqa: F401,E402
 # post-rotation additions q219_funnel_analysis, q220_cohort_retention,
 # q221_domain_quality_propagation, q222_event_transitions,
 # q223_tpch_q18_shape, q224_last_touch_attribution,
-# q225_rank_blend_quality, and q226_rolling_event_rate are the
+# q225_rank_blend_quality, q226_rolling_event_rate,
+# q227_rfm_segmentation, and q228_weighted_sample are the
 # never-verified entries the 50 slots cannot fit — they ARE the r6 rotation queue. After this round
 # only those plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165

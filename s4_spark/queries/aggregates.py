@@ -1234,3 +1234,90 @@ def q220(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "q227_rfm_segmentation",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS now_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(floor((epoch_us(r.now_ts) - epoch_us(max(ts)))
+                        / 86400000000.0) AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS monetary
+      FROM events CROSS JOIN ref r
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, r.now_ts),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM per_user)
+    SELECT user_id, recency_days, frequency, round(monetary, 6) AS monetary,
+           r_score, f_score, m_score,
+           concat(r_score, f_score, m_score) AS segment
+    FROM scored ORDER BY user_id
+    """,
+    section="B4-aggregations",
+)
+def q227(spark, sf_dir):
+    """RFM segmentation: each user scored 1-4 on Recency (days since last
+    purchase, vs the corpus's latest event), Frequency (purchase
+    count), and Monetary (purchase value) via quartile ntiles — the
+    classic customer-segmentation aggregate ("111" = best quartile on
+    all three axes).
+
+    Scale shape: the heavy part — per-user R/F/M — is one partial+final
+    hash agg over the purchase log; the three ntile windows then run on
+    the AGGREGATED frame (one row per user), so the single-partition
+    window sort touches |users| rows, never events. At 10^9 users the
+    quartile boundaries would come from a two-phase quantile probe
+    (q192's pattern) with a broadcast-joined score lookup instead of a
+    global ntile sort; the per-user agg — the data-sized stage — is
+    unchanged. Recency is an exact integer µs diff (tz-independent);
+    monetary sums through the decimal-exact path so quartile ordering
+    can't be flipped by partial-agg order."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "purchase")
+    ref = ev.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.expr("timestampdiff(MICROSECOND, max(ts), max(now_ts))")
+                / F.lit(86400000000.0)
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            dsum("value").alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), "user_id"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 6).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+    ).orderBy("user_id")

@@ -2883,3 +2883,53 @@ def q225(spark, sf_dir):
         .select("lang", "doc_id", F.round("blend", 6).alias("blend"))
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "q228_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(
+               ln((('0x' || substr(md5(text), 1, 12))::BIGINT + 0.5)
+                  / 281474976710656.0) / n_chars,
+               6) AS es_key
+      FROM documents)
+    SELECT doc_id, lang, n_chars, es_key
+    FROM keyed ORDER BY es_key DESC, doc_id LIMIT 10
+    """,
+    section="B12-training",
+)
+def q228(spark, sf_dir):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each doc draws a content-hash uniform u in (0,1)
+    and ranks by ln(u)/weight (monotone-equivalent to the classic
+    u^(1/w) key); the top-k ranked docs ARE a weighted sample without
+    replacement, here weighted by n_chars so longer documents are
+    proportionally likelier — the length-weighted corpus subsampling
+    that uniform row sampling (q132) cannot express.
+
+    The uniform comes from the md5-prefix hash (corpus.hash_bucket's
+    48-bit extension), NOT rand(): task retries, re-runs, and engines
+    agree on every draw, so the sample is reproducible — the same
+    idempotence argument as q132/q178. Keys are rounded to 6 dp BEFORE
+    ranking on both engines (ln is the one non-correctly-rounded libm
+    call in the pipeline; at 6 dp the JVM and C library agree, and any
+    rounding tie breaks on doc_id identically).
+
+    Scale shape: the key is a narrow per-row projection (no shuffle);
+    top-k compiles to TakeOrderedAndProject — per-partition heaps of k,
+    never a global sort. At 100 TB this is one scan + a k-row result,
+    and per-stratum variants just add the stratum to a window
+    partitionBy."""
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("double")
+        + 0.5
+    ) / F.lit(281474976710656.0)
+    keyed = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 6).alias("es_key"),
+    )
+    return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(10)

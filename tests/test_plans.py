@@ -790,3 +790,26 @@ def test_rolling_rate_is_one_range_frame_window(spark):
     assert "Join" not in tree, tree
     assert tree.count("Window") == 1, tree
     assert "specifiedwindowframe(RangeFrame" in p or "RANGE" in p, p
+
+
+def test_rfm_windows_run_on_aggregate(spark):
+    """q227: the ntile windows must consume the per-user AGGREGATE (one
+    row per user), never raw events — in the tree the (partial+final)
+    hash aggregate pair sits below every Window node."""
+    p = plan(spark, "q227_rfm_segmentation")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 3, tree
+    last_window = tree.rindex("Window")
+    first_agg = tree.index("HashAggregate")
+    assert last_window < first_agg, tree  # top-down: windows above aggs
+
+
+def test_weighted_sample_takes_ordered(spark):
+    """q228: weighted top-k compiles to TakeOrderedAndProject
+    (per-partition k-heaps) over a shuffle-free keying projection — no
+    global sort, no exchange below the limit."""
+    p = plan(spark, "q228_weighted_sample")
+    tree = p.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange" not in tree, tree
+    assert "Window" not in tree, tree
