@@ -1321,3 +1321,74 @@ def q227(spark, sf_dir):
         "m_score",
         F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
     ).orderBy("user_id")
+
+
+@query(
+    "q230_winsorized_stats",
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(sum(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high,
+           round(CAST(SUM(CAST(
+               CASE WHEN e.value < t.lo THEN t.lo
+                    WHEN e.value > t.hi THEN t.hi
+                    ELSE e.value END AS DECIMAL(30,6))) AS DOUBLE)
+             / count(*), 6) AS winsorized_mean
+    FROM events e JOIN th t ON e.event_type = t.event_type
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    section="B4-aggregations",
+)
+def q230(spark, sf_dir):
+    """Winsorized (clipped) robust mean per event type: values outside
+    the [p5, p95] exact percentile band are clamped to the band edge
+    before averaging — the robust aggregate that keeps one fat-fingered
+    10^9 payment from moving a revenue dashboard, without discarding
+    rows like a trim would.
+
+    Scale shape: pass 1 computes per-type exact percentiles (Spark
+    `percentile` == DuckDB `quantile_cont`, identical linear
+    interpolation — the q038-verified parity); the |types|-row
+    threshold frame broadcasts back onto the second scan, so clipping
+    is a map-side projection and the final agg is partial+final with
+    the decimal-exact sum path. Exact percentiles buffer per-group
+    values; at 100 TB the declared scale path swaps pass 1 to
+    approx_percentile (q168's sketch) with identical downstream
+    plumbing."""
+    e = t(spark, sf_dir, "events")
+    th = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = e.join(F.broadcast(th), "event_type").select(
+        "event_type",
+        "value",
+        (F.col("value") < F.col("lo")).cast("int").alias("is_lo"),
+        (F.col("value") > F.col("hi")).cast("int").alias("is_hi"),
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+        .alias("wv"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_lo").cast("long").alias("n_clipped_low"),
+            F.sum("is_hi").cast("long").alias("n_clipped_high"),
+            F.round(
+                F.sum(F.col("wv").cast("decimal(30,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )

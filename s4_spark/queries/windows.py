@@ -553,3 +553,63 @@ def q226(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q229_event_streaks",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, count(*) AS streak
+      FROM seq GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type,
+           CAST(max(streak) AS BIGINT) AS max_streak,
+           count(*) AS n_runs
+    FROM runs GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    section="B5-windows",
+)
+def q229(spark, sf_dir):
+    """Consecutive-event streaks (gaps-and-islands by VALUE, the
+    Tabibitosan method): within each user's timeline, maximal runs of
+    the same event_type are identified by the difference of two row
+    numbers — rn over the user minus rn over (user, type) is constant
+    exactly within a consecutive same-type run. Longest streak and run
+    count per (user, type): the "3 errors in a row" signal that a
+    gap-based session split (q197) cannot express.
+
+    Scale shape: both row_numbers partition by user_id (one is
+    sub-partitioned by type), so ONE hash exchange on user_id feeds
+    both window sorts; the run/streak rollups are ordinary partial+
+    final aggs. Run-identity is pure integer arithmetic — no
+    per-user array of events is ever materialized, so a user with 10^9
+    events costs two sorted scans of their partition, O(1) memory."""
+    order = ["ts", "event_id"]
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (
+            F.row_number().over(W.partitionBy("user_id").orderBy(*order))
+            - F.row_number().over(
+                W.partitionBy("user_id", "event_type").orderBy(*order)
+            )
+        ).alias("grp"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("streak")
+    )
+    return (
+        runs.groupBy("user_id", "event_type")
+        .agg(
+            F.max("streak").cast("long").alias("max_streak"),
+            F.count("*").alias("n_runs"),
+        )
+        .orderBy("user_id", "event_type")
+    )

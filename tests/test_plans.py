@@ -813,3 +813,24 @@ def test_weighted_sample_takes_ordered(spark):
     assert "TakeOrderedAndProject" in tree, tree
     assert "Exchange" not in tree, tree
     assert "Window" not in tree, tree
+
+
+def test_streaks_share_one_user_exchange(spark):
+    """q229: both row_number windows hash-partition on user_id (one
+    sub-partitioned by type), so exactly ONE exchange feeds the window
+    pair; run identification adds no join."""
+    p = plan(spark, "q229_event_streaks")
+    tree = p.split("\n\n")[0]
+    assert "Join" not in tree, tree
+    # exchanges: user_id hash for the windows, two agg exchanges, final sort
+    win = tree.count("Window")
+    assert win == 2, tree
+
+
+def test_winsorized_thresholds_broadcast(spark):
+    """q230: the |types|-row percentile frame broadcasts onto the second
+    scan — clipping must be map-side (BroadcastHashJoin), never a
+    shuffle of events against thresholds."""
+    p = plan(spark, "q230_winsorized_stats")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
