@@ -36,10 +36,9 @@ from s4_spark.queries import (  # noqa: F401,E402
 # q213_image_resize_features, q214_manifest_time_travel,
 # q215_per_group_regression, q216_contrastive_pair_mining,
 # q217_point_in_time_join, q218_asof_join_tolerance, plus the
-# post-rotation additions q219_funnel_analysis, q220_cohort_retention,
+# post-rotation additions q219_windowed_funnel, q220_cohort_retention,
 # q221_domain_quality_propagation, q222_event_transitions,
-# q223_tpch_q18_shape, q224_last_touch_attribution,
-# q225_rank_blend_quality, q226_rolling_event_rate,
+# q223_tpch_q18_shape, q225_rank_blend_quality,
 # q227_rfm_segmentation, q228_weighted_sample,
 # q229_event_streaks, and q230_winsorized_stats are the
 # never-verified entries the 50 slots cannot fit — they ARE the r6 rotation queue. After this round

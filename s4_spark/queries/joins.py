@@ -896,57 +896,3 @@ def q223(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
-
-
-@query(
-    "q224_last_touch_attribution",
-    oracle="""
-    WITH purchases AS (
-      SELECT event_id, user_id, ts, value FROM events
-      WHERE event_type = 'purchase'),
-    clicks AS (
-      SELECT user_id, ts FROM events WHERE event_type = 'click')
-    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
-           c.ts AS click_ts,
-           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
-           p.value AS revenue
-    FROM purchases p ASOF LEFT JOIN clicks c
-      ON p.user_id = c.user_id AND c.ts <= p.ts
-    ORDER BY p.event_id
-    """,
-    section="B3-joins",
-)
-def q224(spark, sf_dir):
-    """Last-touch attribution: every purchase is credited to the user's
-    most recent click at or before it — the marketing-analytics join
-    behind channel revenue reports. Purchases with no prior click stay
-    unattributed (left-as-of), which the naive inner formulation
-    silently drops.
-
-    Reuses the q028 as-of operator (operators/asof.py) on a second
-    dataset: union-merge of both sides sorted within user_id, a
-    last_value carry-forward, one key shuffle — per-key cost is
-    O(clicks + purchases), never clicks x purchases, so a hot user
-    with a million clicks costs a scan, not a quadratic blowup."""
-    e = t(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
-    m = asof_join(
-        purchases,
-        clicks,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-    )
-    return m.select(
-        "event_id",
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.col("ts_asof").alias("click_ts"),
-        F.expr("timestampdiff(MICROSECOND, ts_asof, ts)")
-        .cast("long")
-        .alias("lag_us"),
-        F.col("value").alias("revenue"),
-    ).orderBy("event_id")

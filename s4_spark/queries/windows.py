@@ -368,18 +368,20 @@ def q197(spark, sf_dir):
 
 
 @query(
-    "q219_funnel_analysis",
+    "q219_windowed_funnel",
     oracle="""
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
       WHERE event_type = 'view' GROUP BY user_id),
     s2 AS (
       SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
-      FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
       WHERE e.event_type = 'click' GROUP BY e.user_id),
     s3 AS (
       SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
-      FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 48 HOUR
       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
     SELECT * FROM (
       SELECT 'step1_view' AS step, count(*) AS n_users,
@@ -395,11 +397,14 @@ def q197(spark, sf_dir):
     section="B5-windows",
 )
 def q219(spark, sf_dir):
-    """Ordered-step funnel (view -> click -> purchase): how many users
-    complete each step IN ORDER, and the cumulative lag from funnel
-    entry. Step N's timestamp must strictly follow step N-1's earliest
-    completion — the product-analytics query a naive per-type count
-    gets wrong (a click before the first view is not a conversion).
+    """WINDOWED funnel (view -> click -> purchase, each step within
+    48 h of the previous step's earliest completion): how many users
+    convert each step IN ORDER AND IN TIME, plus the cumulative lag
+    from funnel entry. The conversion deadline is what distinguishes
+    this from q145's unbounded funnel — a purchase three weeks after
+    the click counts there but not here, and the two entries
+    deliberately coexist as the two industry funnel semantics
+    (unbounded vs windowed).
 
     Scale shape: three per-user min-aggregations chained by user_id
     equi-joins — every shuffle is on the SAME key, so one hash
@@ -414,17 +419,24 @@ def q219(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
     )
+    deadline = F.expr("INTERVAL 48 HOURS")
     s2 = (
         e.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + deadline)
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
     )
     s3 = (
         e.filter(F.col("event_type") == "purchase")
         .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + deadline)
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
     )
@@ -506,53 +518,6 @@ def q222(spark, sf_dir):
             / F.sum("n").over(W.partitionBy("prev_type"))
         ).alias("p"),
     ).orderBy("prev_type", "next_type")
-
-
-@query(
-    "q226_rolling_event_rate",
-    oracle="""
-    SELECT event_id, event_type,
-           CAST(count(*) OVER (
-             PARTITION BY event_type ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS n_last_hour
-    FROM events ORDER BY event_id
-    """,
-    section="B5-windows",
-)
-def q226(spark, sf_dir):
-    """Rolling 1-hour event rate per type: for every event, how many
-    same-type events landed in the trailing hour — the sliding-window
-    rate behind alerting thresholds and burst detection, computed in
-    batch over the full log (the streaming analog is q092's sliding
-    window, which buckets instead of sliding per-row).
-
-    Scale shape: ONE range-frame window per event_type — a single sort
-    per partition; the frame is evaluated by Spark's sliding
-    range-frame machinery (two moving pointers over the sorted run),
-    O(n) per partition, no self-join against the hour interval (the
-    naive SQL spelling is events x events ON ts BETWEEN). The frame
-    bound is exact integer microseconds; the epoch anchor is an NTZ
-    diff (never a cast through LTZ, which would shift with the session
-    timezone), so peer groups are identical across engines and
-    sessions."""
-    epoch_us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-    )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy(epoch_us)
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return (
-        t(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            "event_type",
-            F.count("*").over(w).cast("long").alias("n_last_hour"),
-        )
-        .orderBy("event_id")
-    )
 
 
 @query(

@@ -711,11 +711,11 @@ def test_point_in_time_join_rides_equi_key(spark):
 
 
 def test_funnel_has_no_window_and_broadcasts_step_frames(spark):
-    """q219: the funnel is pure chained aggregation — no window sort over
+    """q219: the windowed funnel is pure chained aggregation — no window sort over
     the event log ever appears, every join is a hash join with the
     one-row-per-user step frame on the build side, and each step's
     min-agg is partial+final (Exchange between two HashAggregates)."""
-    p = plan(spark, "q219_funnel_analysis")
+    p = plan(spark, "q219_windowed_funnel")
     assert "Window" not in p, p
     assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -760,17 +760,6 @@ def test_q18_prunes_before_join_and_takes_ordered(spark):
     assert join_pos < agg_pos, tree  # joins consume the filtered agg
 
 
-def test_attribution_is_single_union_merge_window(spark):
-    """q224: the as-of reuse must keep the operator's cost profile —
-    one Union of both event slices, ONE window over one key exchange,
-    no join node of any kind (the merge IS the join)."""
-    p = plan(spark, "q224_last_touch_attribution")
-    tree = p.split("\n\n")[0]
-    assert "Join" not in tree, tree
-    assert tree.count("Union") == 1, tree
-    assert tree.count("Window") == 1, tree
-
-
 def test_rank_blend_shares_one_exchange_and_group_limits(spark):
     """q225: three lang-partitioned windows ride ONE hash exchange (a
     second Exchange appears only for the final global orderBy), and the
@@ -780,16 +769,6 @@ def test_rank_blend_shares_one_exchange_and_group_limits(spark):
     tree = p.split("\n\n")[0]
     assert tree.count("Window (") == 3, tree
     assert tree.count("Exchange") == 2, tree  # lang hash + final sort
-
-
-def test_rolling_rate_is_one_range_frame_window(spark):
-    """q226: the trailing-hour count is ONE range-frame window — never a
-    self-join of events against the hour interval."""
-    p = plan(spark, "q226_rolling_event_rate")
-    tree = p.split("\n\n")[0]
-    assert "Join" not in tree, tree
-    assert tree.count("Window") == 1, tree
-    assert "specifiedwindowframe(RangeFrame" in p or "RANGE" in p, p
 
 
 def test_rfm_windows_run_on_aggregate(spark):
