@@ -578,3 +578,75 @@ def q229(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q231_cusum_changepoint",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value AS DECIMAL(30,6)) - 100)
+               OVER w AS cum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+    s AS (
+      SELECT user_id,
+             cum - least(min(cum) OVER w2, 0) AS cusum
+      FROM c
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING))
+    SELECT user_id,
+           round(CAST(max(cusum) AS DOUBLE), 6) AS max_cusum,
+           CAST(sum(CASE WHEN cusum > 150 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alerts
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    section="B5-windows",
+)
+def q231(spark, sf_dir):
+    """CUSUM change-point detection per user (Page 1954): the upward
+    cumulative sum s_i = max(0, s_{i-1} + (x_i - target)) flags
+    sustained drift above the target that no single-point threshold
+    catches; max_cusum and alert counts (s > h) per user.
+
+    The recurrence looks like it needs a sequential per-key fold (the
+    applyInPandas tier) — but the classic prefix identity
+    s_i = c_i - min(0, min_{j<=i} c_j), with c the running sum of
+    (x - target), turns it into TWO stacked running-window passes that
+    stay entirely JVM-side. Scale shape: both windows and the final agg
+    partition on user_id — one exchange, two sequential scans per
+    partition, O(1) state per row. Arithmetic is decimal-exact end to
+    end (running sums of 2-decimal values), so accumulator drift can't
+    desync the s > h alert comparisons across engines — a float CUSUM
+    would."""
+    order = ["ts", "event_id"]
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t(spark, sf_dir, "events").select(
+        "user_id",
+        *order,
+        F.sum(F.col("value").cast("decimal(30,6)") - 100)
+        .over(wrun)
+        .alias("cum"),
+    )
+    s = c.select(
+        "user_id",
+        (
+            F.col("cum")
+            - F.least(F.min("cum").over(wrun), F.lit(0).cast("decimal(30,6)"))
+        ).alias("cusum"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.round(F.max("cusum").cast("double"), 6).alias("max_cusum"),
+            F.sum((F.col("cusum") > 150).cast("int"))
+            .cast("long")
+            .alias("n_alerts"),
+        )
+        .orderBy("user_id")
+    )

@@ -813,3 +813,17 @@ def test_winsorized_thresholds_broadcast(spark):
     p = plan(spark, "q230_winsorized_stats")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_cusum_stacks_windows_on_one_exchange(spark):
+    """q231: the prefix-min identity must keep CUSUM JVM-side as two
+    STACKED running windows over a single user_id exchange — no second
+    sort, no Python evaluator, and the per-user agg stays partition-
+    local (its aggregate pair has no exchange between the two
+    HashAggregates; the only other exchange is the final orderBy)."""
+    p = plan(spark, "q231_cusum_changepoint")
+    tree = p.split("\n\n")[0]
+    assert tree.count("Window") == 2, tree
+    assert tree.count("Sort") == 2, tree  # window sort + final orderBy
+    assert tree.count("Exchange") == 2, tree
+    assert "Python" not in p, p
