@@ -896,3 +896,71 @@ def q223(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "q232_tpch_q21_shape",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+    section="B3-joins",
+)
+def q232(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept the order waiting): late
+    lineitems whose supplier was the ONLY late one in a multi-supplier
+    order — the classic double-correlated EXISTS / NOT EXISTS query,
+    the hardest join shape in the TPC-H suite. "Late" adapts to this
+    schema as shipped >30 days after the order date.
+
+    The Spark side is the HAND-DECORRELATED aggregate form: one pass
+    flags lateness, one per-order aggregate computes (distinct
+    suppliers, distinct LATE suppliers), the filter n_supp>1 AND
+    n_late_supp=1 replaces both correlated subqueries, and the late
+    rows join back to the qualifying orders. The oracle keeps the
+    textbook EXISTS spelling — the hash match PROVES the rewrite. At
+    scale the rewrite is the difference between three shuffles of
+    lineitem on one shared orderkey partitioning (partial-agg'd,
+    AQE-broadcast join-back) and two correlated re-probes of the fact
+    table per row; supplier (a dim) broadcasts at the end."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("late"),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    target = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select("l_orderkey")
+    waits = flagged.filter(F.col("late")).join(target, "l_orderkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waits.join(F.broadcast(s), waits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

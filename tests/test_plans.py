@@ -827,3 +827,15 @@ def test_cusum_stacks_windows_on_one_exchange(spark):
     assert tree.count("Sort") == 2, tree  # window sort + final orderBy
     assert tree.count("Exchange") == 2, tree
     assert "Python" not in p, p
+
+
+def test_q21_decorrelation_shares_orderkey_partitioning(spark):
+    """q232: the hand-decorrelated Q21 must contain NO correlated
+    re-probe artifacts — no nested-loop join anywhere — and the
+    qualifying-order join-back rides hash joins (AQE broadcasts the
+    aggregated side); the supplier dim broadcasts; final top-20 is
+    TakeOrderedAndProject."""
+    p = plan(spark, "q232_tpch_q21_shape")
+    assert "NestedLoop" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p

@@ -375,3 +375,44 @@ def test_asof_join_matches_reference(spark, lrows, rrows):
                  if rk == k and rv <= v]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+
+
+cents = st.lists(st.integers(-50000, 50000), min_size=1, max_size=30)
+
+
+@given(vals=cents, target_cents=st.integers(-10000, 10000))
+@SETTINGS
+def test_cusum_prefix_min_identity_matches_naive_fold(spark, vals, target_cents):
+    """q231's window formulation — cusum = running_sum(x - k) minus the
+    clamped running minimum — must equal the textbook sequential
+    recurrence s_i = max(0, s_{i-1} + x_i - k) for EVERY sequence and
+    target. Exact decimal arithmetic on both sides (values are cents),
+    so equality is exact, not approximate."""
+    from decimal import Decimal
+    from pyspark.sql import Window as W
+
+    k = Decimal(target_cents) / 100
+    xs = [Decimal(c) / 100 for c in vals]
+    s, naive = Decimal(0), []
+    for x in xs:
+        s = max(Decimal(0), s + x - k)
+        naive.append(s)
+
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "i int, v double"
+    )
+    wrun = W.orderBy("i").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum(
+        F.col("v").cast("decimal(30,6)") - F.lit(float(k)).cast("decimal(30,6)")
+    ).over(wrun)
+    got = [
+        r.cusum
+        for r in df.select(
+            "i",
+            (cum - F.least(F.min(cum).over(wrun), F.lit(0).cast("decimal(30,6)")))
+            .alias("cusum"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert [Decimal(g) for g in got] == naive
