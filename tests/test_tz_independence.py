@@ -31,6 +31,12 @@ TZ_SENSITIVE = [
     "q171_state_store_introspection",
     "q196_scd2_history",
     "q197_batch_sessionization",
+    "q219_windowed_funnel",
+    "q220_cohort_retention",
+    "q222_event_transitions",
+    "q227_rfm_segmentation",
+    "q229_event_streaks",
+    "q231_cusum_changepoint",
 ]
 
 
