@@ -2892,7 +2892,7 @@ def q225(spark, sf_dir):
       SELECT doc_id, lang, n_chars,
              round(
                ln((('0x' || substr(md5(text), 1, 12))::BIGINT + 0.5)
-                  / 281474976710656.0) / n_chars,
+                  / 281474976710656.0) / greatest(n_chars, 1),
                6) AS es_key
       FROM documents)
     SELECT doc_id, lang, n_chars, es_key
@@ -2930,6 +2930,11 @@ def q228(spark, sf_dir):
         "doc_id",
         "lang",
         "n_chars",
-        F.round(F.log(u) / F.col("n_chars"), 6).alias("es_key"),
+        # greatest(.,1): ANSI mode throws on /0 — a zero-length doc
+        # (possible on other corpora) must degrade to weight 1, not
+        # kill the job (SCALE.md division audit).
+        F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
+            "es_key"
+        ),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(10)
