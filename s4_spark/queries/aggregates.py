@@ -1191,8 +1191,8 @@ def q205(spark, sf_dir):
       SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
     joined AS (
       SELECT date_trunc('week', f.first_ts) AS cohort_week,
-             CAST(floor(date_diff('second', f.first_ts, e.ts) / 604800.0)
-                  AS BIGINT) AS week_offset,
+             CAST(floor((epoch_us(e.ts) - epoch_us(f.first_ts))
+                        / 604800000000.0) AS BIGINT) AS week_offset,
              e.user_id
       FROM events e JOIN first_seen f ON e.user_id = f.user_id)
     SELECT cohort_week, week_offset,
@@ -1222,8 +1222,13 @@ def q220(spark, sf_dir):
     first_seen = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     joined = e.join(first_seen, "user_id").select(
         F.date_trunc("week", F.col("first_ts")).alias("cohort_week"),
+        # MICROSECOND, not SECOND: DuckDB date_diff counts boundary
+        # crossings, Spark timestampdiff truncates — at second
+        # granularity they disagree by 0/1 per row and a week-boundary
+        # event lands in different retention buckets per engine.
         F.floor(
-            F.expr("timestampdiff(SECOND, first_ts, ts)") / F.lit(604800.0)
+            F.expr("timestampdiff(MICROSECOND, first_ts, ts)")
+            / F.lit(604800000000.0)
         )
         .cast("long")
         .alias("week_offset"),
@@ -1337,14 +1342,15 @@ def q227(spark, sf_dir):
              AS n_clipped_low,
            CAST(sum(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END) AS BIGINT)
              AS n_clipped_high,
-           round(CAST(SUM(CAST(
-               CASE WHEN e.value < t.lo THEN t.lo
-                    WHEN e.value > t.hi THEN t.hi
-                    ELSE e.value END AS DECIMAL(30,6))) AS DOUBLE)
-             / count(*), 6) AS winsorized_mean
+           round({wmean}, 6) AS winsorized_mean
     FROM events e JOIN th t ON e.event_type = t.event_type
     GROUP BY e.event_type ORDER BY e.event_type
-    """,
+    """.format(
+        wmean=sql_davg(
+            "CASE WHEN e.value < t.lo THEN t.lo"
+            " WHEN e.value > t.hi THEN t.hi ELSE e.value END"
+        )
+    ),
     section="B4-aggregations",
 )
 def q230(spark, sf_dir):
@@ -1384,11 +1390,7 @@ def q230(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum("is_lo").cast("long").alias("n_clipped_low"),
             F.sum("is_hi").cast("long").alias("n_clipped_high"),
-            F.round(
-                F.sum(F.col("wv").cast("decimal(30,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("winsorized_mean"),
+            F.round(davg("wv"), 6).alias("winsorized_mean"),
         )
         .orderBy("event_type")
     )

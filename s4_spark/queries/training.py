@@ -2893,7 +2893,7 @@ def q225(spark, sf_dir):
              round(
                ln((('0x' || substr(md5(text), 1, 12))::BIGINT + 0.5)
                   / 281474976710656.0) / greatest(n_chars, 1),
-               6) AS es_key
+               6) + 0.0 AS es_key
       FROM documents)
     SELECT doc_id, lang, n_chars, es_key
     FROM keyed ORDER BY es_key DESC, doc_id LIMIT 10
@@ -2933,8 +2933,12 @@ def q228(spark, sf_dir):
         # greatest(.,1): ANSI mode throws on /0 — a zero-length doc
         # (possible on other corpora) must degrade to weight 1, not
         # kill the job (SCALE.md division audit).
-        F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 6).alias(
-            "es_key"
-        ),
+        # + 0.0 canonicalizes IEEE signed zero: a tiny negative key
+        # rounds to -0.0 in DuckDB but +0.0 in Spark (BigDecimal
+        # HALF_UP), and the driver's string compare sees them differ.
+        (
+            F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(10)
