@@ -416,3 +416,40 @@ def test_cusum_prefix_min_identity_matches_naive_fold(spark, vals, target_cents)
         .collect()
     ]
     assert [Decimal(g) for g in got] == naive
+
+
+seqs = st.lists(st.sampled_from("abc"), min_size=1, max_size=40)
+
+
+@given(seq=seqs)
+@SETTINGS
+def test_streak_islands_match_naive_run_length(spark, seq):
+    """q229's two-row_number island identity must reproduce a naive
+    run-length encoding for every sequence: per value, the longest run
+    and the number of runs."""
+    from pyspark.sql import Window as W
+    import itertools
+
+    naive: dict[str, list[int]] = {}
+    for val, grp in itertools.groupby(seq):
+        naive.setdefault(val, []).append(len(list(grp)))
+    want = {
+        v: (max(runs), len(runs)) for v, runs in naive.items()
+    }
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(seq)], "i int, v string"
+    )
+    grp = (
+        F.row_number().over(W.orderBy("i"))
+        - F.row_number().over(W.partitionBy("v").orderBy("i"))
+    ).alias("grp")
+    runs = (
+        df.select("v", grp)
+        .groupBy("v", "grp")
+        .agg(F.count("*").alias("streak"))
+        .groupBy("v")
+        .agg(F.max("streak").alias("mx"), F.count("*").alias("n_runs"))
+    )
+    got = {r.v: (r.mx, r.n_runs) for r in runs.collect()}
+    assert got == want
