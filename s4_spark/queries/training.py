@@ -2942,3 +2942,99 @@ def q228(spark, sf_dir):
         ).alias("es_key"),
     )
     return keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(10)
+
+
+@query(
+    "q233_training_pipeline_e2e",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr
+      FROM documents),
+    f AS (SELECT * FROM q WHERE n_tok >= 20 AND ttr >= 0.25),
+    src AS (
+      SELECT source,
+             CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / count(*) AS savg
+      FROM f GROUP BY source),
+    g AS (
+      SELECT CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / count(*) AS gavg
+      FROM f),
+    dom AS (
+      SELECT f.* FROM f JOIN src ON f.source = src.source CROSS JOIN g
+      WHERE src.savg >= 0.95 * g.gavg),
+    dd AS (
+      SELECT * FROM dom
+      WHERE doc_id IN (SELECT min(doc_id) FROM dom GROUP BY md5(text))),
+    sp AS (
+      SELECT lang, n_tok,
+             CASE WHEN (('0x' || substr(md5(text), 1, 6))::BIGINT % 1000)
+                       < 900
+                  THEN 'train' ELSE 'val' END AS split
+      FROM dd)
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+    FROM sp GROUP BY split, lang ORDER BY split, lang
+    """,
+    section="B12-training",
+)
+def q233(spark, sf_dir):
+    """End-to-end training-corpus pipeline, second flagship beside q130:
+    doc-level quality gate (length + type-token ratio) → domain-level
+    quality propagation (q221's rule over the SURVIVORS — stage order
+    matters: a domain is judged on its post-filter docs) → exact dedup
+    (keep lowest doc_id per content hash) → deterministic train/val
+    split (q132/q178's content-hash buckets) → per-(split, lang)
+    counts and token volume. The oracle rebuilds all five stages as
+    CTEs, so the hash match certifies the COMPOSITION, not just each
+    stage alone — the class of bug it catches is a stage reordering or
+    a filter applied to the wrong frame, which per-stage oracles can't.
+
+    Scale shape: one doc-sized scan feeds everything; the two quality
+    verdicts broadcast back (|sources| + 1 rows); dedup is one
+    md5-keyed partial+final agg and a left-semi join on doc_id (the
+    kept-id set, AQE-broadcast when small); the split adds no shuffle
+    (hash bucket is a projection). Nothing in the chain materializes —
+    Catalyst pipelines the five stages into one job."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    q = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(w).alias("n_tok"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("ttr"),
+    )
+    f = q.filter((F.col("n_tok") >= 20) & (F.col("ttr") >= 0.25))
+    src = f.groupBy("source").agg(
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("savg")
+    )
+    g = f.agg((F.sum("n_tok").cast("double") / F.count("*")).alias("gavg"))
+    dom = (
+        f.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(g))
+        .filter(F.col("savg") >= 0.95 * F.col("gavg"))
+    )
+    keeps = (
+        dom.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    dd = dom.join(keeps, "doc_id", "left_semi")
+    sp = dd.select(
+        "lang",
+        "n_tok",
+        F.when(C.hash_bucket(F.col("text")) < 900, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+    return (
+        sp.groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

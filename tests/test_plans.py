@@ -839,3 +839,18 @@ def test_q21_decorrelation_shares_orderkey_partitioning(spark):
     assert "NestedLoop" not in p, p
     assert "TakeOrderedAndProject" in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_pipeline_e2e_composes_without_sort_merge(spark):
+    """q233: the five-stage pipeline must compose into broadcast-side
+    verdicts (domain + corpus stats), a hash left-semi for dedup, and
+    zero sort-merge joins; the only nested-loop is the bounded 1-row
+    corpus-stat cross join."""
+    p = plan(spark, "q233_training_pipeline_e2e")
+    assert "SortMergeJoin" not in p, p
+    assert "LeftSemi" in p, p
+    assert "BroadcastHashJoin" in p, p
+    import re
+
+    nlj = re.findall(r"Broadcast\w*NestedLoopJoin \w+", p)
+    assert all("Cross" in x for x in nlj), nlj
