@@ -83,3 +83,68 @@ def test_window_outputs_are_hashable_scalars(spark, name):
         if f.dataType.typeName().startswith(UNHASHABLE_TYPES)
     ]
     assert not bad, f"{name} emits unhashable columns {bad}"
+
+
+# The r6 rotation queue (the never-verified oracle-backed entries the
+# current 50 slots cannot fit — mirrors the comment in
+# s4_spark/queries/__init__.py). They WILL be windowed next round, so
+# their outputs must already satisfy the driver's hashable-scalar
+# constraint; catching an array/map/binary column now beats a red
+# CORRECTNESS row after rotation. This list self-obsoletes when the
+# rotation lands and DRIVER_WINDOW covers these names.
+R6_QUEUE = [
+    "q210_balanced_write",
+    "q211_audio_segment_plumbing",
+    "q212_packed_loss_masks",
+    "q213_image_resize_features",
+    "q214_manifest_time_travel",
+    "q215_per_group_regression",
+    "q216_contrastive_pair_mining",
+    "q217_point_in_time_join",
+    "q218_asof_join_tolerance",
+    "q219_windowed_funnel",
+    "q220_cohort_retention",
+    "q221_domain_quality_propagation",
+    "q222_event_transitions",
+    "q223_tpch_q18_shape",
+    "q225_rank_blend_quality",
+    "q227_rfm_segmentation",
+    "q228_weighted_sample",
+    "q229_event_streaks",
+    "q230_winsorized_stats",
+    "q231_cusum_changepoint",
+    "q232_tpch_q21_shape",
+    "q233_training_pipeline_e2e",
+]
+
+
+def test_r6_queue_is_exactly_the_never_windowed_oracled_entries():
+    windowed = set(DRIVER_WINDOW)
+    expect = sorted(
+        n
+        for n, q in REGISTRY.items()
+        if q.oracle is not None and n not in windowed and n not in ORACLED_SEEN
+    )
+    assert sorted(R6_QUEUE) == expect, (set(R6_QUEUE) ^ set(expect))
+
+
+def _correctness_seen() -> set[str]:
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r0*.json"))):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    return seen
+
+
+ORACLED_SEEN = _correctness_seen()
+
+
+@pytest.mark.parametrize("name", R6_QUEUE)
+def test_r6_queue_outputs_are_hashable_scalars(spark, name):
+    df = REGISTRY[name].fn(spark, SMOKE_SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName().startswith(UNHASHABLE_TYPES)
+    ]
+    assert not bad, f"{name} emits unhashable columns {bad}"
