@@ -591,8 +591,13 @@ def q229(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING)),
     s AS (
+      -- CASE, not least(): DuckDB's least() promotes DECIMAL args to
+      -- DOUBLE, which puts float epsilon into cusum and can flip the
+      -- > 150 alert comparison on an exactly-150 row (seen at sf0.1).
       SELECT user_id,
-             cum - least(min(cum) OVER w2, 0) AS cusum
+             cum - (CASE WHEN min(cum) OVER w2 < 0
+                         THEN min(cum) OVER w2
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS cusum
       FROM c
       WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING))
@@ -633,11 +638,15 @@ def q231(spark, sf_dir):
         .over(wrun)
         .alias("cum"),
     )
+    # CASE mirror of the oracle (DuckDB least() would go DOUBLE there;
+    # Spark's least stays decimal, but both sides use the same spelling
+    # so the types provably match).
+    rmin = F.min("cum").over(wrun)
     s = c.select(
         "user_id",
         (
             F.col("cum")
-            - F.least(F.min("cum").over(wrun), F.lit(0).cast("decimal(30,6)"))
+            - F.when(rmin < 0, rmin).otherwise(F.lit(0).cast("decimal(38,6)"))
         ).alias("cusum"),
     )
     return (

@@ -405,12 +405,17 @@ def test_cusum_prefix_min_identity_matches_naive_fold(spark, vals, target_cents)
     cum = F.sum(
         F.col("v").cast("decimal(30,6)") - F.lit(float(k)).cast("decimal(30,6)")
     ).over(wrun)
+    rmin = F.min(cum).over(wrun)
     got = [
         r.cusum
         for r in df.select(
             "i",
-            (cum - F.least(F.min(cum).over(wrun), F.lit(0).cast("decimal(30,6)")))
-            .alias("cusum"),
+            (
+                cum
+                - F.when(rmin < 0, rmin).otherwise(
+                    F.lit(0).cast("decimal(38,6)")
+                )
+            ).alias("cusum"),
         )
         .orderBy("i")
         .collect()
