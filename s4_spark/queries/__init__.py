@@ -41,7 +41,8 @@ from s4_spark.queries import (  # noqa: F401,E402
 # q223_tpch_q18_shape, q225_rank_blend_quality,
 # q227_rfm_segmentation, q228_weighted_sample,
 # q229_event_streaks, q230_winsorized_stats, q231_cusum_changepoint,
-# q232_tpch_q21_shape, and q233_training_pipeline_e2e are the
+# q232_tpch_q21_shape, q233_training_pipeline_e2e, and
+# q234_streaming_funnel are the
 # never-verified entries the 50 slots cannot fit — they ARE the r6 rotation queue. After this round
 # only those plus the 4 rows-only-by-design entries (q008 console
 # sink, q094 watermark replay rig, q162 k-means property tests, q165

@@ -744,3 +744,117 @@ def q209(spark, sf_dir):
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+@query(
+    "q234_streaming_funnel",
+    # Identical SQL to q219's batch windowed funnel: the stream's final
+    # state must equal the batch computation (kappa pairing).
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT 'step1_view' AS step, count(*) AS n_users,
+             CAST(0 AS BIGINT) AS total_lag_us FROM s1
+      UNION ALL
+      SELECT 'step2_click', count(*),
+             CAST(sum(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 'step3_purchase', count(*),
+             CAST(sum(epoch_us(t3) - epoch_us(t1)) AS BIGINT) FROM s3
+    ) ORDER BY step
+    """,
+    section="B9-streaming",
+)
+def q234(spark, sf_dir):
+    """Streaming windowed funnel (the real-time twin of q219): each
+    user's funnel progress lives in GroupState as three timestamps —
+    first view, first in-deadline click after it, first in-deadline
+    purchase after that. The state machine advances monotonically
+    (each slot is written once), so in update mode the latest emission
+    per user IS the funnel position, and the availableNow final state
+    aggregates to exactly the batch funnel — the oracle is q219's SQL
+    verbatim, which is the strongest batch-equivalence check the
+    driver can run on a stateful stream.
+
+    State per user is THREE int64 microsecond instants — O(1)
+    regardless of event volume, the property that lets this run
+    forever on an unbounded stream (no per-user event buffer; compare
+    q179's watermark-evicted dedup state). Within a micro-batch rows
+    sort by (ts, event_id) before the fold; cross-batch order relies
+    on source order, the standard in-order-ingest caveat every
+    event-time state machine documents (a production deployment pairs
+    it with a watermark reordering buffer). Lag math is pure integer
+    microseconds on UTC-pinned instants — session-timezone-safe."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    DEADLINE_US = 48 * 3600 * 1_000_000
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+
+    def funnel(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            pdf = pd.concat(batch).sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+            for et, t_us in zip(pdf["event_type"].values, ts_us):
+                t_us = int(t_us)
+                if t1 < 0:
+                    if et == "view":
+                        t1 = t_us
+                elif t2 < 0:
+                    if et == "click" and t1 < t_us <= t1 + DEADLINE_US:
+                        t2 = t_us
+                elif t3 < 0:
+                    if et == "purchase" and t2 < t_us <= t2 + DEADLINE_US:
+                        t3 = t_us
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType="user_id long, t1 long, t2 long, t3 long",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    snap = run_to_memory(out, mode="update", tag="q234")
+    # Update mode may emit one row per user per micro-batch; slots are
+    # write-once so max() recovers the final state under any batching.
+    final = snap.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+
+    def step(flag_col, label, end_col):
+        lag = (
+            F.lit(0).cast("long")
+            if end_col is None
+            else F.sum(
+                F.when(F.col(flag_col) >= 0, F.col(end_col) - F.col("t1"))
+            ).cast("long")
+        )
+        return final.filter(F.col(flag_col) >= 0).agg(
+            F.lit(label).alias("step"),
+            F.count("*").alias("n_users"),
+            lag.alias("total_lag_us"),
+        )
+
+    return (
+        step("t1", "step1_view", None)
+        .unionAll(step("t2", "step2_click", "t2"))
+        .unionAll(step("t3", "step3_purchase", "t3"))
+        .orderBy("step")
+    )

@@ -115,6 +115,7 @@ R6_QUEUE = [
     "q231_cusum_changepoint",
     "q232_tpch_q21_shape",
     "q233_training_pipeline_e2e",
+    "q234_streaming_funnel",
 ]
 
 
