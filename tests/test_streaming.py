@@ -232,3 +232,126 @@ def test_q209_index_batch_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(index_dir).collect()
     )
     assert second == first
+
+
+def test_q234_funnel_state_survives_multi_batch(spark, tmp_path):
+    """q234's correctness test runs availableNow over one landing file =
+    ONE micro-batch, so it never exercises cross-batch GroupState or
+    the claim that max() recovers the final state when update mode
+    emits one row per user per batch. Force 3 micro-batches
+    (maxFilesPerTrigger=1 over 3 time-ordered files) and assert the
+    aggregated funnel equals the single-batch result."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from s4_spark.catalog import table
+    from s4_spark.streaming.rigs import ntz_as_utc_instant
+
+    # time-ordered thirds so cross-batch arrival respects event order
+    ev = table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    n = ev.count()
+    ordered = ev.orderBy("ts", "event_id").collect()
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    third = (n + 2) // 3
+    for i in range(3):
+        rows = ordered[i * third : (i + 1) * third]
+        spark.createDataFrame(rows, ev.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"stage{i}"))
+        part = next(
+            p
+            for p in os.listdir(str(tmp_path / f"stage{i}"))
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.rename(
+            str(tmp_path / f"stage{i}" / part),
+            os.path.join(landing, f"{i:03d}.parquet"),
+        )
+
+    DEADLINE_US = 48 * 3600 * 1_000_000
+
+    def funnel(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            pdf = pd.concat(batch).sort_values(["ts", "event_id"])
+            ts_us = (
+                pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+                // 1000
+            )
+            for et, t_us in zip(pdf["event_type"].values, ts_us):
+                t_us = int(t_us)
+                if t1 < 0:
+                    if et == "view":
+                        t1 = t_us
+                elif t2 < 0:
+                    if et == "click" and t1 < t_us <= t1 + DEADLINE_US:
+                        t2 = t_us
+                elif t3 < 0:
+                    if et == "purchase" and t2 < t_us <= t2 + DEADLINE_US:
+                        t3 = t_us
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
+        )
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(landing)
+    )
+    if stream.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        stream = stream.withColumn("ts", ntz_as_utc_instant("ts"))
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType="user_id long, t1 long, t2 long, t3 long",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "q234_multibatch_test"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(name)
+    # update mode over 3 batches: multiple rows per user; write-once
+    # slots make max() the final state
+    assert snap.count() > snap.select("user_id").distinct().count(), (
+        "test must actually exercise multiple emissions per user"
+    )
+    final = (
+        snap.groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+        .orderBy("user_id")
+        .collect()
+    )
+    # compare against the registry entry's own (single-batch) result
+    got_steps = {
+        "step1": sum(1 for r in final if r.t1 >= 0),
+        "step2": sum(1 for r in final if r.t2 >= 0),
+        "step3": sum(1 for r in final if r.t3 >= 0),
+    }
+    single = {
+        r.step: r.n_users
+        for r in REGISTRY["q234_streaming_funnel"].fn(spark, SF_DIR).collect()
+    }
+    assert got_steps["step1"] == single["step1_view"]
+    assert got_steps["step2"] == single["step2_click"]
+    assert got_steps["step3"] == single["step3_purchase"]
