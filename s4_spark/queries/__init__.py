@@ -26,90 +26,87 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-5 rotation: rounds 1-4 drove 132 distinct entries green; this
-# window holds 48 of the 57 never-verified oracle-backed entries
-# (q041 q042 q048 q049 q106 q109 q159 q163 q167 q168 q169 q171 q173
-# q175-q185 minus the rows-only ones, plus new q186-q209) and 2
-# already-green canaries for the families with no never-verified
-# entries left (B2: q011, B6: q061). q210_balanced_write,
-# q211_audio_segment_plumbing, q212_packed_loss_masks,
-# q213_image_resize_features, q214_manifest_time_travel,
-# q215_per_group_regression, q216_contrastive_pair_mining,
-# q217_point_in_time_join, q218_asof_join_tolerance, plus the
-# post-rotation additions q219_windowed_funnel, q220_cohort_retention,
-# q221_domain_quality_propagation, q222_event_transitions,
-# q223_tpch_q18_shape, q225_rank_blend_quality,
-# q227_rfm_segmentation, q228_weighted_sample,
-# q229_event_streaks, q230_winsorized_stats, q231_cusum_changepoint,
-# q232_tpch_q21_shape, q233_training_pipeline_e2e, and
-# q234_streaming_funnel are the
-# never-verified entries the 50 slots cannot fit — they ARE the r6 rotation queue. After this round
-# only those plus the 4 rows-only-by-design entries (q008 console
-# sink, q094 watermark replay rig, q162 k-means property tests, q165
-# stream-stream outer replay rig) lack a driver row.
+# Round-6 rotation (the final one): rounds 1-5 drove 179 distinct
+# entries green; this window holds ALL 23 remaining never-verified
+# oracle-backed entries (q210-q223, q225, q227-q234 — the r5-pinned
+# R6_QUEUE, pre-validated on a vanilla session late round 5), plus
+# any entries ADDED this round (new entries are never-verified by
+# definition and displace fillers as they land), plus already-green
+# canaries/fillers for the families the queue does not touch
+# (B2/B6/B7/B8/B10). After the round-6 driver run every oracle-backed
+# registry entry has an external driver-green CORRECTNESS row; only
+# the rows-only-by-design entries (q008 console sink, q162 k-means
+# property rig) remain outside the union.
+# NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
+# round's window when never-verified entries outnumber the 50 slots;
+# empty while everything never-verified fits in the current window.
+NEXT_WINDOW_QUEUE: tuple = ()
+
 DRIVER_WINDOW = (
-    # B1-scans: never-verified
-    "q173_bloom_filter_write",
-    "q185_corrupt_parquet_quarantine",
-    "q200_dynamic_partition_pruning",
-    "q202_zone_map_skipping",
-    # B2-projection-filter (canary — driver-green r4)
+    # B1-scans (never-verified, r6 queue)
+    "q210_balanced_write",
+    "q214_manifest_time_travel",
+    # B3-joins (never-verified, r6 queue)
+    "q217_point_in_time_join",
+    "q218_asof_join_tolerance",
+    "q223_tpch_q18_shape",
+    "q232_tpch_q21_shape",
+    # B4-aggregations (never-verified, r6 queue)
+    "q220_cohort_retention",
+    "q227_rfm_segmentation",
+    "q230_winsorized_stats",
+    # B5-windows (never-verified, r6 queue)
+    "q219_windowed_funnel",
+    "q222_event_transitions",
+    "q229_event_streaks",
+    "q231_cusum_changepoint",
+    # B9-streaming (never-verified, r6 queue)
+    "q234_streaming_funnel",
+    # B11-llm (never-verified, r6 queue)
+    "q211_audio_segment_plumbing",
+    "q213_image_resize_features",
+    # B12-training (never-verified, r6 queue)
+    "q212_packed_loss_masks",
+    "q215_per_group_regression",
+    "q216_contrastive_pair_mining",
+    "q221_domain_quality_propagation",
+    "q225_rank_blend_quality",
+    "q228_weighted_sample",
+    "q233_training_pipeline_e2e",
+    # ---- canaries (families with no never-verified entries left) ----
+    # B2-projection-filter
     "q011_filter_comparison",
-    # B3-joins (never-verified)
-    "q194_runtime_bloom_join",
-    "q201_cbo_join_reorder",
-    # B4-aggregations: never-verified
-    "q041_pivot",
-    "q042_unpivot",
-    "q048_recursive_cte",
-    "q049_pipe_sql",
-    "q163_observed_metrics",
-    "q167_incremental_agg_maintenance",
-    "q168_approx_quantile_profile",
-    "q192_exact_median_twophase",
-    "q204_count_min_sketch",
-    "q205_kmv_sketch_setops",
-    # B5-windows (never-verified)
-    "q196_scd2_history",
-    "q197_batch_sessionization",
-    # B6-sorts (canaries)
+    # B6-sorts
     "q061_topk",
-    # B7-setops (never-verified)
-    "q208_setops_multiset",
-    # B8-functions: 2 never-verified + fillers
-    "q109_variant_json",
-    "q159_data_quality_audit",
-    # B9-streaming: never-verified
-    "q106_stream_stream_join",
-    "q171_state_store_introspection",
-    "q179_dedup_within_watermark",
-    "q209_streaming_index_maintenance",
-    # B10-udfs (never-verified)
+    # B7-setops
+    "q070_union",
+    # B8-functions
+    "q080_string_functions",
+    # B10-udfs
     "q199_arrow_python_udf",
-    # B11-llm (never-verified)
-    "q193_heavy_hitters_twopass",
-    "q198_video_frame_sampling",
-    # B12-training: never-verified
-    "q169_source_cap",
-    "q175_repeated_ngram_spans",
-    "q176_training_shard_export",
-    "q177_vocab_induction_oov",
-    "q178_train_val_test_split",
-    "q180_bm25_retrieval",
-    "q181_incremental_shard_refresh",
-    "q182_global_row_number",
-    "q183_epoch_shuffle",
-    "q184_file_provenance",
-    "q195_cdc_apply",
-    "q186_bpe_merge_learn",
-    "q187_bpe_apply_compression",
-    "q188_lm_familiarity_filter",
-    "q189_dataset_card_profile",
-    "q190_fuzzy_decontamination",
-    "q191_token_budget_prefix_cut",
-    "q203_snapshot_index_dedup",
-    "q206_quality_classifier_filter",
-    "q207_trigram_novelty",
+    # ---- fillers (already driver-green; swapped out as new entries land) ----
+    "q010_projection",
+    "q012_in_predicate",
+    "q013_null_predicates",
+    "q016_distinct",
+    "q071_intersect",
+    "q072_except",
+    "q081_datetime_functions",
+    "q086_cast_conversions",
+    "q087_hash_functions",
+    "q100_python_udf",
+    "q101_pandas_udf",
+    "q021_broadcast_join",
+    "q024_left_semi_join",
+    "q031_count_distinct",
+    "q050_ranking",
+    "q052_lag_lead",
+    "q001_parquet_scan",
+    "q014_like_regex",
+    "q015_case_when",
+    "q082_math_functions",
+    "q102_grouped_agg_pandas_udf",
+    "q036_filtered_agg",
 )
 
 

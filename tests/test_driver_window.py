@@ -17,7 +17,7 @@ import os
 
 import pytest
 
-from s4_spark.queries import DRIVER_WINDOW, REGISTRY
+from s4_spark.queries import DRIVER_WINDOW, NEXT_WINDOW_QUEUE, REGISTRY
 from tests.conftest import SMOKE_SF_DIR
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -59,19 +59,47 @@ def test_window_maximizes_never_verified_entries():
     occupy a slot only as a family canary (when its §2-B family has no
     never-verified oracle-backed entries left) or as filler once fewer
     never-verified entries exist than slots. Fails if a registry edit quietly
-    re-inserts already-green entries at the expense of never-verified ones."""
-    seen: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r0*.json"))):
-        with open(path) as f:
-            seen |= set(json.load(f))
+    re-inserts already-green entries at the expense of never-verified ones.
+
+    Boundary-aware (round-5 verdict item 2): when the driver drops a new
+    CORRECTNESS file mid-round the window may become fully verified while
+    never-verified entries remain outside it. That state is legitimate at a
+    round boundary ONLY if every such entry is pinned in NEXT_WINDOW_QUEUE
+    (validated below as exactly the never-verified remainder) — the handoff
+    tree stays green while the anti-backsliding property holds: a window
+    wasting slots while UNPINNED never-verified entries exist still fails."""
+    seen = ORACLED_SEEN
     never = [n for n, q in REGISTRY.items() if n not in seen and q.oracle is not None]
+    unwindowed_never = [n for n in never if n not in DRIVER_WINDOW]
+    assert set(unwindowed_never) <= set(NEXT_WINDOW_QUEUE), (
+        f"never-verified oracle-backed entries outside the window and not "
+        f"pinned in NEXT_WINDOW_QUEUE: "
+        f"{sorted(set(unwindowed_never) - set(NEXT_WINDOW_QUEUE))}"
+    )
+    windowed_never = [n for n in never if n in DRIVER_WINDOW]
     canary_sections = EXPECTED_SECTIONS - {REGISTRY[n].section for n in never}
-    budget = max(len(canary_sections), len(DRIVER_WINDOW) - len(never))
+    budget = max(len(canary_sections), len(DRIVER_WINDOW) - len(windowed_never))
     already = sorted(n for n in DRIVER_WINDOW if n in seen)
     assert len(already) <= budget, (
         f"window wastes slots on already-verified entries {already} "
-        f"(budget {budget}) while {len(never)} never-verified entries exist"
+        f"(budget {budget}) while {len(windowed_never)} never-verified "
+        f"entries occupy window slots and {len(unwindowed_never)} wait in "
+        f"the pinned queue"
     )
+
+
+def test_next_window_queue_is_exactly_the_unwindowed_never_verified():
+    """NEXT_WINDOW_QUEUE must be exact: every pinned entry exists, carries an
+    oracle, is truly never-verified, and is not already windowed — so the
+    boundary-aware escape hatch above cannot be satisfied by pinning stale or
+    bogus names. Empty queue (everything never-verified fits in the current
+    window) is the steady state."""
+    seen = ORACLED_SEEN
+    for n in NEXT_WINDOW_QUEUE:
+        assert n in REGISTRY, f"{n} pinned in NEXT_WINDOW_QUEUE but not registered"
+        assert REGISTRY[n].oracle is not None, f"{n} pinned but has no oracle"
+        assert n not in seen, f"{n} pinned but already driver-verified"
+        assert n not in DRIVER_WINDOW, f"{n} pinned but already windowed"
 
 
 @pytest.mark.parametrize("name", sorted(DRIVER_WINDOW))
@@ -85,50 +113,6 @@ def test_window_outputs_are_hashable_scalars(spark, name):
     assert not bad, f"{name} emits unhashable columns {bad}"
 
 
-# The r6 rotation queue (the never-verified oracle-backed entries the
-# current 50 slots cannot fit — mirrors the comment in
-# s4_spark/queries/__init__.py). They WILL be windowed next round, so
-# their outputs must already satisfy the driver's hashable-scalar
-# constraint; catching an array/map/binary column now beats a red
-# CORRECTNESS row after rotation. This list self-obsoletes when the
-# rotation lands and DRIVER_WINDOW covers these names.
-R6_QUEUE = [
-    "q210_balanced_write",
-    "q211_audio_segment_plumbing",
-    "q212_packed_loss_masks",
-    "q213_image_resize_features",
-    "q214_manifest_time_travel",
-    "q215_per_group_regression",
-    "q216_contrastive_pair_mining",
-    "q217_point_in_time_join",
-    "q218_asof_join_tolerance",
-    "q219_windowed_funnel",
-    "q220_cohort_retention",
-    "q221_domain_quality_propagation",
-    "q222_event_transitions",
-    "q223_tpch_q18_shape",
-    "q225_rank_blend_quality",
-    "q227_rfm_segmentation",
-    "q228_weighted_sample",
-    "q229_event_streaks",
-    "q230_winsorized_stats",
-    "q231_cusum_changepoint",
-    "q232_tpch_q21_shape",
-    "q233_training_pipeline_e2e",
-    "q234_streaming_funnel",
-]
-
-
-def test_r6_queue_is_exactly_the_never_windowed_oracled_entries():
-    windowed = set(DRIVER_WINDOW)
-    expect = sorted(
-        n
-        for n, q in REGISTRY.items()
-        if q.oracle is not None and n not in windowed and n not in ORACLED_SEEN
-    )
-    assert sorted(R6_QUEUE) == expect, (set(R6_QUEUE) ^ set(expect))
-
-
 def _correctness_seen() -> set[str]:
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r0*.json"))):
@@ -140,8 +124,13 @@ def _correctness_seen() -> set[str]:
 ORACLED_SEEN = _correctness_seen()
 
 
-@pytest.mark.parametrize("name", R6_QUEUE)
-def test_r6_queue_outputs_are_hashable_scalars(spark, name):
+# Entries pinned for the NEXT rotation must already satisfy the driver's
+# hashable-scalar constraint — catching an array/map/binary column now
+# beats a red CORRECTNESS row after they rotate in.
+@pytest.mark.parametrize("name", sorted(NEXT_WINDOW_QUEUE) or ["<empty>"])
+def test_next_queue_outputs_are_hashable_scalars(spark, name):
+    if name == "<empty>":
+        pytest.skip("NEXT_WINDOW_QUEUE is empty — nothing queued")
     df = REGISTRY[name].fn(spark, SMOKE_SF_DIR)
     bad = [
         f.name
