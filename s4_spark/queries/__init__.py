@@ -62,6 +62,8 @@ DRIVER_WINDOW = (
     "q231_cusum_changepoint",
     # B9-streaming (never-verified, r6 queue)
     "q234_streaming_funnel",
+    # B9-streaming: unblocked this round by the vendored protobuf runtime
+    "q174_transform_with_state",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -106,7 +108,6 @@ DRIVER_WINDOW = (
     "q015_case_when",
     "q082_math_functions",
     "q102_grouped_agg_pandas_udf",
-    "q036_filtered_agg",
 )
 
 

@@ -7,6 +7,7 @@ replay rig, which no batch oracle can express (rows-only check).
 from __future__ import annotations
 
 import os
+import sys
 
 import pandas as pd
 
@@ -556,19 +557,80 @@ def q171(spark, sf_dir):
     )
 
 
+VENDOR_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_vendor"
+)
+
+
 def transform_with_state_available() -> bool:
     """Spark 4's transformWithStateInPandas drives its state-server
     protocol over protobuf; without the ``protobuf`` package the Python
-    driver worker crashes at import. Gate (don't stub) the q174 entry:
-    the implementation is real and runs wherever protobuf exists, and
-    no fake-green row is produced where it can't (env rule: gate missing
-    deps behind an import-try)."""
+    driver worker crashes at import. A real installation wins; when the
+    import fails we fall back to the vendored minimal runtime under
+    s4_spark/_vendor (round-5 verdict item 3 — declaring the dependency
+    in requirements.txt demonstrably did not make the container satisfy
+    it). The fallback also prepends the vendor dir to PYTHONPATH so a
+    JVM (and its Python worker daemon) launched AFTER this import
+    inherits it; for sessions that are already running, _q174 ships the
+    same files to workers via addPyFile."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    if not os.path.isdir(os.path.join(VENDOR_DIR, "google", "protobuf")):
+        return False
+    if VENDOR_DIR not in sys.path:
+        sys.path.insert(0, VENDOR_DIR)
+    env_path = os.environ.get("PYTHONPATH", "")
+    if VENDOR_DIR not in env_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            VENDOR_DIR + (os.pathsep + env_path if env_path else "")
+        )
     try:
         import google.protobuf  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def _ship_vendored_protobuf(spark) -> None:
+    """Make the vendored google.protobuf importable in Python workers of
+    an ALREADY-RUNNING session (whose daemon env predates the gate's
+    PYTHONPATH edit): zip the vendor tree once per process and addPyFile
+    it — Spark inserts the zip into every worker's sys.path. No-op when
+    the real package resolved (workers then see it the same way)."""
+    if VENDOR_DIR not in sys.path:
+        return
+    import zipfile
+
+    from s4_spark.scratch import scratch_root
+
+    zip_path = os.path.join(scratch_root(), "vendored_protobuf.zip")
+    if not os.path.exists(zip_path):
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(os.path.join(VENDOR_DIR, "google")):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        zf.write(full, os.path.relpath(full, VENDOR_DIR))
+        os.replace(tmp, zip_path)
+    sc = spark.sparkContext
+    sc.addPyFile(zip_path)
+    # The transformWithState DRIVER worker is launched by PythonWorkerFactory
+    # with the PythonFunction's envVars = sc.environment (captured when the
+    # stateful processor is wrapped, i.e. after this call) — PYTHONPATH here
+    # is merged with the Spark python path JVM-side, so it reaches that
+    # worker even when the JVM env predates the vendor-dir fallback.
+    env_path = sc.environment.get("PYTHONPATH", "")
+    if VENDOR_DIR not in env_path.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            VENDOR_DIR + (os.pathsep + env_path if env_path else "")
+        )
 
 
 def _q174(spark, sf_dir):
@@ -589,6 +651,7 @@ def _q174(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    _ship_vendored_protobuf(spark)
     ev = events_stream(spark, sf_dir).select("user_id", "value")
 
     class RunningMax(StatefulProcessor):
