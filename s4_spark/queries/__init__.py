@@ -64,6 +64,9 @@ DRIVER_WINDOW = (
     "q234_streaming_funnel",
     # B9-streaming: unblocked this round by the vendored protobuf runtime
     "q174_transform_with_state",
+    # B9-streaming: upgraded rows-only -> oracle-backed this round
+    "q094_watermark_late_drop",
+    "q165_stream_stream_outer_join",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -102,8 +105,6 @@ DRIVER_WINDOW = (
     "q024_left_semi_join",
     "q031_count_distinct",
     "q050_ranking",
-    "q052_lag_lead",
-    "q001_parquet_scan",
     "q014_like_regex",
     "q015_case_when",
     "q082_math_functions",

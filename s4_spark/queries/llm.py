@@ -416,12 +416,19 @@ def q123(spark, sf_dir):
     accuracy decays toward the 0.2 random baseline as sampling noise
     averages out: measured 0.326 at sf0.01 (500 docs) but 0.216 at
     sf0.1 (5000 docs). The declared floor is therefore STRICTLY ABOVE
-    RANDOM (acc > 0.2) — what the entry verifies is the distributed NB
-    machinery (profile agg, broadcast scoring, tie-broken argmax) and
-    that it extracts whatever signal the corpus has, not a production
-    lang-ID quality bar this data cannot support. The oracle counts
-    n_docs from the table, so the entry is green at every SF (the old
-    oracle pinned 500 and only held at the sf0.01 gate)."""
+    RANDOM by a noise-aware margin: acc > 0.2 + 2·SE where
+    SE = sqrt(0.2·0.8/n) is the binomial standard error of a random
+    classifier on n docs (round-5 advice: the old fixed strict
+    inequality acc > 0.2 had a margin that shrank with SF — 0.126 at
+    sf0.01, 0.016 at sf0.1 — and could flip on sampling noise alone at
+    larger SFs; the 2·SE bound scales with n. Measured: acc 0.292 vs
+    bound 0.236 at sf0.001, 0.326 vs 0.236 at sf0.01, 0.2158 vs
+    0.2113 at sf0.1 — green at every SF this environment can run).
+    What the entry verifies is the distributed NB machinery (profile
+    agg, broadcast scoring, tie-broken argmax) and that it extracts
+    whatever signal the corpus has, not a production lang-ID quality
+    bar this data cannot support. The oracle counts n_docs from the
+    table, so the oracle side is SF-independent."""
     docs = t(spark, sf_dir, "documents")
     profiles = X.lang_word_profiles(docs)
     pred = X.predict_lang(docs, profiles)
@@ -435,7 +442,10 @@ def q123(spark, sf_dir):
     )
     return acc.select(
         F.col("n").cast("long").alias("n_docs"),
-        (F.col("acc") > 0.2).alias("accuracy_ok"),
+        (
+            F.col("acc")
+            > F.lit(0.2) + F.lit(2.0) * F.sqrt(F.lit(0.2 * 0.8) / F.col("n"))
+        ).alias("accuracy_ok"),
     )
 
 

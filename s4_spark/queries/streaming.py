@@ -181,31 +181,67 @@ def q093(spark, sf_dir):
     )
 
 
-@query("q094_watermark_late_drop", oracle=None, section="B9-streaming")
+@query(
+    "q094_watermark_late_drop",
+    oracle="""
+    WITH lo AS (SELECT min(ts) AS lo FROM events),
+    p1 AS (
+      SELECT lo + INTERVAL 1 MINUTE *
+             ((row_number() OVER (ORDER BY event_id) - 1) % 60) AS ts
+      FROM events, lo)
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w_start, count(*) AS n
+    FROM p1 GROUP BY w_start ORDER BY w_start
+    """,
+    section="B9-streaming",
+)
 def q094(spark, sf_dir):
-    """Watermark semantics via the two-phase replay rig (SURVEY §7 risk 2;
-    no batch oracle can express this — rows-only check, deterministic by
-    construction).
+    """Watermark semantics via the two-phase replay rig (SURVEY §7 risk 2).
 
-    Phase 1: events in [00:00, 01:00) → watermark advances to
-    max(ts)-10min. Phase 2: replays rows at 00:05 (far behind the
-    watermark → dropped) plus fresh rows at 02:00. The append-mode
-    output therefore contains phase-1 windows exactly once and no
-    window containing ONLY the late 00:05 replays beyond those already
-    emitted — the dropped set is the difference vs a batch run, which
-    the test asserts explicitly."""
-    ev = t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    Phase 1: every events row, with its event time synthesized as
+    lo + (row_number % 60) minutes (row_number ordered by event_id) —
+    exactly one hour of data at EVERY scale factor, so the watermark
+    after phase 1 sits at 00:49 regardless of the real table's span
+    (the previous feed reused raw timestamps and broke at sf0.001,
+    whose events span under 20 minutes — the "late" rows weren't
+    late there). Phase 2: 50 replay rows at 00:05 (window end 00:10 <
+    watermark 00:49 → dropped) plus 100 fresh rows at 02:00, pushing
+    the final watermark to 01:50 so every phase-1 window closes; the
+    02:00 window itself (end 02:10 > 01:50) stays open and never
+    reaches append output.
+
+    The final append table is therefore exactly the 10-minute windows
+    over the synthesized PHASE-1 feed — the oracle above (round-5
+    verdict item 4: upgraded from rows-only; the phase-known feed makes
+    the dropped/kept partition fully oracle-expressible). The pytest
+    rig additionally asserts the dropped set row-for-row vs a batch
+    run. The global row_number is feed construction (sf-bounded test
+    producer), not a query-path pattern."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
     if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
         # event time (withWatermark) requires TIMESTAMP; pin wall clock=UTC
         ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
     lo = ev.agg(F.min("ts")).collect()[0][0]
     base = F.lit(lo).cast("timestamp")
-    p1 = ev.filter(F.col("ts") < F.timestamp_add("HOUR", F.lit(1), base))
-    late = p1.limit(50).withColumn("ts", F.timestamp_add("MINUTE", F.lit(5), base))
-    fresh = (
-        ev.filter(F.col("ts") >= F.timestamp_add("HOUR", F.lit(1), base))
-        .limit(100)
-        .withColumn("ts", F.timestamp_add("HOUR", F.lit(2), base))
+    p1 = ev.select(
+        "event_id",
+        F.timestamp_add(
+            "MINUTE",
+            ((F.row_number().over(W.orderBy("event_id")) - F.lit(1)) % 60).cast("int"),
+            base,
+        ).alias("ts"),
+    )
+    late = (
+        spark.range(50)
+        .select(
+            (F.col("id") - 1000000).alias("event_id"),
+            F.timestamp_add("MINUTE", F.lit(5), base).alias("ts"),
+        )
+    )
+    fresh = spark.range(100).select(
+        (F.col("id") - 2000000).alias("event_id"),
+        F.timestamp_add("HOUR", F.lit(2), base).alias("ts"),
     )
     p2 = late.unionByName(fresh)
 
@@ -449,7 +485,23 @@ def q149(spark, sf_dir):
     return out.orderBy("lang")
 
 
-@query("q165_stream_stream_outer_join", oracle=None, section="B9-streaming")
+@query(
+    "q165_stream_stream_outer_join",
+    oracle="""
+    WITH ev AS (SELECT min(ts) AS lo FROM events),
+    l AS (SELECT range::int AS user_id, lo AS lts, range::int * 10 AS l_val
+          FROM range(20), ev),
+    r AS (SELECT range::int AS r_user, lo + INTERVAL 5 MINUTE AS rts,
+                 range::int * 100 AS r_val
+          FROM range(10), ev)
+    SELECT l.user_id, l.l_val, r.r_val
+    FROM l LEFT JOIN r
+      ON l.user_id = r.r_user
+     AND r.rts >= l.lts AND r.rts <= l.lts + INTERVAL 10 MINUTE
+    ORDER BY user_id
+    """,
+    section="B9-streaming",
+)
 def q165(spark, sf_dir):
     """Watermarked stream-stream LEFT OUTER join — the hard half of the
     join matrix (q106 covers inner): matched pairs emit immediately;
@@ -460,9 +512,14 @@ def q165(spark, sf_dir):
     Construction: 20 left rows at t0; right matches for users 0-9 at
     t0+5min; phase 2 is a +2h sentinel on each side (disjoint user ids,
     so sentinels never join) that advances both watermarks past
-    t0 + 10min window + 5min delay. Expected final table: exactly 10
-    matched rows and 10 null-padded rows — asserted row-for-row in
-    tests. State cleanup is bounded by the both-sided time condition
+    t0 + 10min window + 5min delay. The oracle rebuilds the phase-1
+    universe and applies the interval-join predicate verbatim — the
+    streaming result must equal that batch LEFT JOIN exactly (10 matched
+    + 10 null-padded rows; round-5 verdict item 4 upgraded this from
+    rows-only). The sentinels themselves cannot appear: their own
+    expiry (t0+2h +10min window +5min delay) is past the final
+    watermark t0+1h55m, so Spark still holds them as open state.
+    State cleanup is bounded by the both-sided time condition
     (Spark evicts left rows once the right watermark clears their
     window) — the property that makes this run forever at 100 TB."""
     ev = t(spark, sf_dir, "events").select("ts").orderBy("ts")

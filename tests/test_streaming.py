@@ -272,6 +272,11 @@ def test_q234_funnel_state_survives_multi_batch(spark, tmp_path):
             str(tmp_path / f"stage{i}" / part),
             os.path.join(landing, f"{i:03d}.parquet"),
         )
+        # FileStreamSource orders files by modification time; the rename
+        # preserves the stage files' mtimes, which can TIE on coarse-mtime
+        # filesystems and process out of order — pin strictly increasing
+        # mtimes explicitly (round-5 advice item)
+        os.utime(os.path.join(landing, f"{i:03d}.parquet"), (1_000_000 + i, 1_000_000 + i))
 
     DEADLINE_US = 48 * 3600 * 1_000_000
 
