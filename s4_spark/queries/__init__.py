@@ -67,6 +67,8 @@ DRIVER_WINDOW = (
     # B9-streaming: upgraded rows-only -> oracle-backed this round
     "q094_watermark_late_drop",
     "q165_stream_stream_outer_join",
+    # B9-streaming: new this round (out-of-order funnel hardening)
+    "q235_streaming_funnel_reordered",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -106,7 +108,6 @@ DRIVER_WINDOW = (
     "q031_count_distinct",
     "q050_ranking",
     "q014_like_regex",
-    "q015_case_when",
     "q082_math_functions",
     "q102_grouped_agg_pandas_udf",
 )

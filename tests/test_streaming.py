@@ -360,3 +360,26 @@ def test_q234_funnel_state_survives_multi_batch(spark, tmp_path):
     assert got_steps["step1"] == single["step1_view"]
     assert got_steps["step2"] == single["step2_click"]
     assert got_steps["step3"] == single["step3_purchase"]
+
+
+def test_q235_feed_is_genuinely_out_of_order(spark):
+    """q235's whole point is surviving cross-batch disorder: verify the
+    hash(event_id)%3 split actually interleaves event time — every
+    split's time range overlaps every other's, so each micro-batch
+    contains events OLDER than ones already processed in the previous
+    batch (the in-order assumption q234 documents is truly violated)."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.catalog import table
+
+    ev = table(spark, SF_DIR, "events").select("event_id", "ts")
+    splits = [
+        ev.filter(F.abs(F.xxhash64("event_id")) % 3 == i)
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+        for i in range(3)
+    ]
+    for i in range(3):
+        for j in range(3):
+            if i != j:
+                assert splits[i]["lo"] < splits[j]["hi"], (i, j)
