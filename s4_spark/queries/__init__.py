@@ -51,6 +51,9 @@ DRIVER_WINDOW = (
     "q218_asof_join_tolerance",
     "q223_tpch_q18_shape",
     "q232_tpch_q21_shape",
+    # B3-joins: new this round (TPC-H decorrelation breadth)
+    "q236_tpch_q17_shape",
+    "q237_tpch_q20_shape",
     # B4-aggregations (never-verified, r6 queue)
     "q220_cohort_retention",
     "q227_rfm_segmentation",
@@ -108,8 +111,6 @@ DRIVER_WINDOW = (
     "q031_count_distinct",
     "q050_ranking",
     "q014_like_regex",
-    "q082_math_functions",
-    "q102_grouped_agg_pandas_udf",
 )
 
 

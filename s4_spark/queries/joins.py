@@ -964,3 +964,152 @@ def q232(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q236_tpch_q17_shape",
+    # Textbook correlated-scalar spelling (the inner aggregate subquery
+    # references the outer part row); the Spark side runs the
+    # decorrelated join form — the hash match proves the rewrite. The
+    # 20%-of-average threshold is compared in exact decimal arithmetic
+    # (qty*5*cnt < qsum, i.e. qty < sum/(5*cnt)) so the boundary cannot
+    # flip on engine-specific double rounding.
+    oracle="""
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,6)))
+                 AS DOUBLE) / 7.0, 6) AS avg_yearly,
+           count(*) AS n_qualifying
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4' AND p.p_type = 'MEDIUM'
+      AND CAST(l.l_quantity AS DECIMAL(30,6)) * 5 *
+          (SELECT count(*) FROM lineitem l2
+           WHERE l2.l_partkey = p.p_partkey)
+        < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,6)))
+           FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    section="B3-joins",
+)
+def q236(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of the
+    selected parts whose quantity is below 20% of that part's average
+    order quantity — the classic correlated scalar AVG subquery on the
+    SAME fact table the outer query scans (reference relational scope:
+    /root/reference/README.md query surface; Q17 per the public TPC-H
+    spec, container predicate adapted to this schema's columns).
+
+    Decorrelation, Spark-side: the subquery becomes a per-partkey
+    (sum, count) aggregate JOINED back to the qualifying lineitems.
+    Scale shape: the brand/type filter prunes part to a handful of
+    keys, the pruned part set broadcasts into lineitem (left-semi
+    BEFORE the per-partkey aggregate — the correlation key is
+    p_partkey, so aggregating only selected parts' rows is lossless),
+    and the aggregate side is one partial+final hash agg whose output
+    (one row per selected part) broadcasts back onto the same pruned
+    scan. No shuffle ever carries the full fact table; the only
+    lineitem reads are the two pruned passes, which AQE overlaps with
+    the same scan subtree. Threshold math is decimal-exact:
+    qty*5*cnt < qsum avoids the double division a naive 0.2*avg
+    comparison would introduce at the membership boundary."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    sel = (
+        p.filter((F.col("p_brand") == "Brand#4") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    pruned = li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(30,6)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(30,6)").alias("price"),
+    )
+    per_part = pruned.groupBy("l_partkey").agg(
+        F.sum("qty").alias("qsum"), F.count("*").alias("qcnt")
+    )
+    qual = pruned.join(
+        F.broadcast(per_part.withColumnRenamed("l_partkey", "pk")),
+        F.col("l_partkey") == F.col("pk"),
+    ).filter(F.col("qty") * 5 * F.col("qcnt") < F.col("qsum"))
+    return qual.agg(
+        F.round(F.sum("price").cast("double") / 7.0, 6).alias("avg_yearly"),
+        F.count("*").alias("n_qualifying"),
+    )
+
+
+@query(
+    "q237_tpch_q20_shape",
+    # Textbook nested spelling: IN (parts) inside IN (suppliers) with a
+    # correlated aggregate threshold in HAVING — three nesting levels,
+    # which Spark must decorrelate into a semi-join chain. The
+    # availqty > 0.5*demand predicate of the public TPC-H Q20 is
+    # re-expressed on this schema (no partsupp table) as "the pair's
+    # 1996 shipped quantity exceeds half the part's total 1996
+    # quantity": same shape, exact-decimal comparison (2*pair > total).
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 0
+      AND s.s_suppkey IN (
+        SELECT l1.l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          AND l1.l_shipdate >= DATE '1996-01-01'
+          AND l1.l_shipdate <  DATE '1997-01-01'
+        GROUP BY l1.l_suppkey, l1.l_partkey
+        HAVING 2 * sum(CAST(l1.l_quantity AS DECIMAL(30,6))) >
+           (SELECT sum(CAST(l2.l_quantity AS DECIMAL(30,6)))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+              AND l2.l_shipdate >= DATE '1996-01-01'
+              AND l2.l_shipdate <  DATE '1997-01-01'))
+    ORDER BY s.s_name
+    """,
+    section="B3-joins",
+)
+def q237(spark, sf_dir):
+    """TPC-H Q20 shape (dominant supplier of promoted parts): suppliers
+    in one region who, for some promoted part, shipped more than half
+    of that part's total 1996 volume. Exercises the stacked semi-join
+    chain (supplier ⟕semi pairs ⟕semi part) plus a correlated aggregate
+    threshold — the decorrelation pattern Q17 doesn't cover.
+
+    Decorrelation, Spark-side: (1) the date+part-filtered lineitem is
+    pruned ONCE (p_type filter broadcasts into the scan, shipdate
+    pushed to parquet); (2) per-(suppkey, partkey) quantities are one
+    partial+final hash agg; (3) the per-part total REUSES that output
+    (re-aggregating pair rows, never the fact table — the second
+    "pass" of the correlated subquery costs one shuffle of the
+    already-tiny pair table); (4) dominant pairs filter in exact
+    decimal (2*pair > total), and their distinct suppkeys left-semi
+    into supplier with the 25-row nation dim broadcast. The fact table
+    is scanned once and shuffled once, on the pair key."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    sel = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    li96 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(sel), li.l_partkey == sel.p_partkey, "left_semi")
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("l_quantity").cast("decimal(30,6)").alias("qty"),
+        )
+    )
+    pair = li96.groupBy("l_suppkey", "l_partkey").agg(F.sum("qty").alias("pair_q"))
+    total = pair.groupBy("l_partkey").agg(F.sum("pair_q").alias("tot_q"))
+    dom = (
+        pair.join(F.broadcast(total.withColumnRenamed("l_partkey", "pk")),
+                  F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("pair_q") * 2 > F.col("tot_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n.filter(F.col("n_regionkey") == 0)),
+               s.s_nationkey == n.n_nationkey)
+        .join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )

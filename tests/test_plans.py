@@ -854,3 +854,32 @@ def test_pipeline_e2e_composes_without_sort_merge(spark):
 
     nlj = re.findall(r"Broadcast\w*NestedLoopJoin \w+", p)
     assert all("Cross" in x for x in nlj), nlj
+
+
+def test_tpch_q17_broadcasts_aggregate_and_avoids_nlj(spark):
+    """q236: the pruned part keys AND the per-partkey (sum,count)
+    aggregate both hash-broadcast back onto the lineitem scan — no
+    sort-merge join, no nested loop, and the per-part aggregate is
+    partial+final (Exchange between HashAggregates), so no shuffle
+    ever carries raw fact rows to the threshold comparison."""
+    p = plan(spark, "q236_tpch_q17_shape")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "HashAggregate" in p, p
+
+
+def test_tpch_q20_semi_chain_broadcasts_and_avoids_nlj(spark):
+    """q237: the decorrelated semi-join chain — part filter left-semi
+    into the date-pruned fact, dominant suppkeys left-semi into
+    supplier, 25-row nation broadcast — must stay hash/broadcast
+    everywhere (no NLJ), push the shipdate range into the parquet
+    scan, and re-aggregate the PAIR table (not the fact) for the
+    per-part totals."""
+    p = plan(spark, "q237_tpch_q20_shape")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    # shipdate pushdown reaches the scan
+    assert "l_shipdate" in p and "PushedFilters" in p, p
