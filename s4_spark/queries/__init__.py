@@ -70,8 +70,10 @@ DRIVER_WINDOW = (
     # B9-streaming: upgraded rows-only -> oracle-backed this round
     "q094_watermark_late_drop",
     "q165_stream_stream_outer_join",
-    # B9-streaming: new this round (out-of-order funnel hardening)
+    # B9-streaming: new this round (out-of-order funnel hardening,
+    # funnel state-store introspection)
     "q235_streaming_funnel_reordered",
+    "q238_funnel_state_introspection",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -110,7 +112,6 @@ DRIVER_WINDOW = (
     "q024_left_semi_join",
     "q031_count_distinct",
     "q050_ranking",
-    "q014_like_regex",
 )
 
 

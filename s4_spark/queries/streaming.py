@@ -866,6 +866,48 @@ def q209(spark, sf_dir):
     )
 
 
+def _funnel_stateful_stream(spark, sf_dir):
+    """The q234 funnel state machine as a streaming DataFrame: per-user
+    GroupState = three write-once microsecond instants (first view,
+    first in-deadline click, first in-deadline purchase). Shared by
+    q234 (aggregate batch-equivalence) and q238 (statestore
+    introspection of the same state)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    DEADLINE_US = 48 * 3600 * 1_000_000
+    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+
+    def funnel(key, pdfs, state: GroupState):
+        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            pdf = pd.concat(batch).sort_values(["ts", "event_id"])
+            ts_us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+            for et, t_us in zip(pdf["event_type"].values, ts_us):
+                t_us = int(t_us)
+                if t1 < 0:
+                    if et == "view":
+                        t1 = t_us
+                elif t2 < 0:
+                    if et == "click" and t1 < t_us <= t1 + DEADLINE_US:
+                        t2 = t_us
+                elif t3 < 0:
+                    if et == "purchase" and t2 < t_us <= t2 + DEADLINE_US:
+                        t3 = t_us
+        state.update((t1, t2, t3))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType="user_id long, t1 long, t2 long, t3 long",
+        stateStructType="t1 long, t2 long, t3 long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 @query(
     "q234_streaming_funnel",
     # Identical SQL to q219's batch windowed funnel: the stream's final
@@ -917,41 +959,7 @@ def q234(spark, sf_dir):
     event-time state machine documents (a production deployment pairs
     it with a watermark reordering buffer). Lag math is pure integer
     microseconds on UTC-pinned instants — session-timezone-safe."""
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    DEADLINE_US = 48 * 3600 * 1_000_000
-    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
-
-    def funnel(key, pdfs, state: GroupState):
-        t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
-        batch = [pdf for pdf in pdfs if len(pdf)]
-        if batch:
-            pdf = pd.concat(batch).sort_values(["ts", "event_id"])
-            ts_us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
-            for et, t_us in zip(pdf["event_type"].values, ts_us):
-                t_us = int(t_us)
-                if t1 < 0:
-                    if et == "view":
-                        t1 = t_us
-                elif t2 < 0:
-                    if et == "click" and t1 < t_us <= t1 + DEADLINE_US:
-                        t2 = t_us
-                elif t3 < 0:
-                    if et == "purchase" and t2 < t_us <= t2 + DEADLINE_US:
-                        t3 = t_us
-        state.update((t1, t2, t3))
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "t1": [t1], "t2": [t2], "t3": [t3]}
-        )
-
-    out = ev.groupBy("user_id").applyInPandasWithState(
-        funnel,
-        outputStructType="user_id long, t1 long, t2 long, t3 long",
-        stateStructType="t1 long, t2 long, t3 long",
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    snap = run_to_memory(out, mode="update", tag="q234")
+    snap = run_to_memory(_funnel_stateful_stream(spark, sf_dir), mode="update", tag="q234")
     # Update mode may emit one row per user per micro-batch; slots are
     # write-once so max() recovers the final state under any batching.
     final = snap.groupBy("user_id").agg(
@@ -1180,3 +1188,74 @@ def q235(spark, sf_dir):
         )
     )
     return _funnel_rollup(final)
+
+
+@query(
+    "q238_funnel_state_introspection",
+    # Per-user funnel state (not the step rollup): the strongest form of
+    # the q219/q234 kappa pairing — the oracle rebuilds each user's
+    # three state slots from batch SQL, and the Spark side reads them
+    # BACK OUT of the RocksDB state store after the stream commits.
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           coalesce(epoch_us(s1.t1), -1) AS t1_us,
+           coalesce(epoch_us(s2.t2), -1) AS t2_us,
+           coalesce(epoch_us(s3.t3), -1) AS t3_us
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY u.user_id
+    """,
+    section="B9-streaming",
+)
+def q238(spark, sf_dir):
+    """Funnel state introspection (round-5 verdict item 8): run q234's
+    stateful funnel to its checkpoint, then read the per-user GroupState
+    back out of the state store with Spark 4's `statestore` reader and
+    hash-match it against the batch funnel's PER-USER timestamps — not
+    the 3-row step rollup q234 checks, but every user's individual
+    (t1, t2, t3) slots. This pairs q171's introspection surface (which
+    reads a built-in streaming agg's buffers) with custom
+    applyInPandasWithState state: the layout is
+    key.user_id / value.groupState.{t1,t2,t3}, pinned here.
+
+    Operationally this is the audit a production deployment runs when a
+    funnel number looks wrong: inspect live state directly instead of
+    trusting emissions. At 100 TB state scale the reader lists one
+    store's files per partition — no shuffle, no driver collect; the
+    comparison join is per-user, keyed like every other shuffle in the
+    funnel family."""
+    name = f"s4_mem_q238_{os.getpid()}"
+    ckpt = scratch(f"ckpt_{name}")
+    q = (
+        _funnel_stateful_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.t1").alias("t1_us"),
+        F.col("value.groupState.t2").alias("t2_us"),
+        F.col("value.groupState.t3").alias("t3_us"),
+    ).orderBy("user_id")
