@@ -54,6 +54,7 @@ DRIVER_WINDOW = (
     # B3-joins: new this round (TPC-H decorrelation breadth)
     "q236_tpch_q17_shape",
     "q237_tpch_q20_shape",
+    "q239_tpch_q22_shape",
     # B4-aggregations (never-verified, r6 queue)
     "q220_cohort_retention",
     "q227_rfm_segmentation",
@@ -74,6 +75,7 @@ DRIVER_WINDOW = (
     # funnel state-store introspection)
     "q235_streaming_funnel_reordered",
     "q238_funnel_state_introspection",
+    "q240_transform_with_list_state",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -110,8 +112,6 @@ DRIVER_WINDOW = (
     "q101_pandas_udf",
     "q021_broadcast_join",
     "q024_left_semi_join",
-    "q031_count_distinct",
-    "q050_ranking",
 )
 
 

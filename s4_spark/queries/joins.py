@@ -1113,3 +1113,75 @@ def q237(spark, sf_dir):
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "q239_tpch_q22_shape",
+    # Textbook spelling: scalar aggregate subquery threshold + NOT
+    # EXISTS anti-join, both left correlated/nested for Spark to
+    # decorrelate. The above-average predicate compares in exact
+    # decimal (bal*cnt > sum) so membership can't flip on the double
+    # division a naive avg() comparison would introduce.
+    oracle="""
+    SELECT c.c_nationkey, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+             AS totacctbal
+    FROM customer c
+    WHERE CAST(c.c_acctbal AS DECIMAL(30,6)) *
+          (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+        > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(30,6)))
+           FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1997-01-01'
+                        AND o.o_orderdate <  DATE '1998-01-01')
+    GROUP BY c.c_nationkey ORDER BY c.c_nationkey
+    """,
+    section="B3-joins",
+)
+def q239(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive balance and NO orders in 1997, rolled up per
+    nation. Completes the decorrelation set beside Q17 (correlated
+    scalar on the same fact), Q20 (stacked semi chain) and Q21 (double
+    EXISTS): here the two rewrites are an UNCORRELATED scalar aggregate
+    (one global (sum, count) row, broadcast) and a NOT EXISTS that must
+    become an anti-join (no-orders-ever is empty on this data, so the
+    predicate is scoped to the 1997 order year; phone-prefix country
+    codes of the public spec map to c_nationkey on this schema).
+
+    Scale shape: the balance threshold is a 1-row aggregate
+    broadcast-crossed onto the customer scan (no shuffle); the anti
+    side prunes orders to one year AT THE SCAN (pushed filter) before
+    the left-anti hash join; the final rollup is a partial+final agg
+    on the 25-value nation key. Customer and orders are each scanned
+    once and only orders' pruned year is ever joined."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).alias("bal_sum"),
+            F.count("*").alias("bal_cnt"),
+        )
+    )
+    o97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(
+            F.col("c_acctbal").cast("decimal(30,6)") * F.col("bal_cnt")
+            > F.col("bal_sum")
+        )
+        .join(o97, c.c_custkey == o97.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

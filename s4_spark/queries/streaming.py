@@ -1259,3 +1259,96 @@ def q238(spark, sf_dir):
         F.col("value.groupState.t2").alias("t2_us"),
         F.col("value.groupState.t3").alias("t3_us"),
     ).orderBy("user_id")
+
+
+def _q240(spark, sf_dir):
+    """Per-user top-3 values maintained in transformWithState LIST state
+    — the multi-row state handle q174's ValueState doesn't touch. Each
+    micro-batch merges arriving (value, event_id) pairs into the stored
+    list, trims to the 3 largest (value desc, event_id asc tie-break),
+    and emits the current podium; every top-k slot is monotone
+    non-decreasing as the set grows, so max() per user recovers the
+    final state under any batching (same argument as q234).
+
+    Protocol-wise this exercises the ListState client — ListStatePut /
+    ListStateGet with Arrow-encoded rows over the state server socket —
+    which on protobuf-less containers runs entirely through the
+    vendored runtime (s4_spark/_vendor), making this entry its hardest
+    in-repo integration test. O(k) state per user; shuffles only on
+    user_id."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _ship_vendored_protobuf(spark)
+    ev = events_stream(spark, sf_dir).select("user_id", "value", "event_id")
+
+    class TopK(StatefulProcessor):
+        K = 3
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState("top", "value double, event_id long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            pairs = list(self._top.get()) if self._top.exists() else []
+            for pdf in rows:
+                pairs.extend(
+                    zip(
+                        (float(v) for v in pdf["value"].values),
+                        (int(i) for i in pdf["event_id"].values),
+                    )
+                )
+            pairs.sort(key=lambda p: (-p[0], p[1]))
+            pairs = pairs[: self.K]
+            self._top.put(pairs)
+            vals = [p[0] for p in pairs] + [None] * (self.K - len(pairs))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "top1": [vals[0]],
+                    "top2": [vals[1]],
+                    "top3": [vals[2]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TopK(),
+        outputStructType="user_id long, top1 double, top2 double, top3 double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    snap = run_to_memory(out, mode="update", tag="q240")
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max("top1").alias("top1"),
+            F.max("top2").alias("top2"),
+            F.max("top3").alias("top3"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if transform_with_state_available():  # pragma: no cover - env-dependent
+    query(
+        "q240_transform_with_list_state",
+        oracle="""
+    WITH ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN value END) AS top1,
+           max(CASE WHEN rn = 2 THEN value END) AS top2,
+           max(CASE WHEN rn = 3 THEN value END) AS top3
+    FROM ranked WHERE rn <= 3
+    GROUP BY user_id ORDER BY user_id
+    """,
+        section="B9-streaming",
+    )(_q240)

@@ -883,3 +883,16 @@ def test_tpch_q20_semi_chain_broadcasts_and_avoids_nlj(spark):
     assert p.count("BroadcastHashJoin") >= 2, p
     # shipdate pushdown reaches the scan
     assert "l_shipdate" in p and "PushedFilters" in p, p
+
+
+def test_tpch_q22_broadcasts_threshold_and_anti_joins(spark):
+    """q239: the global balance threshold is a 1-row broadcast (its
+    cross join is BroadcastNestedLoopJoin over ONE row — bounded by
+    construction), the 1997 no-orders predicate is a left-ANTI hash
+    join with the orderdate range pushed to the orders scan, and the
+    nation rollup is partial+final."""
+    p = plan(spark, "q239_tpch_q22_shape")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "LeftAnti" in p, p
+    assert "o_orderdate" in p and "PushedFilters" in p, p
