@@ -1,7 +1,8 @@
 """B9 — streaming (SURVEY.md §2-B9, Q090-Q099): S4 pipeline parity plus
 the Structured Streaming operator surface. All checks are batch-equiv
-(availableNow over the static events table) except the q094 watermark
-replay rig, which no batch oracle can express (rows-only check).
+(availableNow over the static events table); the watermark replay rigs
+(q094/q165) are deterministic by construction, so since round 6 even
+their final tables carry DuckDB oracles over the phase-known feeds.
 """
 
 from __future__ import annotations
