@@ -76,6 +76,7 @@ DRIVER_WINDOW = (
     "q235_streaming_funnel_reordered",
     "q238_funnel_state_introspection",
     "q240_transform_with_list_state",
+    "q241_transform_with_map_state_timers",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -111,7 +112,6 @@ DRIVER_WINDOW = (
     "q100_python_udf",
     "q101_pandas_udf",
     "q021_broadcast_join",
-    "q024_left_semi_join",
 )
 
 

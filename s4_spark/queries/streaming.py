@@ -1353,3 +1353,182 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
     """,
         section="B9-streaming",
     )(_q240)
+
+
+def _q241(spark, sf_dir):
+    """Sessionization on transformWithState MAP state + EVENT-TIME
+    TIMERS — the remaining cells of the state-handle matrix after
+    q174 (ValueState) and q240 (ListState). Per user, the OPEN
+    session's per-event-type counts live in MapState (updateValue /
+    iterator / clear — each a state-server round trip through the
+    protobuf protocol) beside a ValueState (start, last, n). Sessions
+    close two ways: a >30-min event-time gap inside the fold emits
+    immediately, and the LAST session of every user closes when its
+    event-time timer (last event + 30 min) fires — registered with
+    registerTimer after clearing stale timers via listTimers /
+    deleteTimer, and delivered to handleExpiredTimer in the batch
+    after the watermark sentinel. Each closed session is emitted
+    exactly once with its start, size, distinct types, and dominant
+    type (count desc, name asc — deterministic).
+
+    The oracle is the gaps-and-islands sessionization SQL (q093's
+    shape) extended with per-session top-type, so the timer-driven
+    close must agree row-for-row with the pure-batch computation.
+    State per user is O(open-session types); timers are O(1) per user.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _ship_vendored_protobuf(spark)
+
+    GAP_US = 30 * 60 * 1_000_000
+    GAP_MS = 30 * 60 * 1000
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
+    hi = ev.agg(F.max("ts")).collect()[0][0]
+
+    import shutil
+
+    landing = scratch("q241_landing")
+    os.makedirs(landing, exist_ok=True)
+
+    def drop(df, fname, mtime):
+        stage = scratch("q241_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        dest = os.path.join(landing, fname)
+        shutil.copyfile(os.path.join(stage, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    drop(ev, "000.parquet", 1_000_000)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.timestamp_add("HOUR", F.lit(40), F.lit(hi).cast("timestamp")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    drop(sentinel, "001.parquet", 1_000_001)
+    drop(ev.limit(0), "002.parquet", 1_000_002)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withWatermark("ts", "0 seconds")
+    )
+
+    def emit_row(key, start, n, counts):
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "session_start_us": [start],
+                "n_events": [n],
+                "n_types": [len(counts)],
+                "top_type": [top],
+            }
+        )
+
+    class Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState("sess", "start long, last long, n long")
+            self._counts = handle.getMapState("counts", "event_type string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+                counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+            else:
+                start, last, n, counts = -1, -1, 0, {}
+            batch = [pdf for pdf in rows if len(pdf)]
+            if batch:
+                pdf = pd.concat(batch).sort_values(["ts", "event_id"])
+                ts_us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+                for et, t_us in zip(pdf["event_type"].values, ts_us):
+                    t_us = int(t_us)
+                    if start >= 0 and t_us - last > GAP_US:
+                        yield emit_row(key[0], start, n, counts)
+                        start, last, n, counts = -1, -1, 0, {}
+                    if start < 0:
+                        start = t_us
+                    last = t_us
+                    n += 1
+                    counts[et] = counts.get(et, 0) + 1
+            self._sess.update((start, last, n))
+            self._counts.clear()
+            for et, c in counts.items():
+                self._counts.updateValue((et,), (c,))
+            for expiry in list(self._handle.listTimers()):
+                self._handle.deleteTimer(expiry)
+            if start >= 0:
+                self._handle.registerTimer(last // 1000 + GAP_MS)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._sess.exists():
+                start, last, n = self._sess.get()
+                if start >= 0:
+                    counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+                    yield emit_row(key[0], start, n, counts)
+                self._sess.clear()
+                self._counts.clear()
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Sessionizer(),
+        outputStructType=(
+            "user_id long, session_start_us long, n_events long, "
+            "n_types long, top_type string"
+        ),
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+    snap = run_to_memory(out, mode="update", tag="q241")
+    return snap.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start_us")
+
+
+if transform_with_state_available():  # pragma: no cover - env-dependent
+    query(
+        "q241_transform_with_map_state_timers",
+        oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, event_type,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    agg AS (
+      SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types
+      FROM s GROUP BY user_id, sid),
+    top AS (
+      SELECT user_id, sid, event_type AS top_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM s GROUP BY user_id, sid, event_type
+      QUALIFY rn = 1)
+    SELECT a.user_id, a.session_start_us, a.n_events, a.n_types, t.top_type
+    FROM agg a JOIN top t USING (user_id, sid)
+    ORDER BY a.user_id, a.session_start_us
+    """,
+        section="B9-streaming",
+    )(_q241)
