@@ -46,6 +46,9 @@ DRIVER_WINDOW = (
     # B1-scans (never-verified, r6 queue)
     "q210_balanced_write",
     "q214_manifest_time_travel",
+    # B1-scans: new this round (Python DataSource writer API)
+    "q242_python_datasource_sink",
+    "q243_python_datasource_stream_sink",
     # B3-joins (never-verified, r6 queue)
     "q217_point_in_time_join",
     "q218_asof_join_tolerance",
@@ -110,8 +113,6 @@ DRIVER_WINDOW = (
     "q086_cast_conversions",
     "q087_hash_functions",
     "q100_python_udf",
-    "q101_pandas_udf",
-    "q021_broadcast_join",
 )
 
 

@@ -1060,3 +1060,79 @@ def q214(spark, sf_dir):
         )
 
     return read_version(1).unionByName(read_version(2)).orderBy("version")
+
+
+_SPOOL_ORACLE = """
+    SELECT count(*) AS n_records,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           {sv} AS sum_value
+    FROM events
+    """.format(sv=sql_dsum("value"))
+
+
+@query("q242_python_datasource_sink", oracle=_SPOOL_ORACLE, section="B1-scans")
+def q242(spark, sf_dir):
+    """Custom BATCH sink through the Spark 4 Python DataSource writer
+    API (sources/linespool.py — the writer-side twin of the
+    unix-socket reader): events serialize to JSON lines, flow through
+    the V2 two-phase commit protocol (executors stage partition files
+    + return commit messages; only the driver publishes and writes the
+    _SUCCESS manifest), and are read back and aggregated. Equality
+    with the events-table oracle proves the sink moved every row
+    exactly once through the stage/commit path; the abort path (a
+    failed job leaves NO visible output) is pinned by pytest."""
+    import s4_spark.sources as sources
+    from s4_spark.streaming.rigs import scratch
+
+    sources.register(spark)
+    out = scratch(f"q242_out_{os.path.basename(sf_dir)}")
+    os.makedirs(out, exist_ok=True)
+    lines = t(spark, sf_dir, "events").select(
+        F.to_json(F.struct("event_id", "value")).alias("value")
+    )
+    lines.write.format("linespool").option("path", out).mode("append").save()
+    back = spark.read.text(out).withColumn(
+        "__row", F.from_json("value", "event_id long, value double")
+    )
+    return back.agg(
+        F.count("*").alias("n_records"),
+        F.sum("__row.event_id").cast("long").alias("sum_ids"),
+        dsum(F.col("__row.value")).alias("sum_value"),
+    )
+
+
+@query("q243_python_datasource_stream_sink", oracle=_SPOOL_ORACLE, section="B1-scans")
+def q243(spark, sf_dir):
+    """Custom STREAMING sink through DataSourceStreamWriter: the same
+    line spool, but publication is keyed by batchId — each micro-batch
+    assembles in a hidden dir and lands with ONE atomic rename to
+    batch=<id>/, which a checkpoint REPLAY replaces instead of
+    appending beside (the q209 idempotent-overwrite discipline, now
+    inside a reusable sink instead of a foreachBatch closure; replay
+    idempotency is pinned by a direct unit test on the committer).
+    The streamed events aggregate back to the events-table oracle."""
+    import s4_spark.sources as sources
+    from s4_spark.streaming.rigs import events_stream, scratch
+
+    sources.register(spark)
+    out = scratch(f"q243_out_{os.path.basename(sf_dir)}")
+    os.makedirs(out, exist_ok=True)
+    lines = events_stream(spark, sf_dir).select(
+        F.to_json(F.struct("event_id", "value")).alias("value")
+    )
+    q = (
+        lines.writeStream.format("linespool")
+        .option("path", out)
+        .option("checkpointLocation", scratch(f"q243_ckpt_{os.path.basename(sf_dir)}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.text(os.path.join(out, "batch=*")).withColumn(
+        "__row", F.from_json("value", "event_id long, value double")
+    )
+    return back.agg(
+        F.count("*").alias("n_records"),
+        F.sum("__row.event_id").cast("long").alias("sum_ids"),
+        dsum(F.col("__row.value")).alias("sum_value"),
+    )
