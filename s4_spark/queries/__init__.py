@@ -80,6 +80,10 @@ DRIVER_WINDOW = (
     "q238_funnel_state_introspection",
     "q240_transform_with_list_state",
     "q241_transform_with_map_state_timers",
+    # B8-functions / B10-udfs: new this round (SQL scripting,
+    # polymorphic UDTF)
+    "q244_sql_scripting",
+    "q245_polymorphic_udtf",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -110,9 +114,7 @@ DRIVER_WINDOW = (
     "q071_intersect",
     "q072_except",
     "q081_datetime_functions",
-    "q086_cast_conversions",
     "q087_hash_functions",
-    "q100_python_udf",
 )
 
 

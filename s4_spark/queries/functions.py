@@ -450,3 +450,53 @@ def q159(spark, sf_dir):
         F.count("*").alias("n_violations")
     ).select(F.lit("events_ts_not_null").alias("check_name"), "n_violations")
     return fk.unionByName(rng).unionByName(pk).unionByName(nn).orderBy("check_name")
+
+
+@query(
+    "q244_sql_scripting",
+    oracle="""
+    WITH RECURSIVE it AS (
+      SELECT CAST(1000.0 AS DOUBLE) AS thr,
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice > 1000.0) AS n
+      UNION ALL
+      SELECT it.thr * 2,
+             (SELECT count(*) FROM orders
+              WHERE o_totalprice > it.thr * 2)
+      FROM it WHERE it.n >= 10)
+    SELECT thr AS final_threshold, n AS n_above
+    FROM it ORDER BY thr DESC LIMIT 1
+    """,
+    section="B8-functions",
+)
+def q244(spark, sf_dir):
+    """SQL SCRIPTING (Spark 4 BEGIN…END compound statements): an
+    iterative fixed-point that single-statement SQL cannot express
+    without a recursive rewrite — double a price threshold until fewer
+    than 10 orders exceed it, returning the final threshold and count.
+    DECLARE/SET variables and a WHILE loop run entirely in the SQL
+    surface (no driver-side Python loop); the oracle is the recursive
+    -CTE spelling of the same fixed-point, so the hash match proves
+    loop semantics, not just the final SELECT.
+
+    Determinism: thresholds are 1000·2^k — exact in binary floating
+    point — so the > comparisons cannot disagree across engines. Each
+    loop iteration is one codegen'd aggregate over the orders scan
+    (count with a pushed predicate); iteration count is
+    O(log(max_price)), a driver-side latency cost only, with no
+    per-iteration shuffle."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("q244_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 1000.0;
+          DECLARE n BIGINT DEFAULT 0;
+          SET n = (SELECT count(*) FROM q244_orders WHERE o_totalprice > thr);
+          WHILE n >= 10 DO
+            SET thr = thr * 2;
+            SET n = (SELECT count(*) FROM q244_orders WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT thr AS final_threshold, n AS n_above;
+        END
+        """
+    )

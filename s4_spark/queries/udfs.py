@@ -246,3 +246,71 @@ def q199(spark, sf_dir):
         .orderBy("l_orderkey", "l_linenumber")
         .limit(200)
     )
+
+
+@query(
+    "q245_polymorphic_udtf",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_custkey AS VARCHAR) AS custkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+    section="B10-udfs",
+)
+def q245(spark, sf_dir):
+    """POLYMORPHIC UDTF (Spark 4): unlike q104's fixed-schema table
+    function, this one has no declared returnType — a static
+    ``analyze()`` receives the call's CONSTANT argument (the wanted key
+    list) at PLAN TIME and derives the output schema from it, so the
+    same function materializes different columns per call site. The
+    eval side parses ``k=v;k=v`` records; the oracle re-selects the
+    original columns, proving the parse/rebuild round trip.
+
+    Scale shape: the UDTF runs Arrow-batched per partition inside
+    ``LATERAL``; schema resolution happens once on the driver at
+    analysis, never per row. Catalyst sees concrete output attributes,
+    so downstream pruning/pushdown work as for any table."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ParseKV:
+        @staticmethod
+        def analyze(record: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+            if not keys.isConstantExpression:
+                raise ValueError("keys must be a constant")
+            schema = StructType()
+            for k in keys.value.split(","):
+                schema = schema.add(k, StringType())
+            return AnalyzeResult(schema=schema)
+
+        def __init__(self):
+            self._keys = None
+
+        def eval(self, record: str, keys: str):
+            wanted = keys.split(",")
+            kv = dict(p.split("=", 1) for p in record.split(";") if p)
+            yield tuple(kv.get(k) for k in wanted)
+
+    spark.udtf.register("s4_parse_kv", ParseKV)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat_ws(
+            ";",
+            F.concat(F.lit("custkey="), F.col("o_custkey").cast("string")),
+            F.concat(F.lit("status="), F.col("o_orderstatus")),
+            F.concat(F.lit("priority="), F.col("o_orderpriority")),
+        ).alias("record"),
+    )
+    orders.createOrReplaceTempView("q245_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, p.custkey, p.status, p.priority
+        FROM q245_orders o,
+             LATERAL s4_parse_kv(o.record, 'custkey,status,priority') p
+        ORDER BY o.o_orderkey LIMIT 200
+        """
+    )
