@@ -49,6 +49,7 @@ DRIVER_WINDOW = (
     # B1-scans: new this round (Python DataSource writer API)
     "q242_python_datasource_sink",
     "q243_python_datasource_stream_sink",
+    "q246_offset_managed_stream_source",
     # B3-joins (never-verified, r6 queue)
     "q217_point_in_time_join",
     "q218_asof_join_tolerance",
@@ -114,7 +115,6 @@ DRIVER_WINDOW = (
     "q071_intersect",
     "q072_except",
     "q081_datetime_functions",
-    "q087_hash_functions",
 )
 
 

@@ -1136,3 +1136,51 @@ def q243(spark, sf_dir):
         F.sum("__row.event_id").cast("long").alias("sum_ids"),
         dsum(F.col("__row.value")).alias("sum_value"),
     )
+
+
+@query(
+    "q246_offset_managed_stream_source",
+    oracle="SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    section="B1-scans",
+)
+def q246(spark, sf_dir):
+    """Offset-managed custom STREAMING source (sources/chunk_spool.py):
+    the full DataSourceStreamReader protocol — explicit {"chunk": N}
+    offsets checkpointed by Spark, partitions(start, end) fanning each
+    micro-batch into one InputPartition per chunk for PARALLEL
+    executor-side reads (q107/q108's SimpleDataSourceStreamReader
+    prefetches on the driver), and commit(end) ACKING the consumed
+    prefix by deleting it — the reference's drain-after-flush spool
+    semantics keyed by Spark's own committed offset rather than a
+    delete-before-send race. documents.lang spread over 8 chunk files
+    must aggregate back to the table exactly. The ack is deferred the
+    way V2 sources define it — commit(end) fires when the NEXT run (or
+    batch) starts from the checkpointed offset, never before the
+    downstream commit is durable; the pytest rig drives two
+    availableNow runs through one checkpoint and asserts run 2 deletes
+    run 1's chunks and re-reads nothing (exactly-once drain)."""
+    import s4_spark.sources as sources
+    from s4_spark.sources.chunk_spool import chunk_path
+    from s4_spark.streaming.rigs import run_to_memory, scratch
+
+    sources.register(spark)
+    spool = scratch(f"q246_spool_{os.path.basename(sf_dir)}")
+    os.makedirs(spool, exist_ok=True)
+    langs = [r[0] for r in t(spark, sf_dir, "documents").select("lang").collect()]
+    n_chunks = 8
+    per = (len(langs) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = langs[i * per : (i + 1) * per]
+        if part:
+            with open(chunk_path(spool, i), "w") as f:
+                f.writelines(v + "\n" for v in part)
+
+    df = (
+        spark.readStream.format("chunkspool")
+        .option("path", spool)
+        .load()
+        .select(F.col("value").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory(df, mode="complete", tag="q246").orderBy("lang")

@@ -6,6 +6,7 @@ Python data source — ``spark.dataSource.register(UnixLineDataSource)`` —
 usable from both ``spark.read`` and ``spark.readStream``.
 """
 
+from s4_spark.sources.chunk_spool import ChunkSpoolDataSource  # noqa: F401
 from s4_spark.sources.linespool import LineSpoolDataSource  # noqa: F401
 from s4_spark.sources.unix_socket import UnixLineDataSource  # noqa: F401
 
@@ -18,10 +19,13 @@ def register(spark) -> None:
     imported it from an arbitrary directory)."""
     from pyspark import cloudpickle
 
+    from s4_spark.sources import chunk_spool as _chunks
     from s4_spark.sources import linespool as _spool
     from s4_spark.sources import unix_socket as _mod
 
     cloudpickle.register_pickle_by_value(_mod)
     cloudpickle.register_pickle_by_value(_spool)
+    cloudpickle.register_pickle_by_value(_chunks)
     spark.dataSource.register(UnixLineDataSource)
     spark.dataSource.register(LineSpoolDataSource)
+    spark.dataSource.register(ChunkSpoolDataSource)

@@ -1,0 +1,105 @@
+"""Chunked-spool streaming source with REAL offset management — the
+deep cell of the Spark 4 Python DataSource streaming API that
+sources/unix_socket.py's SimpleDataSourceStreamReader doesn't reach:
+
+- offsets are explicit dicts ({"chunk": N}), persisted by Spark's
+  checkpoint like any V2 source offset;
+- ``partitions(start, end)`` fans each micro-batch into ONE
+  InputPartition PER CHUNK, so executors read chunks in parallel
+  (SimpleDataSourceStreamReader prefetches single-threaded on the
+  driver);
+- ``commit(end)`` deletes chunks at-or-below the committed offset —
+  the drain/ack semantics of the reference's durable buffer
+  (/root/reference/river: records leave the spool only after the
+  downstream flush commits), but keyed by Spark's own checkpointed
+  offset instead of a delete-before-send race (SURVEY.md Appendix B's
+  do-not-replicate loss bug).
+
+Chunk files are ``chunk-NNNNNNNN.txt`` under ``path``, one line per
+record, appended by any producer; the committed prefix is immutable by
+contract (the producer only ever ADDS higher-numbered chunks). On a
+cluster, ``path`` must be a shared filesystem. Scale: a micro-batch
+over K new chunks is K parallel file reads; offsets are O(1) ints.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+_CHUNK_RE = re.compile(r"chunk-(\d{8})\.txt$")
+
+
+def chunk_path(path: str, i: int) -> str:
+    return os.path.join(path, f"chunk-{i:08d}.txt")
+
+
+def _list_chunks(path: str) -> list[int]:
+    out = []
+    for name in os.listdir(path):
+        m = _CHUNK_RE.search(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+@dataclass
+class ChunkPartition(InputPartition):
+    chunk: int
+    path: str
+
+
+class ChunkSpoolStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.ack = options.get("ack", "true").lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"chunk": -1}
+
+    def latestOffset(self) -> dict:
+        chunks = _list_chunks(self.path)
+        return {"chunk": chunks[-1] if chunks else -1}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            ChunkPartition(chunk=i, path=self.path)
+            for i in range(start["chunk"] + 1, end["chunk"] + 1)
+            if os.path.exists(chunk_path(self.path, i))
+        ]
+
+    def read(self, partition: ChunkPartition):
+        with open(chunk_path(partition.path, partition.chunk)) as f:
+            for line in f:
+                yield (line.rstrip("\n"),)
+
+    def commit(self, end: dict) -> None:
+        if not self.ack:
+            return
+        for i in _list_chunks(self.path):
+            if i <= end["chunk"]:
+                try:
+                    os.remove(chunk_path(self.path, i))
+                except FileNotFoundError:
+                    pass
+
+    def stop(self) -> None:
+        pass
+
+
+class ChunkSpoolDataSource(DataSource):
+    """``format("chunkspool")`` — register with
+    ``spark.dataSource.register(ChunkSpoolDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chunkspool"
+
+    def schema(self) -> str:
+        return "value string"
+
+    def streamReader(self, schema) -> ChunkSpoolStreamReader:
+        return ChunkSpoolStreamReader(self.options)

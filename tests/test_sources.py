@@ -356,3 +356,47 @@ def test_compaction_reduces_file_count(spark):
     n_comp = len(glob.glob(os.path.join(base, f"compacted_{sf}", "*.parquet")))
     assert n_frag == 64, n_frag
     assert n_comp <= 4, n_comp
+
+
+def test_chunk_spool_acks_on_next_run_exactly_once(spark, tmp_path):
+    """q246's drain semantics: commit(end) deletes the consumed prefix
+    when the next run starts from the checkpointed offset — run 1's
+    chunks vanish during run 2, run 2 reads ONLY the new chunks, and
+    the union of both runs has no duplicates (the reference's
+    drain-after-flush, without its delete-before-send loss window)."""
+    import os
+
+    import s4_spark.sources as sources
+    from s4_spark.sources.chunk_spool import chunk_path
+
+    sources.register(spark)
+    spool, ckpt, out = (str(tmp_path / d) for d in ("spool", "ckpt", "out"))
+    os.makedirs(spool)
+    for i in range(3):
+        with open(chunk_path(spool, i), "w") as f:
+            f.write(f"r{i}\n")
+
+    def run():
+        df = spark.readStream.format("chunkspool").option("path", spool).load()
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert sorted(
+        p for p in os.listdir(spool) if p.startswith("chunk")
+    ) == [f"chunk-{i:08d}.txt" for i in range(3)]  # not yet acked
+    for i in range(3, 5):
+        with open(chunk_path(spool, i), "w") as f:
+            f.write(f"r{i}\n")
+    run()
+    assert sorted(
+        p for p in os.listdir(spool) if p.startswith("chunk")
+    ) == [f"chunk-{i:08d}.txt" for i in range(3, 5)]  # run-1 prefix drained
+    rows = sorted(r.value for r in spark.read.parquet(out).collect())
+    assert rows == [f"r{i}" for i in range(5)]  # exactly once, no re-read
