@@ -872,19 +872,28 @@ def _funnel_stateful_stream(spark, sf_dir):
     GroupState = three write-once microsecond instants (first view,
     first in-deadline click, first in-deadline purchase). Shared by
     q234 (aggregate batch-equivalence) and q238 (statestore
-    introspection of the same state)."""
+    introspection of the same state).
+
+    Event time crosses into Python as ``unix_micros(ts)`` — a plain
+    int64 — NOT as a timestamp column: Arrow renders TIMESTAMP values
+    session-timezone-naive inside applyInPandas workers, so pandas
+    epoch math silently shifts by the session offset on any non-UTC
+    session (caught by the round-6 vanilla-session check via q238,
+    whose ABSOLUTE timestamps expose the shift that q234's
+    shift-invariant lags masked)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     DEADLINE_US = 48 * 3600 * 1_000_000
-    ev = events_stream(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
 
     def funnel(key, pdfs, state: GroupState):
         t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
         batch = [pdf for pdf in pdfs if len(pdf)]
         if batch:
-            pdf = pd.concat(batch).sort_values(["ts", "event_id"])
-            ts_us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
-            for et, t_us in zip(pdf["event_type"].values, ts_us):
+            pdf = pd.concat(batch).sort_values(["ts_us", "event_id"])
+            for et, t_us in zip(pdf["event_type"].values, pdf["ts_us"].values):
                 t_us = int(t_us)
                 if t1 < 0:
                     if et == "view":
@@ -1126,6 +1135,11 @@ def q235(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
         .withWatermark("ts", f"{span_hours} hours")
+        # event time crosses into Python as int64 epoch micros — Arrow
+        # renders TIMESTAMP session-tz-naive in the state worker, which
+        # would shift the buffer-vs-watermark comparison on non-UTC
+        # sessions (round-6 vanilla-session finding)
+        .withColumn("ts_us", F.unix_micros("ts"))
     )
 
     def funnel(key, pdfs, state: GroupState):
@@ -1137,10 +1151,7 @@ def q235(spark, sf_dir):
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            buf_ts.extend(
-                int(v)
-                for v in pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
-            )
+            buf_ts.extend(int(v) for v in pdf["ts_us"].values)
             buf_id.extend(int(v) for v in pdf["event_id"].values)
             buf_et.extend(pdf["event_type"].values.tolist())
         wm_us = state.getCurrentWatermarkMs() * 1000
@@ -1425,6 +1436,10 @@ def _q241(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(landing)
         .withWatermark("ts", "0 seconds")
+        # int64 epoch micros for the worker — Arrow's session-tz-naive
+        # timestamp rendering would shift timer registration on non-UTC
+        # sessions (round-6 vanilla-session finding)
+        .withColumn("ts_us", F.unix_micros("ts"))
     )
 
     def emit_row(key, start, n, counts):
@@ -1453,9 +1468,8 @@ def _q241(spark, sf_dir):
                 start, last, n, counts = -1, -1, 0, {}
             batch = [pdf for pdf in rows if len(pdf)]
             if batch:
-                pdf = pd.concat(batch).sort_values(["ts", "event_id"])
-                ts_us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
-                for et, t_us in zip(pdf["event_type"].values, ts_us):
+                pdf = pd.concat(batch).sort_values(["ts_us", "event_id"])
+                for et, t_us in zip(pdf["event_type"].values, pdf["ts_us"].values):
                     t_us = int(t_us)
                     if start >= 0 and t_us - last > GAP_US:
                         yield emit_row(key[0], start, n, counts)
