@@ -81,6 +81,7 @@ DRIVER_WINDOW = (
     "q238_funnel_state_introspection",
     "q240_transform_with_list_state",
     "q241_transform_with_map_state_timers",
+    "q247_transform_with_initial_state",
     # B8-functions / B10-udfs: new this round (SQL scripting,
     # polymorphic UDTF)
     "q244_sql_scripting",
@@ -114,7 +115,6 @@ DRIVER_WINDOW = (
     "q016_distinct",
     "q071_intersect",
     "q072_except",
-    "q081_datetime_functions",
 )
 
 

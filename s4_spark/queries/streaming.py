@@ -1546,3 +1546,166 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
     """,
         section="B9-streaming",
     )(_q241)
+
+
+def _q247(spark, sf_dir):
+    """Warm-start state migration (kappa backfill→live handoff): the
+    funnel's per-user state is BATCH-COMPUTED over the first half of
+    the event log (three chained min-aggregations — the q219 shape),
+    handed to ``transformWithStateInPandas(initialState=...)``, and
+    the stream replays ONLY the second half. ``handleInitialState``
+    seeds each user's ValueState before any input row; the final
+    per-user slots are then read back out of the state store
+    (``stateVarName`` readback, q238's technique — required here
+    because warm users with no second-half events never emit) and must
+    roll up to the batch funnel over the WHOLE log: the oracle is
+    q219's SQL verbatim.
+
+    This is the migration path a production deployment actually runs —
+    bootstrap stateful streaming from a backfill instead of replaying
+    history through the stream — and it certifies the fold identity
+    fold(second | fold(first)) == fold(all). Event time crosses as
+    int64 micros end-to-end (no timestamp ever enters the worker).
+    Initial-state build is three user_id-keyed aggregations; the
+    stream shuffles once on user_id; state stays 3 int64s per user."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _ship_vendored_protobuf(spark)
+
+    DEADLINE_US = 48 * 3600 * 1_000_000
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
+    ev = ev.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    mid = (int(lo) + int(hi)) // 2
+
+    first = ev.filter(F.col("ts_us") < mid)
+    w1 = (
+        first.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    w2 = (
+        first.filter(F.col("event_type") == "click")
+        .join(w1, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(DEADLINE_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    w3 = (
+        first.filter(F.col("event_type") == "purchase")
+        .join(w2, "user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + F.lit(DEADLINE_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    warm = (
+        w1.join(w2, "user_id", "left")
+        .join(w3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1"),
+            F.coalesce("t2", F.lit(-1)).alias("t2"),
+            F.coalesce("t3", F.lit(-1)).alias("t3"),
+        )
+    )
+
+    import shutil
+
+    landing = scratch("q247_landing")
+    os.makedirs(landing, exist_ok=True)
+    stage = scratch("q247_stage")
+    ev.filter(F.col("ts_us") >= mid).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        p for p in os.listdir(stage)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    shutil.copyfile(os.path.join(stage, part), os.path.join(landing, "p1.parquet"))
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts_us long, event_id long"
+    ).parquet(landing)
+
+    class WarmFunnel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "t1 long, t2 long, t3 long")
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._state.update(
+                (
+                    int(initialState["t1"].iloc[0]),
+                    int(initialState["t2"].iloc[0]),
+                    int(initialState["t3"].iloc[0]),
+                )
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            t1, t2, t3 = self._state.get() if self._state.exists() else (-1, -1, -1)
+            batch = [pdf for pdf in rows if len(pdf)]
+            if batch:
+                pdf = pd.concat(batch).sort_values(["ts_us", "event_id"])
+                for et, t_us in zip(pdf["event_type"].values, pdf["ts_us"].values):
+                    t_us = int(t_us)
+                    if t1 < 0:
+                        if et == "view":
+                            t1 = t_us
+                    elif t2 < 0:
+                        if et == "click" and t1 < t_us <= t1 + DEADLINE_US:
+                            t2 = t_us
+                    elif t3 < 0:
+                        if et == "purchase" and t2 < t_us <= t2 + DEADLINE_US:
+                            t3 = t_us
+            self._state.update((t1, t2, t3))
+            yield from ()
+
+        def close(self) -> None:
+            pass
+
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=WarmFunnel(),
+        outputStructType="user_id long",
+        outputMode="Update",
+        timeMode="None",
+        initialState=warm.groupBy("user_id"),
+    )
+    name = f"s4_mem_q247_{os.getpid()}"
+    ckpt = scratch(f"ckpt_{name}")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").option("stateVarName", "agg").load(ckpt)
+    final = st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.t1").alias("t1"),
+        F.col("value.t2").alias("t2"),
+        F.col("value.t3").alias("t3"),
+    )
+    return _funnel_rollup(final)
+
+
+if transform_with_state_available():  # pragma: no cover - env-dependent
+    query(
+        "q247_transform_with_initial_state",
+        oracle=_FUNNEL_ORACLE,
+        section="B9-streaming",
+    )(_q247)
