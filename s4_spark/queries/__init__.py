@@ -82,6 +82,7 @@ DRIVER_WINDOW = (
     "q240_transform_with_list_state",
     "q241_transform_with_map_state_timers",
     "q247_transform_with_initial_state",
+    "q248_streaming_progress_metrics",
     # B8-functions / B10-udfs: new this round (SQL scripting,
     # polymorphic UDTF)
     "q244_sql_scripting",
@@ -114,7 +115,6 @@ DRIVER_WINDOW = (
     "q013_null_predicates",
     "q016_distinct",
     "q071_intersect",
-    "q072_except",
 )
 
 

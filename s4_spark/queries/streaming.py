@@ -1709,3 +1709,53 @@ if transform_with_state_available():  # pragma: no cover - env-dependent
         oracle=_FUNNEL_ORACLE,
         section="B9-streaming",
     )(_q247)
+
+
+@query(
+    "q248_streaming_progress_metrics",
+    oracle="""
+    SELECT count(*) AS listener_input_rows,
+           count(DISTINCT event_type) AS state_rows
+    FROM events
+    """,
+    section="B9-streaming",
+)
+def q248(spark, sf_dir):
+    """Streaming OBSERVABILITY contract: the query-progress API
+    (StreamingQuery.recentProgress — what a production monitor scrapes)
+    must account for every ingested row and every state-store row.
+    Run the availableNow event_type aggregation to completion, then sum
+    numInputRows across all progress events and read the stateOperators'
+    numRowsTotal from the final progress: the SOURCE-side count equals
+    the table cardinality exactly (no row enters unobserved) and the
+    state row count equals the distinct group count. Extends q163
+    (batch observed metrics) and q171 (state introspection) to the
+    live metrics surface — the reference's counterpart is its flush
+    logging (river.go's per-batch record counts), which operators
+    alert on; here the numbers are oracle-checked, not just emitted.
+
+    Driver-side cost is O(progress events); nothing is collected from
+    executors beyond the metrics Spark already aggregates."""
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    name = f"s4_mem_q248_{os.getpid()}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p is not None]
+    input_rows = sum(int(p["numInputRows"]) for p in progresses)
+    state_rows = 0
+    for p in reversed(progresses):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state_rows = int(ops[0]["numRowsTotal"])
+            break
+    return spark.createDataFrame(
+        [(input_rows, state_rows)], "listener_input_rows long, state_rows long"
+    )
