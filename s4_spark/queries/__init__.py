@@ -87,6 +87,8 @@ DRIVER_WINDOW = (
     # polymorphic UDTF)
     "q244_sql_scripting",
     "q245_polymorphic_udtf",
+    "q249_try_functions",
+    "q250_collated_strings",
     # B11-llm (never-verified, r6 queue)
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
@@ -113,8 +115,6 @@ DRIVER_WINDOW = (
     "q010_projection",
     "q012_in_predicate",
     "q013_null_predicates",
-    "q016_distinct",
-    "q071_intersect",
 )
 
 

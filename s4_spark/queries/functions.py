@@ -500,3 +500,95 @@ def q244(spark, sf_dir):
         END
         """
     )
+
+
+@query(
+    "q249_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 3, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS good_cast,
+           CASE WHEN o_orderkey > 0 THEN NULL
+                ELSE 9223372036854775807 + o_orderkey END AS overflow_add
+    FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+    section="B8-functions",
+)
+def q249(spark, sf_dir):
+    """ANSI-safe arithmetic battery (`try_*`, Spark 3.5/4): with ANSI
+    mode ON (this engine's default — division by zero, bad casts and
+    bigint overflow all THROW at runtime), the try_ family is the
+    production-safe spelling that degrades to NULL instead of killing
+    a 1000-executor job on one degenerate row: try_divide (zero
+    denominators every 3rd row), try_cast (non-numeric and numeric
+    prefixes of the same column), try_add (bigint overflow). The
+    oracle spells the same semantics in DuckDB (NULLIF guard,
+    TRY_CAST, a CASE for the always-overflowing add). Complements
+    q082's plain math battery: same expressions, the failure-path
+    contract."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
+            ).alias("safe_div"),
+            F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+            F.substring("o_orderpriority", 1, 1).try_cast("int").alias(
+                "good_cast"
+            ),
+            F.try_add(
+                F.lit(9223372036854775807), F.col("o_orderkey")
+            ).alias("overflow_add"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+@query(
+    "q250_collated_strings",
+    oracle="""
+    SELECT lower(noisy) AS p_type_ci, count(*) AS n,
+           min(noisy) AS first_variant
+    FROM (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+                  ELSE lower(p_type) END AS noisy
+      FROM part)
+    GROUP BY lower(noisy) ORDER BY p_type_ci
+    """,
+    section="B8-functions",
+)
+def q250(spark, sf_dir):
+    """String COLLATIONS (Spark 4): grouping and ordering under
+    UTF8_LCASE without rewriting expressions to lower() — the collation
+    travels with the type, so every comparison the column touches
+    (GROUP BY, ORDER BY, joins, = predicates) becomes case-insensitive
+    at the Catalyst level. The feed deliberately case-mangles p_type by
+    key parity; collated grouping must fuse the variants exactly as
+    the oracle's lower()-keyed grouping does (a deterministic lower()
+    key and min() representative are projected because the collated
+    group's representative value is engine-chosen). min() under
+    UTF8_LCASE compares case-insensitively, so it is evaluated on the
+    BINARY-collated copy to stay deterministic."""
+    p = t(spark, sf_dir, "part")
+    noisy = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+        .alias("noisy")
+    )
+    collated = noisy.select(
+        F.collate("noisy", "UTF8_LCASE").alias("noisy_ci"),
+        F.col("noisy").alias("noisy_bin"),
+    )
+    return (
+        collated.groupBy("noisy_ci")
+        .agg(F.count("*").alias("n"), F.min("noisy_bin").alias("first_variant"))
+        .select(
+            F.lower(F.col("noisy_ci").cast("string")).alias("p_type_ci"),
+            "n",
+            "first_variant",
+        )
+        .orderBy("p_type_ci")
+    )
