@@ -39,8 +39,26 @@ from s4_spark.queries import (  # noqa: F401,E402
 # property rig) remain outside the union.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
-# empty while everything never-verified fits in the current window.
-NEXT_WINDOW_QUEUE: tuple = ()
+# this round's additions overflowed the window's five displaceable
+# filler slots, so the overflow entries wait here (every one
+# sf0.001..sf0.1 oracle-checked; they rotate in at the next round's
+# window edit).
+NEXT_WINDOW_QUEUE: tuple = (
+    "q253_chi2_token_association",
+    "q257_approx_top_k_sketch",
+    "q258_chained_streaming_aggs",
+    "q259_ewma_smoothing",
+    "q260_aqe_skew_join",
+    "q261_tpch_q15_shape",
+    "q262_grouped_applyInArrow",
+    "q263_bucket_pruning",
+    "q264_iter_pandas_udf",
+    "q265_parameterized_sql",
+    "q266_listagg",
+    "q267_convert_timezone",
+    "q268_stream_to_table",
+    "q269_join_then_window_chain",
+)
 
 DRIVER_WINDOW = (
     # B1-scans (never-verified, r6 queue)
@@ -100,6 +118,16 @@ DRIVER_WINDOW = (
     "q225_rank_blend_quality",
     "q228_weighted_sample",
     "q233_training_pipeline_e2e",
+    # B9-streaming: new this session (state lifecycle breadth —
+    # changelog-checkpointed restart recovery, processing-time TTL)
+    "q251_rocksdb_changelog_restart",
+    "q252_state_ttl_eviction",
+    # B3-joins: new this session (plan-rewrite breadth — EXISTS with a
+    # non-equi outer correlation, ON-clause-filtered outer join with a
+    # double aggregation, disjunctive OR-of-ANDs spanning both sides)
+    "q254_tpch_q4_shape",
+    "q255_tpch_q13_shape",
+    "q256_tpch_q19_shape",
     # ---- canaries (families with no never-verified entries left) ----
     # B2-projection-filter
     "q011_filter_comparison",
@@ -107,14 +135,6 @@ DRIVER_WINDOW = (
     "q061_topk",
     # B7-setops
     "q070_union",
-    # B8-functions
-    "q080_string_functions",
-    # B10-udfs
-    "q199_arrow_python_udf",
-    # ---- fillers (already driver-green; swapped out as new entries land) ----
-    "q010_projection",
-    "q012_in_predicate",
-    "q013_null_predicates",
 )
 
 

@@ -1394,3 +1394,100 @@ def q230(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q257_approx_top_k_sketch",
+    # The sketch tracks 4096 items — far above this corpus's fixed
+    # vocabulary — so the estimate is provably exact and an exact
+    # count oracle is valid; the entry verifies the LIFECYCLE
+    # (per-group accumulate -> combine -> estimate), not a loose bound.
+    oracle="""
+    SELECT tok, count(*) AS est_count
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok ORDER BY tok
+    """,
+    section="B4-aggregations",
+)
+def q257(spark, sf_dir):
+    """Mergeable approximate top-k sketch (Spark 4.1's approx_top_k
+    family, a frequent-items/heavy-hitter summary): token counts are
+    ACCUMULATED into one sketch per source shard, the per-shard
+    sketches are COMBINED into a corpus sketch, and the top items are
+    ESTIMATED from the merged state — the three-phase lifecycle that
+    lets a 100 TB corpus keep one tiny reusable artifact per
+    partition/day and answer "top tokens overall" by merging
+    artifacts, never rescanning text (same rollup algebra as q147's
+    HLL union and q204's CMS, for the top-k question q193 answers in
+    two exact passes).
+
+    Scale shape: accumulate is a partial aggregate (each executor
+    compresses its rows to one fixed-size sketch before the 10-row
+    per-source shuffle); combine merges 10 sketches; estimate is
+    driver-cheap. Sized at 4096 tracked items the sketch is EXACT for
+    this corpus's bounded vocabulary, which is what makes the exact
+    oracle legitimate; an under-sized sketch degrades to approximate
+    counts with the usual frequent-items guarantees. The estimate
+    explodes to scalar (tok, est_count) rows so the result is
+    order-insensitive."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    per_source = toks.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(tok, 4096)").alias("sk")
+    )
+    merged = per_source.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 4096), 4096)").alias(
+            "tk"
+        )
+    )
+    return (
+        merged.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("tok"), F.col("e.count").alias("est_count"))
+        .orderBy("tok")
+    )
+
+
+@query(
+    "q266_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments
+    FROM customer WHERE c_custkey <= 200
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    section="B4-aggregations",
+)
+def q266(spark, sf_dir):
+    """SQL-standard ``listagg(...) WITHIN GROUP (ORDER BY ...)`` (Spark
+    4.0) — ordered string concatenation as a FIRST-CLASS aggregate,
+    plus the DISTINCT form. q037's sort_array(collect_set(...)) is the
+    pre-4.0 workaround; listagg is the spelling analysts port from
+    Oracle/Snowflake/BigQuery (string_agg), and WITHIN GROUP ordering
+    is part of the aggregate's definition rather than a bolted-on
+    array sort — so the result is deterministic by construction, which
+    is exactly what makes it oracle-able.
+
+    Scale note: like any collect-to-one-value aggregate the group's
+    full member list materializes on one reducer — fine for
+    dimension-sized groups (names per nation), wrong for fact-sized
+    ones (q037's caveat applies verbatim). One partial+final agg, the
+    custkey filter pushed to the scan."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names,
+               listagg(DISTINCT c_mktsegment, '|')
+                 WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+        FROM customer WHERE c_custkey <= 200
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """
+    )

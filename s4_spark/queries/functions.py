@@ -592,3 +592,115 @@ def q250(spark, sf_dir):
         )
         .orderBy("p_type_ci")
     )
+
+
+@query(
+    "q265_parameterized_sql",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority = '2-HIGH' AND o_totalprice > 1000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    section="B8-functions",
+)
+def q265(spark, sf_dir):
+    """Parameterized SQL (``spark.sql(query, args=...)``, Spark 3.4/3.5)
+    — named ``:param`` markers bound as LITERALS by the parser, plus the
+    ``IDENTIFIER(:name)`` clause binding a TABLE NAME from a parameter
+    without string concatenation. This is the injection-safe templating
+    surface a query service needs: values can't smuggle SQL, and
+    identifiers go through one validated escape hatch instead of
+    f-strings. Parameters bind before analysis, so Catalyst sees plain
+    literals — pushdown/pruning behave exactly as in the literal
+    spelling (same plan, oracle-identical result).
+
+    The priority value and price floor arrive as Python values; the
+    table name arrives via IDENTIFIER so the same statement serves any
+    registered snapshot of the orders table."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderpriority = :prio AND o_totalprice > :floor
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        args={"tbl": "orders", "prio": "2-HIGH", "floor": 1000},
+    )
+
+
+@query(
+    "q267_convert_timezone",
+    # Only the UTC -> local direction is exercised: it is TOTAL (every
+    # UTC instant has exactly one local wall time), so no
+    # nonexistent/ambiguous-time policy can differ between engines.
+    # The shifted feed spans the 2024-03-10 US DST jump, so both
+    # offsets (-300/-240 min) MUST appear for the hash to match.
+    oracle="""
+    WITH shifted AS (
+      SELECT ts + INTERVAL 2 MONTH AS wall_utc FROM events),
+    conv AS (
+      SELECT wall_utc,
+             timezone('America/New_York',
+                      timezone('UTC', wall_utc))::TIMESTAMP AS wall_ny
+      FROM shifted)
+    SELECT CAST(wall_utc AS DATE) AS utc_day,
+           CAST((CAST(wall_ny AS DATE) - CAST(wall_utc AS DATE)) * 1440
+                + (hour(wall_ny) - hour(wall_utc)) * 60
+                + (minute(wall_ny) - minute(wall_utc)) AS BIGINT)
+             AS offset_min,
+           count(*) AS n
+    FROM conv GROUP BY utc_day, offset_min ORDER BY utc_day, offset_min
+    """,
+    section="B8-functions",
+)
+def q267(spark, sf_dir):
+    """DST-correct timezone conversion (``convert_timezone``, Spark
+    3.5+): the events feed shifted into March 2024 crosses the US
+    spring-forward boundary, and every UTC wall clock is converted to
+    America/New_York — days before 2024-03-10 must come out at -300
+    minutes (EST), days after at -240 (EDT), and the jump day carries
+    both. Getting this wrong (fixed-offset arithmetic, the classic
+    bug) collapses the histogram to one offset; the oracle counts
+    per-(day, offset) so the hash fails loudly.
+
+    Deliberately only UTC->local: that direction is total, while
+    local->UTC must choose a policy for the nonexistent 02:00-03:00
+    wall times and engines may legitimately differ — an oracle there
+    would pin one engine's policy, not a semantic. Offsets are
+    computed by pure FIELD arithmetic (day-diff*1440 + hour/minute
+    deltas) because timestampdiff on NTZ inputs routes through the
+    SESSION zone: a wall time that is nonexistent in the session's own
+    zone (Chicago's 02:00-03:00 on the same jump day) silently shifts
+    an hour — found by the vanilla-Chicago check, invisible on UTC
+    sessions. All codegen'd builtins, one partial+final agg."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("ts") + F.expr("INTERVAL 2 MONTHS")).alias("wall_utc")
+    )
+    conv = ev.select(
+        "wall_utc",
+        F.convert_timezone(
+            F.lit("UTC"), F.lit("America/New_York"), F.col("wall_utc")
+        ).alias("wall_ny"),
+    )
+    return (
+        conv.select(
+            F.col("wall_utc").cast("date").alias("utc_day"),
+            (
+                F.datediff(
+                    F.col("wall_ny").cast("date"), F.col("wall_utc").cast("date")
+                )
+                * 1440
+                + (F.hour("wall_ny") - F.hour("wall_utc")) * 60
+                + (F.minute("wall_ny") - F.minute("wall_utc"))
+            ).cast("long").alias("offset_min"),
+        )
+        .groupBy("utc_day", "offset_min")
+        .agg(F.count("*").alias("n"))
+        .orderBy("utc_day", "offset_min")
+    )

@@ -322,10 +322,13 @@ def q045(spark, sf_dir):
     doesn't silently degrade to broadcast at small SF."""
     import os as _os
 
-    from s4_spark.queries.scans import _scratch
+    from s4_spark.scratch import scratch_root
 
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    warehouse = _scratch(f"bucketed_{tag}")
+    # plain join, not scans._scratch(): that helper rmtrees on every
+    # call, so a second invocation in one session would delete the
+    # bucket files while the catalog entry still passes the guard below
+    warehouse = _os.path.join(scratch_root(), f"bucketed_{tag}")
     o_name, c_name = f"orders_b_{tag}", f"customer_b_{tag}"
     if not spark.catalog.tableExists(o_name):
         (
@@ -1185,3 +1188,331 @@ def q239(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q254_tpch_q4_shape",
+    # Textbook EXISTS spelling — the subquery correlates on the equi key
+    # AND compares against the OUTER row's o_orderdate (a non-equi
+    # correlated condition), which Spark must decorrelate into a
+    # left-semi hash join with a residual predicate.
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    section="B3-joins",
+)
+def q254(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): 1996-Q1 orders with at
+    least one LATE line — a lineitem shipped more than 60 days after the
+    order date — counted per priority bucket. The public Q4's
+    l_commitdate < l_receiptdate predicate is re-expressed on this
+    schema's columns as shipdate-vs-orderdate lag; the shape is the
+    point: EXISTS correlated on the equi key PLUS a non-equi comparison
+    against the OUTER row (reference relational scope:
+    /root/reference/README.md query surface; Q4 per the public TPC-H
+    spec).
+
+    Decorrelation, Spark-side: the date-range filter prunes orders at
+    the parquet scan (one quarter ~= 1/26th of the fact at any SF), and
+    EXISTS becomes a LEFT-SEMI hash join on l_orderkey with the
+    60-day-lag comparison left as a residual join predicate — never a
+    nested loop, because the equi key carries the join. Semi-join
+    output is at most one row per order regardless of how many lines
+    are late, so the per-priority rollup aggregates the pruned order
+    set, not the fact table. At 100 TB both sides shuffle once on
+    orderkey (or the pruned order side broadcasts when a quarter fits),
+    and the 5-row priority rollup is a partial+final hash agg."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q255_tpch_q13_shape",
+    # The priority exclusion lives in the JOIN's ON clause, not WHERE —
+    # for a LEFT OUTER join these are NOT equivalent (WHERE would drop
+    # the zero-order customers the histogram's biggest bucket counts).
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '3-MEDIUM'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    section="B3-joins",
+)
+def q255(spark, sf_dir):
+    """TPC-H Q13 shape (customer order distribution): how many customers
+    placed exactly k qualifying orders, including k=0 — the classic
+    LEFT OUTER join with a filter INSIDE the ON clause feeding a
+    DOUBLE aggregation (count per customer, then a histogram of those
+    counts). The public Q13 excludes a comment pattern; this schema
+    carries no o_comment, so the exclusion is a priority class — the
+    shape (ON-clause filter + preserved null side + agg-of-agg) is
+    identical (Q13 per the public TPC-H spec).
+
+    Scale shape: the inner filter halves the orders side BEFORE the
+    join; join and first aggregate share the c_custkey key, so the
+    per-customer count reuses the join's shuffle partitioning (no
+    second exchange until the histogram). The histogram's domain is
+    tiny (max orders per customer), so its shuffle moves one row per
+    distinct count per partition after the partial agg. count(col) —
+    not count(*) — preserves the zero bucket: unmatched customers
+    contribute a NULL o_orderkey the counter skips."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "3-MEDIUM"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q256_tpch_q19_shape",
+    # Disjunctive OR-of-ANDs across BOTH join sides: Catalyst must
+    # derive the per-side implied filters (brand IN (...) ∧ size ≤ 15
+    # on part; quantity ≤ 36 on lineitem) so each scan prunes before
+    # the join, then keep the full disjunction as a residual.
+    oracle="""
+    SELECT {rev} AS revenue, count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 36)
+    """.format(rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+    section="B3-joins",
+)
+def q256(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue over three OR'd brand/size/quantity bands — the classic
+    test that a disjunction spanning both join sides still prunes each
+    scan. The public Q19's p_container/l_shipmode bands use columns
+    this schema lacks; brand/size/quantity carry the same OR-of-ANDs
+    shape (Q19 per the public TPC-H spec).
+
+    Scale shape: Catalyst's constraint propagation derives what the
+    disjunction implies per side — part needs only the three brands at
+    size ≤ 15 (a few hundred keys at any SF), lineitem only quantity
+    ≤ 36 — so both filters reach the parquet scans as PushedFilters
+    and the pruned part side hash-broadcasts into the fact scan. The
+    full three-band disjunction stays as a residual on the joined row
+    where both sides' columns are finally in scope. One broadcast
+    join, zero fact shuffles, one partial+final global agg."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 36))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q261_tpch_q15_shape",
+    # Textbook spelling: the revenue view referenced twice — once as
+    # the join input, once inside the uncorrelated scalar MAX subquery
+    # the WHERE compares against. Comparison happens on the EXACT
+    # decimal revenue (not the double projection) so the argmax set
+    # cannot differ across engines.
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS rev_d
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate <  DATE '1996-04-01'
+        AND l_suppkey IS NOT NULL
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_d AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_d = (SELECT max(rev_d) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    section="B3-joins",
+)
+def q261(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue): suppliers
+    whose Q1-1996 revenue equals the maximum over ALL suppliers — the
+    argmax-over-an-aggregate pattern (a scalar subquery whose input is
+    itself the grouped view the outer query joins). Q15 per the public
+    TPC-H spec, the CREATE VIEW spelled as a CTE.
+
+    Decorrelation, Spark-side: the per-suppkey revenue aggregate is
+    computed ONCE (date range pushed to the parquet scan, one
+    partial+final hash agg); its global max is a 1-row aggregate OF
+    THE AGGREGATE (|suppliers| rows, not the fact table) broadcast
+    back onto the same revenue frame; survivors — typically one row —
+    broadcast-join into supplier. The revenue comparison runs on the
+    exact decimal sum, not the double projection, so ties and the
+    argmax boundary are engine-stable. At 100 TB: one fact scan, one
+    suppkey shuffle, everything after is dimension-sized."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            # explicit, so BOTH consumers of this frame (join input and
+            # scalar-max branch) share one canonical subtree — without
+            # it the join side alone gains an inferred isnotnull filter
+            # and AQE exchange reuse is defeated (two fact scans)
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            ).alias("rev_d")
+        )
+    )
+    mx = rev.agg(F.max("rev_d").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.rev_d == mx.mx).select("l_suppkey", "rev_d")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.l_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("rev_d").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SKEW_CONFS = {
+    # forbid broadcast (static AND adaptive) so the skewed sort-merge
+    # join actually happens — at 100 TB neither side broadcasts anyway
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # test-SF thresholds: a partition counts as skewed over 16 KB and
+    # 2x the median, split into ~8 KB task slices (production keeps the
+    # 256 MB/advisory-64 MB defaults — same mechanism, real sizes)
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    # the rollup above the join makes ValidateRequirements revert the
+    # split (the partial agg shares the join's stage); force keeps it —
+    # safe here, the oracle certifies the result is unchanged
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def _q260_join(spark, sf_dir):
+    # repartition(8) gives the join shuffle 8 real mappers: AQE splits
+    # a skewed reduce partition at MAPPER boundaries, and this sf's
+    # single-row-group parquet file otherwise yields ONE mapper with
+    # data (maxPartitionBytes byte-splits don't help: the whole row
+    # group goes to one split) — unsplittable by construction. At
+    # 100 TB the scan has thousands of mappers and this line vanishes.
+    li = t(spark, sf_dir, "lineitem").repartition(8).select(
+        F.when(F.col("l_orderkey") % 20 == 0, F.col("l_orderkey"))
+        .otherwise(F.lit(1))
+        .alias("skew_key"),
+        "l_quantity",
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li.skew_key == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty_sum"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q260_aqe_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n, {qs} AS qty_sum
+    FROM (SELECT CASE WHEN l_orderkey % 20 = 0 THEN l_orderkey
+                      ELSE 1 END AS skew_key, l_quantity
+          FROM lineitem) li
+    JOIN orders o ON li.skew_key = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """.format(qs=sql_dsum("l_quantity")),
+    section="B3-joins",
+)
+def q260(spark, sf_dir):
+    """AQE runtime skew-join handling — the AUTOMATIC counterpart of
+    q046's hand-salted join: ~95% of the fact rows share one join key
+    (every non-multiple-of-20 orderkey collapses onto key 1), so one
+    post-shuffle partition dwarfs the rest; at 100 TB that partition
+    is the straggler task that holds the stage for hours, or the OOM.
+    Adaptive execution measures partition sizes AFTER the shuffle
+    materializes, marks the oversized partition skewed, splits it into
+    advisory-sized slices, and DUPLICATES the matching dim-side rows
+    across the slices — no salting column, no key-cardinality guess,
+    no query rewrite. q046 remains the portable fallback (and the only
+    option when the skew is in an aggregation, which AQE skew handling
+    does not cover).
+
+    Two version-verified operational facts ride along (both found by
+    driving the mechanism, not reading docs): splits happen at MAP
+    OUTPUT granularity, so a fact side scanned as one mapper (single
+    small parquet file = one row group = one task) is unsplittable no
+    matter the thresholds; and when the partial aggregate above the
+    join shares its stage, ValidateRequirements reverts the rewrite
+    unless forceOptimizeSkewedJoin overrides it — the oracle certifies
+    the override changes no results. Conf scoping follows q194:
+    thresholds shrink to test-SF sizes and broadcast is disabled for
+    ONE eager materialization, restored in ``finally``. The companion
+    test materializes the same frame under these confs and asserts the
+    executed plan carries ``skew=true`` on the sort-merge join — the
+    mechanism demonstrably fired, not merely configured."""
+    saved = {}
+    for k, v in _SKEW_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        return _q260_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

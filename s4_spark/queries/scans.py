@@ -1184,3 +1184,57 @@ def q246(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     return run_to_memory(df, mode="complete", tag="q246").orderBy("lang")
+
+
+@query(
+    "q263_bucket_pruning",
+    oracle="""
+    SELECT o_custkey, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_custkey IN (7, 20)
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    section="B1-scans",
+)
+def q263(spark, sf_dir):
+    """Bucket PRUNING on read — the scan-side payoff of the bucketed
+    layout q045 uses for shuffle-free joins: an equality / IN predicate
+    on the bucket column lets Spark compute which buckets can hold the
+    keys and skip the rest at file-listing time
+    (``SelectedBucketsCount: 2 out of 8`` pinned in
+    tests/test_plans.py). Completes the storage-pruning battery: q200
+    partition pruning (directory level), q202 zone maps (file
+    min/max), q173 blooms (page level), and bucket pruning (hash
+    level) — each cuts I/O BEFORE rows exist to filter.
+
+    At 100 TB a point lookup on a bucketed fact table reads 1/N of the
+    data with zero index maintenance — the hash function IS the index.
+    The trade against partition pruning: buckets handle high-
+    cardinality keys (custkey) where one-directory-per-value would
+    melt the metastore. Same pid-namespaced warehouse rebuild
+    discipline as q045/q201 (a fresh session with a stale directory
+    rebuilds cleanly)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # NOT _scratch(): that helper rmtrees on every call, which would
+    # delete the table's files while the catalog entry survives
+    warehouse = os.path.join(scratch_root(), f"bucketprune_{tag}")
+    name = f"orders_bp_{tag}"
+    path = os.path.join(warehouse, "orders_bp")
+    if not (spark.catalog.tableExists(name) and os.path.isdir(path)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return (
+        spark.table(name)
+        .filter(F.col("o_custkey").isin(7, 20))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_custkey")
+    )

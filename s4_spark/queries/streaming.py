@@ -1759,3 +1759,441 @@ def q248(spark, sf_dir):
     return spark.createDataFrame(
         [(input_rows, state_rows)], "listener_input_rows long, state_rows long"
     )
+
+
+@query(
+    "q251_rocksdb_changelog_restart",
+    # Full-table per-user totals — but the stream reaches them across a
+    # QUERY RESTART (run 2 starts from the checkpoint and processes only
+    # the phase-2 file), so the hash matches ONLY if run 2 restored
+    # run 1's aggregation state from the RocksDB changelog. A lost
+    # state store would report phase-2-only counts.
+    oracle="""
+    SELECT user_id, count(*) AS n_events, {vsum} AS value_sum
+    FROM events GROUP BY user_id ORDER BY user_id
+    """.format(vsum=sql_dsum("value")),
+    section="B9-streaming",
+)
+def q251(spark, sf_dir):
+    """Streaming state on the RocksDB state store with CHANGELOG
+    checkpointing and a restart in the middle: per-user running totals
+    are built in run 1 (phase-1 events only), the query stops, and a
+    NEW query over the same checkpoint ingests phase 2 — correct final
+    totals require the restarted store to rebuild run-1 state by
+    replaying the changelog against the last snapshot.
+
+    This is the 100 TB streaming-state design, stated concretely: with
+    millions of keys, uploading a full state snapshot per micro-batch
+    (the default HDFS-backed store's behavior) makes checkpoint cost
+    O(total state); changelog checkpointing uploads only each batch's
+    DELTA (O(updates)) and snapshots in the background, which is what
+    keeps commit latency flat as state grows. The entry turns the conf
+    on explicitly, drives the restart, and the paired pytest rig
+    asserts .changelog files actually landed in the checkpoint's state
+    directory (the conf not merely set but exercised). Counts and the
+    exact-decimal value sums shuffle once on user_id; the memory sink
+    reads the complete-mode state table after the second run."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    landing = scratch(f"q251_landing_{os.path.basename(sf_dir)}")
+    ckpt = scratch(f"q251_ckpt_{os.path.basename(sf_dir)}")
+    os.makedirs(landing, exist_ok=True)
+
+    def drop_phase(pred, fname):
+        stage = scratch(f"q251_stage_{fname}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), os.path.join(landing, fname))
+
+    def run(name):
+        agg = (
+            spark.readStream.schema(ev.schema)
+            .parquet(landing)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop_phase(F.col("event_id") % 2 == 0, "phase1.parquet")
+    run(f"s4_mem_q251a_{os.getpid()}")
+    drop_phase(F.col("event_id") % 2 != 0, "phase2.parquet")
+    final = f"s4_mem_q251b_{os.getpid()}"
+    run(final)
+    return spark.table(final).orderBy("user_id")
+
+
+def q251_checkpoint_dir(sf_dir: str) -> str:
+    """The checkpoint q251 writes (for the changelog-evidence test)."""
+    from s4_spark.streaming.rigs import scratch as stream_scratch  # noqa: F401
+    from s4_spark.scratch import scratch_root
+
+    return os.path.join(
+        scratch_root(), "stream", f"q251_ckpt_{os.path.basename(sf_dir)}"
+    )
+
+
+def _q252(spark, sf_dir):
+    """State TTL on transformWithState: the per-user counter's
+    ValueState is declared with ttlDurationMs=1000, run 1 counts the
+    phase-1 events, the rig then WAITS past the TTL and feeds phase 2
+    through the same checkpoint — the restored store must treat the
+    expired value as absent, so phase-2 counts restart from zero.
+    q251 proves state SURVIVES a restart (totals accumulate across
+    runs); this entry proves the complementary lifecycle bound:
+    with a TTL, state is dropped without any user code deleting it.
+
+    TTL is the knob that keeps 100 TB streaming state finite when keys
+    are unbounded (user/session/device IDs churn forever): eviction
+    happens inside the store (RocksDB compaction-time filtering +
+    read-time guard), costs no shuffle, and needs no bookkeeping
+    column. Event-time alternatives (watermark eviction, q179;
+    explicit timers, q241) cover replay determinism; processing-time
+    TTL covers operational caps — the three eviction mechanisms are
+    now all pinned. Output: per-user counts labeled by run phase;
+    phase 2 matching the phase-2-only aggregate IS the eviction
+    proof (un-evicted state would carry phase-1 counts over)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _ship_vendored_protobuf(spark)
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    landing = scratch(f"q252_landing_{os.path.basename(sf_dir)}")
+    ckpt = scratch(f"q252_ckpt_{os.path.basename(sf_dir)}")
+    os.makedirs(landing, exist_ok=True)
+
+    class TtlCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cnt = handle.getValueState("cnt", "n long", ttlDurationMs=1000)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._cnt.get()[0] if self._cnt.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._cnt.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    def drop_phase(pred, fname):
+        stage = scratch(f"q252_stage_{fname}")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), os.path.join(landing, fname))
+
+    def run(name, outdir):
+        out = (
+            spark.readStream.schema(ev.schema)
+            .parquet(landing)
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=TtlCounter(),
+                outputStructType="user_id long, n long",
+                outputMode="Update",
+                timeMode="ProcessingTime",
+            )
+        )
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(outdir)
+
+        # Two quirks force this runner's shape. (1) ProcessingTime mode
+        # keeps scheduling zero-row "cleaning up state" batches for TTL
+        # maintenance, so an availableNow query NEVER self-terminates
+        # (observed: 100+ cleanup batches per minute) — drain
+        # explicitly: wait until the new file's data batch committed
+        # (a later progress reports 0 input rows), then stop. (2) That
+        # stop can land mid-cleanup-batch, leaving an offsets entry
+        # whose commit is missing; the memory sink REFUSES to recover
+        # such a checkpoint, so each run's rows land in a per-phase
+        # parquet dir via foreachBatch (restart-safe) instead.
+        os.makedirs(outdir, exist_ok=True)
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        deadline = time.time() + 120
+        drained = False
+        saw_data = False
+        while time.time() < deadline and q.isActive:
+            for p in q.recentProgress:
+                if p and int(p["numInputRows"]) > 0:
+                    saw_data = True
+            lp = q.lastProgress
+            if saw_data and lp is not None and int(lp["numInputRows"]) == 0:
+                drained = True
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+        assert drained or not q.isActive, "q252 feed did not drain"
+        return spark.read.parquet(outdir)
+
+    import time
+
+    out1 = scratch(f"q252_out1_{os.path.basename(sf_dir)}")
+    out2 = scratch(f"q252_out2_{os.path.basename(sf_dir)}")
+    drop_phase(F.col("event_id") % 2 == 0, "phase1.parquet")
+    p1 = run(f"s4_q252a_{os.getpid()}", out1).select(
+        F.lit(1).alias("phase"), "user_id", "n"
+    )
+    time.sleep(2.5)  # let the 1000 ms TTL lapse before phase 2 arrives
+    drop_phase(F.col("event_id") % 2 != 0, "phase2.parquet")
+    p2 = run(f"s4_q252b_{os.getpid()}", out2).select(
+        F.lit(2).alias("phase"), "user_id", "n"
+    )
+    return p1.union(p2).orderBy("phase", "user_id")
+
+
+if transform_with_state_available():  # pragma: no cover - env-dependent
+    query(
+        "q252_state_ttl_eviction",
+        oracle="""
+    SELECT 1 AS phase, user_id, count(*) AS n
+    FROM events WHERE event_id % 2 = 0 GROUP BY user_id
+    UNION ALL
+    SELECT 2 AS phase, user_id, count(*) AS n
+    FROM events WHERE event_id % 2 <> 0 GROUP BY user_id
+    ORDER BY phase, user_id
+    """,
+        section="B9-streaming",
+    )(_q252)
+
+
+@query(
+    "q258_chained_streaming_aggs",
+    # Append-mode semantics decide which windows are visible: the
+    # final watermark of an availableNow run is max(ts), so only
+    # HOUR windows whose end <= max(ts) have emitted (every 10-min
+    # window inside such an hour closed with it). The oracle carries
+    # the same horizon predicate.
+    oracle="""
+    SELECT time_bucket(INTERVAL 60 MINUTE, ts) AS h_start,
+           event_type, count(*) AS n, {sv} AS sum_value
+    FROM events, (SELECT max(ts) AS mx FROM events)
+    WHERE time_bucket(INTERVAL 60 MINUTE, ts) + INTERVAL 60 MINUTE <= mx
+    GROUP BY h_start, event_type ORDER BY h_start, event_type
+    """.format(sv=sql_dsum("value")),
+    section="B9-streaming",
+)
+def q258(spark, sf_dir):
+    """CHAINED streaming windowed aggregations — two stateful
+    operators in ONE query (Spark 3.4+ multiple-stateful-operator
+    support): 10-minute tumbling counts/sums per event type cascade
+    into an hourly rollup by re-windowing on the inner WINDOW COLUMN
+    (`window(window, '60 minutes')`), both levels in append mode with
+    one watermark. Before 3.4 this took two queries stitched through
+    an intermediate sink (the kappa topology q144's docstring
+    sketches); in-query chaining removes the sink hop AND the second
+    query's re-read.
+
+    Scale shape: level 1 compresses the event stream to one row per
+    (10-min window, type) — partial-aggregated before its shuffle;
+    level 2 aggregates 6 rows per (hour, type) group. State: level 1
+    holds open windows only (watermark-evicted), level 2 holds open
+    HOURS only. The hourly output is what a dashboard reads; the
+    10-min granularity exists only as flowing state, never landed.
+    Emission horizon: append mode releases a window when the
+    watermark (max ts at availableNow end) passes its end — the
+    oracle pins the same horizon, so the hash also verifies WHICH
+    hours closed, not just their totals."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    ten = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("n10"), dsum("value").alias("sv10"))
+    )
+    hourly = (
+        ten.groupBy(F.window("w10", "60 minutes").alias("wh"), "event_type")
+        .agg(
+            F.sum("n10").alias("n"),
+            F.sum(F.col("sv10").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            instant_as_utc_ntz("wh.start").alias("h_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    # inlined run_to_memory so the query handle is observable: the
+    # progress report must show TWO state operators (the 10-min agg and
+    # the hourly rollup) — pinned by tests/test_streaming.py
+    name = f"s4_mem_q258_{os.getpid()}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    counts = [
+        len(p.get("stateOperators") or [])
+        for p in q.recentProgress
+        if p is not None
+    ]
+    q258.last_state_operator_count = max(counts, default=0)
+    return spark.table(name).orderBy("h_start", "event_type")
+
+
+@query(
+    "q268_stream_to_table",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    section="B9-streaming",
+)
+def q268(spark, sf_dir):
+    """Streaming into a CATALOG TABLE (``writeStream.toTable``, Spark
+    3.3+) — the unified batch/stream table surface: the stream commits
+    micro-batches into a managed table any batch query can read by
+    NAME, no path plumbing, exactly-once via the file-sink commit log
+    the table's reader respects (uncommitted files are invisible). This
+    is the lakehouse ingestion front door the reference's S3 sink
+    approximates with paths; the catalog entry is what downstream
+    pipelines join against (q045/q201/q263's table discipline, now fed
+    by a stream).
+
+    The check re-reads the table BY NAME in batch and aggregates —
+    counts match the source exactly iff commit atomicity held. Same
+    pid-namespaced warehouse + rebuild guard as the other table
+    entries."""
+    from s4_spark.scratch import scratch_root
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"events_stream_tbl_{tag}"
+    path = os.path.join(scratch_root(), f"stream_tbl_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = (
+        ev.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"q268_ckpt_{tag}"))
+        .option("path", path)
+        .toTable(name)
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q269_join_then_window_chain",
+    # Horizon discipline: append mode emits a window once the
+    # post-join watermark passes its end, and the join itself holds
+    # the watermark back by its 10-min bound. Both sides apply the
+    # SAME explicit conservative horizon (bucket end <= max ts - 70
+    # min = window length + join bound) so the visible set is
+    # deterministic at every SF regardless of where Spark's internal
+    # watermark lands between (max ts - 10 min) and max ts.
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts AS p_ts FROM events
+               WHERE event_type = 'purchase'),
+         m AS (SELECT max(ts) AS mx FROM events),
+    pairs AS (SELECT c.click_ts FROM c JOIN p ON p.user_id = c.user_id
+               AND p.p_ts >= c.click_ts
+               AND p.p_ts <  c.click_ts + INTERVAL 10 MINUTE)
+    SELECT time_bucket(INTERVAL 60 MINUTE, click_ts) AS h_start,
+           count(*) AS n_pairs
+    FROM pairs, m
+    WHERE time_bucket(INTERVAL 60 MINUTE, click_ts) + INTERVAL 60 MINUTE
+          <= mx - INTERVAL 70 MINUTE
+    GROUP BY h_start ORDER BY h_start
+    """,
+    section="B9-streaming",
+)
+def q269(spark, sf_dir):
+    """The OTHER multiple-stateful-operator chain (Spark 3.4+): a
+    watermarked STREAM-STREAM INTERVAL JOIN feeding a windowed
+    aggregation in the same query — click→purchase attribution pairs
+    (purchase within 10 min of the click, per user) rolled up to
+    hourly conversion counts. q258 chains agg→agg; this pins join→agg,
+    which exercises the cross-operator watermark bookkeeping the
+    single-op queries never touch: the join must hold the downstream
+    watermark back by its own time bound or late pairs would be
+    dropped by the window before the join could emit them.
+
+    Scale shape: the join keeps per-user state bounded by the 10-min
+    interval (watermark-evicted both sides), shuffles once on user_id;
+    the rollup's input is pairs (already tiny), its state is open
+    hours only. Pre-3.4 this chain forced an intermediate sink +
+    second query (double ingest cost at 100 TB/day). Both engines
+    apply one conservative emission horizon (see oracle comment), so
+    the batch hash certifies which hours CLOSED, not just their
+    counts."""
+    ev = events_stream(spark, sf_dir)
+    mx = (
+        t(spark, sf_dir, "events").agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+    )
+    pairs = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    hourly = (
+        pairs.groupBy(F.window("click_ts", "60 minutes").alias("w"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(instant_as_utc_ntz("w.start").alias("h_start"), "n_pairs")
+    )
+    out = run_to_memory(hourly, mode="append", tag="q269")
+    # string -> NTZ parse, never F.lit(datetime): a naive-datetime
+    # literal becomes session-tz-interpreted TIMESTAMP and the NTZ
+    # comparison would silently cast through the session zone
+    horizon = (
+        F.lit(mx.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
+        - F.expr("INTERVAL 70 MINUTES")
+    )
+    return (
+        out.filter(F.col("h_start") + F.expr("INTERVAL 60 MINUTES") <= horizon)
+        .orderBy("h_start")
+    )

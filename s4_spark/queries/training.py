@@ -3038,3 +3038,120 @@ def q233(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "q253_chi2_token_association",
+    # Contingency cells stay integers; every product is computed in
+    # DECIMAL(38,0) (exact in both engines) and only the FINAL chi2
+    # ratio touches IEEE doubles — the same correctly-rounded
+    # decimal->double conversion on both sides, then round(6).
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id, lang = 'en' AS is_en, tok
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    tot AS (SELECT count(*) AS n,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+            FROM documents),
+    cells AS (
+      SELECT tok,
+             sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN is_en THEN 0 ELSE 1 END)::BIGINT AS b
+      FROM pres GROUP BY tok
+    ),
+    chi AS (
+      SELECT tok, a, b, n_en - a AS c, n - n_en - b AS d,
+             round(CAST(CAST(n AS DECIMAL(38,0))
+                        * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+                        * (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c)
+                        AS DOUBLE)
+                   / CAST(NULLIF(CAST(a+b AS DECIMAL(38,0)) * (c+d)
+                                 * (a+c) * (b+d), 0) AS DOUBLE), 6) AS chi2
+      FROM cells, tot
+    )
+    SELECT tok, a AS n_en_with, b AS n_rest_with, chi2
+    FROM chi ORDER BY chi2 DESC, tok LIMIT 20
+    """,
+    section="B12-training",
+)
+def q253(spark, sf_dir):
+    """Chi-square feature selection — which tokens are most associated
+    with a document class (here lang='en' vs rest): the classic filter
+    step before training a quality/domain classifier on corpus text
+    (select the k most class-discriminative n-grams as features). For
+    each token the 2x2 contingency table is [docs-with-token x class]:
+    a = en docs containing it, b = other docs containing it, c/d the
+    complements; chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    Scale shape: presence (not frequency) needs one explode +
+    DISTINCT(doc, tok) — partial-aggregated per partition before the
+    single tok-keyed shuffle; the per-token contingency row is then a
+    conditional-sum aggregate on the same key (no second shuffle), and
+    the corpus totals (N, N_en) are a 1-row broadcast joined onto the
+    per-token table. All contingency math stays in exact DECIMAL(38,0)
+    until one final double division, so the ranking cannot flip on
+    float noise; top-20 ties break on the token itself. At 100 TB this
+    is the same two-pass shape as q115's document-frequency top-k with
+    an extra broadcast — no all-pairs, no driver state."""
+    docs = t(spark, sf_dir, "documents")
+    pres = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_en"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    cells = pres.groupBy("tok").agg(
+        F.sum(F.col("is_en").cast("int")).cast("long").alias("a"),
+        F.sum((~F.col("is_en")).cast("int")).cast("long").alias("b"),
+    )
+    tot = docs.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("long").alias("n_en"),
+    )
+    dec = "decimal(38,0)"
+    j = cells.crossJoin(F.broadcast(tot))
+    chi = j.select(
+        "tok",
+        "a",
+        "b",
+        (F.col("n_en") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("n_en") - F.col("b")).alias("d"),
+        "n",
+    ).select(
+        "tok",
+        "a",
+        "b",
+        F.round(
+            (
+                F.col("n").cast(dec)
+                * (F.col("a").cast(dec) * F.col("d") - F.col("b").cast(dec) * F.col("c"))
+                * (F.col("a").cast(dec) * F.col("d") - F.col("b").cast(dec) * F.col("c"))
+            ).cast("double")
+            / F.nullif(
+                (
+                    (F.col("a") + F.col("b")).cast(dec)
+                    * (F.col("c") + F.col("d"))
+                    * (F.col("a") + F.col("c"))
+                    * (F.col("b") + F.col("d"))
+                ),
+                F.lit(0).cast(dec),
+            ).cast("double"),
+            6,
+        ).alias("chi2"),
+    )
+    return (
+        chi.select(
+            "tok",
+            F.col("a").alias("n_en_with"),
+            F.col("b").alias("n_rest_with"),
+            "chi2",
+        )
+        .orderBy(F.col("chi2").desc(), "tok")
+        .limit(20)
+    )

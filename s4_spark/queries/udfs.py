@@ -8,6 +8,8 @@ once (q100) as the declared-but-discouraged baseline.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -313,4 +315,123 @@ def q245(spark, sf_dir):
              LATERAL s4_parse_kv(o.record, 'custkey,status,priority') p
         ORDER BY o.o_orderkey LIMIT 200
         """
+    )
+
+
+@query(
+    "q262_grouped_applyInArrow",
+    # Integer micro-units end-to-end: the JVM pre-scales value to
+    # int64 micros, the Arrow kernel computes n*x - sum(x) per group
+    # (exact, order-independent int64 arithmetic), so the grouped
+    # result cannot drift on float summation order the way a naive
+    # mean-subtraction would.
+    oracle="""
+    SELECT event_type, event_id,
+           CAST(count(*) OVER (PARTITION BY event_type)
+                  * CAST(round(value * 1e6) AS BIGINT)
+                - SUM(CAST(round(value * 1e6) AS BIGINT))
+                    OVER (PARTITION BY event_type)
+                AS BIGINT) AS dev_num,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events ORDER BY event_type, event_id
+    """,
+    section="B10-udfs",
+)
+def q262(spark, sf_dir):
+    """Grouped-map on RAW ARROW tables (`applyInArrow`, Spark 4.0) —
+    the last cell of the B10 grouped-execution matrix beside
+    applyInPandas (q103, pandas conversion per group) and mapInPandas
+    (q105): the kernel receives each group as a pyarrow.Table and
+    answers with one, skipping the pandas materialization entirely.
+    That matters when the per-group logic is itself Arrow-native
+    (compute kernels, zero-copy slicing, feeding an Arrow-IPC model
+    runtime): no index building, no NumPy copies, no dtype coercion.
+
+    The kernel centers each event's value against its type's group
+    aggregate, emitting the exact integer numerator n*x - sum(x) (the
+    deviation times n) rather than a float mean-subtraction — the same
+    one-final-division discipline as q215. Scale shape: one
+    event_type-keyed shuffle brings each group to one task as Arrow
+    batches; pa.compute.sum is a single exact int64 reduction; output
+    streams back columnar. Groups must fit a task (5 types here; salt
+    or pre-aggregate for mega-groups — same caveat as every
+    grouped-map)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def center(table: pa.Table) -> pa.Table:
+        n = table.num_rows
+        x = table.column("v_micro")
+        s = pc.sum(x).as_py() or 0
+        dev = pc.subtract(pc.multiply(x, pa.scalar(n, pa.int64())), pa.scalar(s, pa.int64()))
+        return pa.table(
+            {
+                "event_type": table.column("event_type"),
+                "event_id": table.column("event_id"),
+                "dev_num": dev,
+                "n": pa.array([n] * n, pa.int64()),
+            }
+        )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .applyInArrow(
+            center, "event_type string, event_id long, dev_num long, n long"
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
+    "q264_iter_pandas_udf",
+    # The "model" is integer weights, scoring is value-micros x weight
+    # (int64-exact), so amortized-init inference is cross-engine
+    # reproducible — a float model would make the oracle flap.
+    oracle="""
+    SELECT event_type, CAST(SUM(CAST(round(value * 1e6) AS BIGINT)
+             * CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                WHEN 'purchase' THEN 5 WHEN 'signup' THEN 7
+                ELSE 0 END) AS BIGINT) AS score_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    section="B10-udfs",
+)
+def q264(spark, sf_dir):
+    """Iterator-of-batches pandas UDF (``Iterator[Tuple[pd.Series,...]]
+    -> Iterator[pd.Series]``, Spark 3.0+) — the EXPENSIVE-INIT
+    amortization pattern and the reason this variant exists beside
+    q101's one-batch-at-a-time form: state built before the loop (a
+    model deserialized, a tokenizer loaded, an ONNX session opened) is
+    paid ONCE PER PYTHON WORKER and reused across every Arrow batch of
+    the partition. For LLM-corpus scoring (quality classifiers,
+    familiarity models over 10^9 docs) this is the difference between
+    one model load per ~10k-row batch and one per executor core.
+
+    Here the "model" is a dict of integer weights materialized before
+    the loop; each batch scores value-micros x weight(type) in int64
+    (exact — the per-group sums cannot drift on batch boundaries or
+    partitioning). The plan stays a single ArrowEvalPython pass feeding
+    a codegen'd partial agg; nothing is collected."""
+    @pandas_udf("long")
+    def score(batches: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        # expensive init happens HERE, once per worker, not per batch
+        weights = {"click": 1, "view": 2, "purchase": 5, "signup": 7}
+        for etype, vmicro in batches:
+            yield vmicro * etype.map(lambda s: weights.get(s, 0))
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1e6).cast("long").alias("v_micro"),
+    )
+    return (
+        ev.select("event_type", score("event_type", "v_micro").alias("s"))
+        .groupBy("event_type")
+        .agg(F.sum("s").cast("long").alias("score_sum"), F.count("*").alias("n"))
+        .orderBy("event_type")
     )

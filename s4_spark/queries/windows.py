@@ -659,3 +659,91 @@ def q231(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q259_ewma_smoothing",
+    # Integer-weight EWMA: with alpha=1/4 the lag-j weight (3/4)^j
+    # scaled by 4^(m-1) is the INTEGER 3^j * 4^(m-1-j), so the
+    # numerator is an exact decimal sum of (value x integer) products
+    # and the denominator the closed-form 4^m - 3^m — one final IEEE
+    # division per row, no order-dependent float accumulation. The
+    # oracle spells the same weights via a bounded self-join.
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, CAST(value AS DECIMAL(20,6)) AS xd,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    e AS (
+      SELECT a.user_id, a.rn,
+             round(CAST(SUM(b.xd * CAST(power(3, a.rn - b.rn)
+                              * power(4, least(a.rn,16) - 1 - (a.rn - b.rn))
+                              AS DECIMAL(12,0))) AS DOUBLE)
+                   / (power(4, least(a.rn,16)) - power(3, least(a.rn,16))),
+                   6) AS ewma
+      FROM r a JOIN r b
+        ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 15 AND a.rn
+      GROUP BY a.user_id, a.rn)
+    SELECT user_id, count(*) AS n_events,
+           arg_max(ewma, rn) AS last_ewma,
+           CAST(SUM(CAST(ewma AS DECIMAL(30,6))) AS DOUBLE) AS ewma_sum
+    FROM e GROUP BY user_id ORDER BY user_id
+    """,
+    section="B5-windows",
+)
+def q259(spark, sf_dir):
+    """Trailing exponentially-weighted moving average per user
+    (alpha = 1/4 over the last 16 events) — the smoothing signal a
+    monitoring pipeline pairs with q231's CUSUM: CUSUM flags sustained
+    drift, EWMA is the drift estimate itself. Truncated-window form
+    with weights renormalized over the rows actually present, so early
+    rows are unbiased.
+
+    Scale shape: one user_id exchange; collect_list over a BOUNDED
+    16-row frame (O(K) per row, not O(history)) feeds a codegen'd
+    higher-order fold — no Python, no self-join (the oracle's join
+    spelling would be a K-fold row blowup at 100 TB; the window frame
+    form ships each row once). Cross-engine exactness is the design
+    center: alpha = 1/4 makes every weight an integer after scaling
+    (3^j * 4^(m-1-j), max 4^15 ~ 2^30 — exact in the double pow both
+    engines evaluate), the weighted sum is decimal-exact, and the
+    geometric closed form 4^m - 3^m replaces a weight-sum fold."""
+    order = ["ts", "event_id"]
+    frame = (
+        W.partitionBy("user_id").orderBy(*order).rowsBetween(-15, W.currentRow)
+    )
+    wn = W.partitionBy("user_id").orderBy(*order)
+    rows = t(spark, sf_dir, "events").select(
+        "user_id",
+        *order,
+        F.row_number().over(wn).alias("rn"),
+        F.collect_list(F.col("value").cast("decimal(20,6)")).over(frame).alias("xs"),
+    )
+    ewma = rows.select(
+        "user_id",
+        "rn",
+        F.round(
+            F.expr(
+                """
+                CAST(aggregate(
+                  zip_with(xs, sequence(0, size(xs) - 1),
+                           (x, p) -> x * CAST(power(3, size(xs) - 1 - p)
+                                              * power(4, p) AS BIGINT)),
+                  CAST(0 AS DECIMAL(38,6)),
+                  (acc, v) -> CAST(acc + v AS DECIMAL(38,6))) AS DOUBLE)
+                / (power(4, size(xs)) - power(3, size(xs)))
+                """
+            ),
+            6,
+        ).alias("ewma"),
+    )
+    return (
+        ewma.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max_by("ewma", "rn").alias("last_ewma"),
+            F.sum(F.col("ewma").cast("decimal(30,6)")).cast("double").alias("ewma_sum"),
+        )
+        .orderBy("user_id")
+    )

