@@ -458,3 +458,31 @@ def test_streak_islands_match_naive_run_length(spark, seq):
     )
     got = {r.v: (r.mx, r.n_runs) for r in runs.collect()}
     assert got == want
+
+
+def test_stale_checkpoint_roots_swept_fresh_kept(tmp_path, monkeypatch):
+    """r5 verdict nit closed: the shared reliable-checkpoint root used to
+    prune only the CURRENT app's dir (dead code — app ids embed start
+    timestamps), letting dead apps' dirs accumulate forever. The sweep
+    removes siblings untouched for an hour and never touches a fresh
+    (possibly concurrent) sibling or the current app's own dir."""
+    import os
+    import time
+
+    from s4_spark.operators import lineage
+
+    root = tmp_path / "reliable_ckpt"
+    root.mkdir()
+    monkeypatch.setattr(lineage, "DEFAULT_CHECKPOINT_DIR", str(root))
+    old = root / "local-111"
+    fresh = root / "local-222"
+    mine = root / "local-333"
+    for d in (old, fresh, mine):
+        d.mkdir()
+        (d / "rdd-1").write_text("x")
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+    os.utime(mine, (past, past))  # own dir: never swept even if old
+    swept = lineage.sweep_stale_checkpoint_roots("local-333")
+    assert swept == [str(old)]
+    assert not old.exists() and fresh.exists() and mine.exists()
