@@ -58,6 +58,8 @@ NEXT_WINDOW_QUEUE: tuple = (
     "q267_convert_timezone",
     "q268_stream_to_table",
     "q269_join_then_window_chain",
+    "q270_aqe_join_strategy_switch",
+    "q271_column_defaults",
 )
 
 DRIVER_WINDOW = (

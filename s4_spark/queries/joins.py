@@ -1516,3 +1516,65 @@ def q260(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_STRATEGY_SWITCH_CONFS = {
+    # the STATIC planner must not broadcast (its estimate for the
+    # filtered dim is the unfiltered file size — pessimistic), while the
+    # ADAPTIVE threshold lets runtime stats reverse the call
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+}
+
+
+def _q270_join(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q270_aqe_join_strategy_switch",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+    section="B3-joins",
+)
+def q270(spark, sf_dir):
+    """AQE runtime JOIN-STRATEGY SWITCH — the third adaptive mechanism
+    beside q260's skew split and q210's rebalance: the static planner,
+    seeing only the unfiltered file size of the dimension, plans a
+    sort-merge join; after the dim side's shuffle materializes, runtime
+    stats show the filtered side is broadcast-small and AQE replans the
+    remaining stages to a BroadcastHashJoin (plus local shuffle reads,
+    so the already-written fact shuffle is consumed without a network
+    exchange). The companion test pins BOTH plans: SortMergeJoin in the
+    initial plan, BroadcastHashJoin in the final one.
+
+    This is the 100 TB case where selective dim filters are discovered,
+    not declared: cardinality estimates after a 0.1%-selective filter
+    are exactly where static costing is weakest, and the adaptive
+    threshold means the expensive fact-side sort never runs once the
+    true size is known. Conf scoping follows q194's save/restore around
+    one eager materialization."""
+    saved = {}
+    for k, v in _STRATEGY_SWITCH_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        return _q270_join(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1238,3 +1238,75 @@ def q263(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "q271_column_defaults",
+    oracle="""
+    WITH ins AS (
+      SELECT o_orderkey, o_totalprice, 'backfill' AS ingest_source,
+             2 AS quality_tier
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'live', 1
+      FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT ingest_source, quality_tier, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM ins GROUP BY ingest_source, quality_tier
+    ORDER BY ingest_source, quality_tier
+    """,
+    section="B1-scans",
+)
+def q271(spark, sf_dir):
+    """DEFAULT column values on INSERT (Spark 3.4+): the table schema
+    declares the default, and writers that omit the column get it
+    filled AT WRITE TIME — the DML-side cousin of q154's
+    schema-evolution-on-read (where historical rows surface NULL and
+    every reader must know the backfill rule). With declared defaults
+    the rule lives in ONE place, the catalog; a 100 TB table adding a
+    provenance/tier column mid-life gets consistent values no matter
+    which of dozens of writers did the insert.
+
+    The rig: a backfill INSERT omits both annotated columns (defaults
+    fill them), a live-path INSERT sets them explicitly; the audit
+    groups by the filled values — read back from the committed parquet,
+    so the check covers catalog metadata -> write path -> storage
+    round-trip, not just the parser. Same pid-namespaced rebuild
+    discipline as the other table entries."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    name = f"orders_defaults_{tag}"
+    path = os.path.join(scratch_root(), f"defaults_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {name} (
+          o_orderkey BIGINT,
+          o_totalprice DOUBLE,
+          ingest_source STRING DEFAULT 'backfill',
+          quality_tier INT DEFAULT 2
+        ) USING parquet LOCATION '{path}'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name} (o_orderkey, o_totalprice)
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {name}
+        SELECT o_orderkey, o_totalprice, 'live', 1
+        FROM orders WHERE o_orderkey % 3 = 1
+        """
+    )
+    return (
+        spark.table(name)
+        .groupBy("ingest_source", "quality_tier")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("ingest_source", "quality_tier")
+    )

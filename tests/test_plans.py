@@ -1015,3 +1015,31 @@ def test_q264_iter_udf_is_arrow_vectorized(spark):
     p = plan(spark, "q264_iter_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_q270_aqe_switches_smj_to_broadcast(spark):
+    """q270: the initial (static) plan must carry a SortMergeJoin and
+    the final adaptive plan a BroadcastHashJoin — the runtime strategy
+    switch demonstrably happened, on stats the static planner did not
+    have."""
+    from s4_spark.queries.joins import _STRATEGY_SWITCH_CONFS, _q270_join
+
+    saved = {}
+    for k, v in _STRATEGY_SWITCH_CONFS.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        df = _q270_join(spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "== Initial Plan ==" in executed, executed[:500]
+    final, initial = executed.split("== Initial Plan ==")
+    assert "SortMergeJoin" in initial, initial[:2000]
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "SortMergeJoin" not in final, final[:2000]
