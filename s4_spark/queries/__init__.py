@@ -60,6 +60,17 @@ NEXT_WINDOW_QUEUE: tuple = (
     "q269_join_then_window_chain",
     "q270_aqe_join_strategy_switch",
     "q271_column_defaults",
+    "q272_null_safe_join",
+    "q273_multi_watermark_policy",
+    "q274_columnar_cache_reuse",
+    "q275_pandas_api_on_spark",
+    "q276_sql_ergonomics",
+    "q277_recursive_cte",
+    "q278_sql_udf",
+    "q279_runtime_bloom_filter_join",
+    "q280_xml_roundtrip",
+    "q281_tpch_q7_shape",
+    "q282_tpch_q8_shape",
 )
 
 DRIVER_WINDOW = (

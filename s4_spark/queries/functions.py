@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import t
+from s4_spark.queries.helpers import dsum, t
 from s4_spark.queries.registry import query
 
 
@@ -703,4 +703,218 @@ def q267(spark, sf_dir):
         .groupBy("utc_day", "offset_min")
         .agg(F.count("*").alias("n"))
         .orderBy("utc_day", "offset_min")
+    )
+
+
+_Q276_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS n
+  FROM orders GROUP BY ALL)
+SELECT pri, st, n, n % 97 AS n_mod, n_mod * 2 AS n_mod2
+FROM g ORDER BY ALL LIMIT 8 OFFSET 3
+"""
+
+
+@query(
+    "q276_sql_ergonomics",
+    oracle=_Q276_SQL,
+    section="B8-functions",
+)
+def q276(spark, sf_dir):
+    """Modern SQL-surface ergonomics in ONE statement that runs
+    verbatim on both engines (the oracle IS the query text): GROUP BY
+    ALL (grouping keys inferred from the non-aggregate select list —
+    the spelling that kills the copy-the-columns-twice bug class),
+    LATERAL COLUMN ALIASES chained two deep (``n_mod`` reuses the
+    aggregate alias ``n`` in the same select list, ``n_mod2`` reuses
+    ``n_mod`` — pre-3.4 each step forced another subquery layer),
+    ORDER BY ALL (total order over the whole select list, which makes
+    LIMIT/OFFSET deterministic by construction), and OFFSET paging.
+
+    None of this changes the physical plan — that is the point: these
+    are ANALYZER features, sugar that resolves to exactly q030's
+    partial+final aggregate before optimization, so they're free at
+    any scale. The entry exists because this is the dialect users
+    actually write in 2026 (DuckDB pioneered GROUP BY/ORDER BY ALL;
+    Spark 3.4/4.0 adopted them) and an engine claiming drop-in parity
+    must parse and resolve it identically — byte-identical SQL on
+    Spark and DuckDB, hash-identical results."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q276_SQL)
+
+
+_Q277_SPARK_SQL = """
+WITH RECURSIVE walk(start_key, k, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT start_key, k DIV 2, depth + 1 FROM walk WHERE k > 1
+)
+SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+       count(DISTINCT start_key) AS reached
+FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "q277_recursive_cte",
+    oracle=_Q277_SPARK_SQL.replace("k DIV 2", "k // 2"),
+    section="B8-functions",
+)
+def q277(spark, sf_dir):
+    """RECURSIVE CTE (``WITH RECURSIVE``, Spark 4.0+) — set-based
+    iteration inside ONE declarative query: each customer key walks a
+    deterministic binary-halving ancestor chain (parent(k) = k DIV 2)
+    to the root, and the result aggregates the full transitive closure
+    per generation. This is the hierarchy/graph primitive (BOM
+    explosion, org rollup, referral chains, path-to-root flattening)
+    that previously forced a driver-side loop of joins; q244's SQL
+    scripting is PROCEDURAL iteration between statements — q277 is the
+    complementary mechanism, a fixpoint the ENGINE schedules within
+    the plan (UnionLoop: seed step, then one distributed job per
+    frontier until the recursive leg produces zero rows). q048 uses
+    the same syntax as a 12-row constant SERIES GENERATOR (scalar
+    recursion, data joined in afterwards); q277 is the other regime —
+    the recursive leg ranges over a DISTRIBUTED table-derived
+    frontier, so each iteration is a cluster job and the closure is
+    |customer| x depth rows, the shape where the engine-scheduled
+    fixpoint actually earns its keep.
+
+    Scale shape: every iteration is an ordinary shuffle-free
+    projection+filter over the previous frontier (no driver collect;
+    the frontier is a distributed dataset throughout), the final
+    aggregate is one partial+final hash agg over the unioned closure,
+    and depth is bounded by log2(max key) — 25 steps at 10^7.5
+    customers. Guardrails that matter in production (cycle bombs,
+    runaway recursion) exist as the engine's recursion row/depth
+    limits rather than app code. The oracle is the byte-identical
+    statement modulo integer-division spelling (Spark ``DIV`` vs
+    DuckDB ``//``), run natively recursive on both engines."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q277_SPARK_SQL)
+
+
+@query(
+    "q278_sql_udf",
+    oracle="""
+    WITH pr AS (
+      SELECT l_returnflag, l_linestatus,
+             l_extendedprice * (1 - l_discount) AS net,
+             (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS taxed
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(net AS DECIMAL(30,6))) AS DOUBLE) AS net_sum,
+           CAST(SUM(CAST(taxed AS DECIMAL(30,6))) AS DOUBLE) AS taxed_sum
+    FROM pr GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    section="B8-functions",
+)
+def q278(spark, sf_dir):
+    """SQL UDFs (``CREATE FUNCTION ... RETURN <expr>``, Spark 4.0+) —
+    reusable business logic that lives in the CATALOG, not in every
+    query: a scalar ``net_rev`` and a second scalar ``taxed_rev``
+    defined ON TOP of it (UDF composition), both used inside an
+    aggregate. The decisive property vs the whole B10 Python-UDF
+    family: a SQL UDF is INLINED as an expression tree at analysis
+    time — after resolution the plan is indistinguishable from writing
+    the formula by hand, so whole-stage codegen, filter pushdown,
+    partial aggregation and every Catalyst rewrite apply; no Python
+    worker, no Arrow transfer, no serialization boundary (companion
+    plan test pins zero *EvalPython nodes). That makes SQL UDFs the
+    FIRST choice for shared row-level logic at 100 TB — the 10-100x
+    UDF tax (q100 vs q199) simply never starts.
+
+    Per-row products are IEEE-deterministic in both engines; the
+    aggregate uses the repo's exact decimal-sum discipline (one cast
+    per addend, double at the end) so partial-agg order can't leak
+    into the hash. Oracle inlines the identical formulas — which is
+    the point: the UDF is sugar with zero semantic distance."""
+    from s4_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION taxed_rev(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN net_rev(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        WITH pr AS (
+          SELECT l_returnflag, l_linestatus,
+                 net_rev(l_extendedprice, l_discount) AS net,
+                 taxed_rev(l_extendedprice, l_discount, l_tax) AS taxed
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01')
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(net AS DECIMAL(30,6))) AS DOUBLE) AS net_sum,
+               CAST(SUM(CAST(taxed AS DECIMAL(30,6))) AS DOUBLE) AS taxed_sum
+        FROM pr GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q280_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+           CAST(min(o_orderdate) AS DATE) AS first_day,
+           CAST(max(o_orderdate) AS DATE) AS last_day
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    section="B8-functions",
+)
+def q280(spark, sf_dir):
+    """NATIVE XML EXPRESSIONS (``to_xml`` / ``from_xml``, Spark 4.0)
+    — the in-plan codec counterpart of q019's XML FILE SOURCE: q019
+    reads whole .xml files from storage (rowTag framing, schema
+    inference — an ingest boundary); q280 is the per-COLUMN codec for
+    XML embedded inside another feed (an XML payload field in a Kafka
+    record or parquet string column), the same source-vs-expression
+    split the JSON surface has (q003 file scan vs q085's from_json).
+    Every order is serialized to an XML record and parsed back with an
+    explicit schema, and the aggregate over the ROUND-TRIPPED columns
+    must hash-equal the oracle computed on the ORIGINAL table — typed
+    losslessness (bigint, double money, NTZ timestamp) proven
+    end-to-end, q245's parse/rebuild discipline applied to the one
+    legacy feed format (SOAP exports, sitemaps, publisher dumps) that
+    still shows up in training-data ingest.
+
+    Both directions are JVM expressions inside whole-stage codegen
+    (StaxXmlParser under a regular Project — no Python worker, no
+    extra jar in Spark 4), so the codec adds a per-row CPU cost but
+    zero topology: no shuffle, no barrier, and the aggregate behind it
+    keeps map-side partial combine. Malformed records follow the same
+    PERMISSIVE/DROPMALFORMED policy surface as from_json — the
+    engine's answer to the reference's silent JSON drop
+    (river/jsonr.go:100-109) extends to XML unchanged."""
+    o = t(spark, sf_dir, "orders")
+    xml = o.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        ).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x",
+            "o_orderkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ",
+        ).alias("v")
+    ).select("v.*")
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+            F.min("o_orderdate").cast("date").alias("first_day"),
+            F.max("o_orderdate").cast("date").alias("last_day"),
+        )
+        .orderBy("o_orderstatus")
     )

@@ -1578,3 +1578,321 @@ def q270(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "q272_null_safe_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+      FROM customer),
+    s AS (
+      SELECT seg, count(*) AS seg_n, max(c_acctbal) AS seg_max
+      FROM cust GROUP BY seg)
+    SELECT c.c_custkey, c.seg, s.seg_n, s.seg_max
+    FROM cust c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+    WHERE c.c_custkey <= 300 ORDER BY c.c_custkey
+    """,
+    section="B3-joins",
+)
+def q272(spark, sf_dir):
+    """NULL-SAFE equality join (``<=>`` / SQL ``IS NOT DISTINCT FROM``)
+    — the join-semantics gap between q020's equi joins (NULL keys match
+    nothing and silently vanish from an inner join) and the outer
+    family (which keeps them but without a partner). With optional
+    attributes — here a segment column where one value is masked to
+    NULL, the shape of any dimension with genuinely-missing keys — the
+    NULL bucket is DATA: enriching per-segment stats back onto rows
+    must route the unknown-segment rows to the unknown-segment
+    aggregate, not drop them.
+
+    The plan mechanism is why this scales: Catalyst rewrites the
+    EqualNullSafe key into the composite hash key ``(coalesce(k, ''),
+    isnull(k))``, so the join stays a BroadcastHashJoin / SortMergeJoin
+    on a hashable key — NOT the nested-loop fallback a non-equi
+    predicate would force. At 100 TB the NULL bucket is also the
+    classic skew key (every missing value hashes together); if the
+    NULL share is large, q046's salting applies to the coalesced key
+    exactly as to any hot value. The companion plan test pins
+    BroadcastHashJoin + the coalesce/isnull key rewrite."""
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "seg", F.expr("nullif(c_mktsegment, 'BUILDING')")
+    )
+    stats = (
+        cust.groupBy("seg")
+        .agg(F.count("*").alias("seg_n"), F.max("c_acctbal").alias("seg_max"))
+        .withColumnRenamed("seg", "s_seg")
+    )
+    left = cust.filter(F.col("c_custkey") <= 300).select("c_custkey", "seg")
+    return (
+        left.join(F.broadcast(stats), left.seg.eqNullSafe(stats.s_seg))
+        .select("c_custkey", "seg", "seg_n", "seg_max")
+        .orderBy("c_custkey")
+    )
+
+
+_Q279_BLOOM_CONFS = {
+    # force the shuffle-join regime the bloom rewrite targets (with a
+    # broadcastable dim the semi-join reduction is free via the hash
+    # relation itself and Catalyst skips the bloom)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # production default is 10 GiB of application-side scan — far above
+    # any test SF, so drop the floor; the CREATION side threshold (10 MB)
+    # is left at default and the filtered dim sits well under it
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def _q279_frame(spark, sf_dir):
+    """Shared by the entry and its plan test: filtered part dim joined
+    to lineitem under forced-shuffle + bloom-enabled confs."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q279_runtime_bloom_filter_join",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                AS DOUBLE) AS rev
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    section="B3-joins",
+)
+def q279(spark, sf_dir):
+    """RUNTIME BLOOM-FILTER JOIN PRUNING (semi-join reduction) — the
+    row-level sibling of q200's dynamic PARTITION pruning: when a
+    selective dim filter survives into a SHUFFLE join (the dim too big
+    or configured not to broadcast), Catalyst injects a
+    BloomFilterAggregate over the dim's join keys and rewrites the
+    fact side to ``might_contain(bloom, xxhash64(l_partkey))`` — rows
+    that cannot match are dropped AT THE SCAN, before being shuffled.
+    The companion plan test pins the injected ``might_contain`` on the
+    probe side.
+
+    This is one of the biggest shuffle levers at 100 TB: a 1-in-25
+    brand filter means ~96% of the fact table's shuffle bytes
+    (serialize + network + spill on both map and reduce sides) vanish
+    for the cost of one tiny aggregate over the dim and a per-row hash
+    probe against a broadcast bloom (~MBs for 10^7 keys at the default
+    4% fpp) — false positives only waste work, never corrupt results,
+    so the rewrite is always sound. DPP (q200) needs a partitioned
+    layout; the bloom needs NOTHING from storage, which makes it the
+    semi-join reduction that still fires on unpartitioned,
+    unbucketed data. Confs are scoped-and-restored; the oracle
+    certifies the rewrite is pure optimization."""
+    saved = {}
+    for k, v in _Q279_BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        return _q279_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@query(
+    "q281_tpch_q7_shape",
+    oracle="""
+    WITH base AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                           AND TIMESTAMP '1997-12-31')
+    SELECT supp_nation, cust_nation, l_year, count(*) AS n,
+           CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM base GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    section="B3-joins",
+)
+def q281(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) shape — the bilateral-trade rollup:
+    revenue between two named nations, split by which side supplied and
+    which consumed, per ship year. The mechanism this adds over q166's
+    Q5 (mono-directional region star) is the DISJUNCTIVE PAIR predicate
+    over two independent dimension paths: the supplier's nation arrives
+    via lineitem→supplier→n1, the customer's via orders→customer→n2,
+    and the filter couples them ((A,B) OR (B,A)) — a cross-path
+    condition no single join can absorb. The scalable plan keeps every
+    join a pure equi-join (the two nation lookups broadcast onto their
+    own paths) and applies the pair coupling as a post-join FILTER on
+    two tiny dictionary-encoded columns — never a join condition, so no
+    nested-loop regression (plan-pinned: zero BroadcastNestedLoopJoin,
+    both facts still meet on their natural keys).
+
+    At 100 TB the shape is two fact shuffles (lineitem⋈orders on
+    orderkey, then ⋈customer on custkey) with all three dims broadcast;
+    the n1/n2 name filters cut each path to 2/25 of its nation domain
+    BEFORE the pair filter, and Catalyst pushes the derived
+    ``n_name IN ('NATION_18','NATION_19')`` constraint into both
+    broadcast builds. Ship-year extraction is a codegen'd date field;
+    revenue uses the repo's decimal-exact sum discipline."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_18", "NATION_19"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_18", "NATION_19"))
+    sup = t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    ord_c = t(spark, sf_dir, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    base = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(ord_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+        )
+    )
+    return (
+        base.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.count("*").alias("n"), dsum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q282_tpch_q8_shape",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31')
+    SELECT o_year,
+           round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume ELSE 0 END
+                               AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE),
+                 6) AS mkt_share,
+           count(*) AS n
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+    section="B3-joins",
+)
+def q282(spark, sf_dir):
+    """TPC-H Q8 (national market share) shape — the widest join tree in
+    the suite expressible over the available tables: lineitem meets
+    FIVE dimension paths (part, supplier→nation, orders→customer→
+    nation→region) and the answer is a CONDITIONAL SHARE — the target
+    nation's slice of regional volume per order year, computed as
+    sum(CASE)/sum over the same groups in one aggregate pass. That
+    ratio-of-conditional-aggregates is the mechanism q036's filtered
+    agg and q166's Q5 don't compose: numerator and denominator must
+    ride the SAME shuffle (two partial aggregates per group, one
+    division at the end) — a second query or a self-join would double
+    the fact scan.
+
+    Scale shape: part/supplier/nation/region broadcast (the p_type
+    filter cuts part ~6x before the build), customer⋈orders shuffles
+    on custkey, the result joins lineitem on orderkey — two fact
+    shuffles total, the minimum for this dependency graph. Both sums
+    are decimal-exact with ONE final IEEE division rounded to 6 places
+    (q188's determinism pattern), so partial-agg order can't desync
+    the hash; the denominator is structurally nonzero (groups exist
+    only where rows do, and volume > 0)."""
+    li = t(spark, sf_dir, "lineitem")
+    pt = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = t(spark, sf_dir, "supplier")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    ords = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    base = (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(sup.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            F.round(
+                dsum(target) / dsum("volume"),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_year")
+    )

@@ -1310,3 +1310,86 @@ def q271(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
         .orderBy("ingest_source", "quality_tier")
     )
+
+
+def _q274_frames(spark, sf_dir):
+    """Build (enriched, out): the cacheable enrichment join and the
+    two-branch aggregate union over it (shared with the plan test)."""
+    enriched = (
+        t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_mktsegment", "c_acctbal")
+    )
+    a = (
+        enriched.groupBy("n_name")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("total"))
+        .select(
+            F.lit("nation").alias("dim"), F.col("n_name").alias("key"), "n", "total"
+        )
+    )
+    b = (
+        enriched.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("c_acctbal").alias("total"))
+        .select(
+            F.lit("segment").alias("dim"),
+            F.col("c_mktsegment").alias("key"),
+            "n",
+            "total",
+        )
+    )
+    return enriched, a.unionByName(b).orderBy("dim", "key")
+
+
+@query(
+    "q274_columnar_cache_reuse",
+    oracle="""
+    WITH e AS (
+      SELECT n_name, c_mktsegment, c_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey),
+    a AS (
+      SELECT 'nation' AS dim, n_name AS key, count(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total
+      FROM e GROUP BY n_name),
+    b AS (
+      SELECT 'segment' AS dim, c_mktsegment AS key, count(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total
+      FROM e GROUP BY c_mktsegment)
+    SELECT * FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    ORDER BY dim, key
+    """,
+    section="B1-scans",
+)
+def q274(spark, sf_dir):
+    """COLUMNAR CACHE reuse (``persist`` → ``InMemoryTableScan``): one
+    enrichment join is materialized into Spark's compressed columnar
+    cache and BOTH downstream aggregations scan the cached batches
+    instead of re-running the join — the executed plan carries an
+    InMemoryTableScan under each union branch (companion test pins
+    it). This is the interactive-session primitive the scan family
+    otherwise lacks: q001's scans re-read parquet every query, q153
+    compacts files, q274 is the "hot working set" tier above both.
+
+    Scale shape: the cache is partition-local (each executor caches
+    the blocks it computed — no shuffle, no driver hop), columnar and
+    compressed, and MEMORY_AND_DISK spills to local disk instead of
+    recomputing or OOMing when the working set outgrows executor
+    memory. Column pruning still applies (a cached-scan reads only the
+    columns asked of it), but filter pushdown does NOT reach parquet
+    through a cache — so cache AFTER the selective join/filter, as
+    here, never the raw fact table. The one-barrier caveat from
+    operators/dedup.py applies too: an InMemoryRelation hides runtime
+    stats from AQE, so cache boundaries belong BETWEEN logical stages,
+    not inside a join AQE should re-plan. Cache lifetime is scoped to
+    the call (unpersist in ``finally``) so the registry run leaks no
+    executor memory."""
+    from pyspark.storagelevel import StorageLevel
+
+    enriched, out = _q274_frames(spark, sf_dir)
+    enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        enriched.unpersist()

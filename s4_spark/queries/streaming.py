@@ -2197,3 +2197,88 @@ def q269(spark, sf_dir):
         out.filter(F.col("h_start") + F.expr("INTERVAL 60 MINUTES") <= horizon)
         .orderBy("h_start")
     )
+
+
+@query(
+    "q273_multi_watermark_policy",
+    oracle="""
+    WITH lo AS (SELECT min(ts) AS lo FROM events),
+    c AS (SELECT 'click' AS etype,
+            lo + INTERVAL 1 MINUTE *
+              ((row_number() OVER (ORDER BY event_id) - 1) % 180) AS ts
+          FROM events, lo WHERE event_type = 'click'),
+    p AS (SELECT 'purchase' AS etype,
+            lo + INTERVAL 1 MINUTE *
+              ((row_number() OVER (ORDER BY event_id) - 1) % 180) AS ts
+          FROM events, lo WHERE event_type = 'purchase'),
+    u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+    wm AS (SELECT least((SELECT max(ts) - INTERVAL 1 MINUTE FROM c),
+                        (SELECT max(ts) - INTERVAL 65 MINUTE FROM p)) AS wm)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start, etype, count(*) AS n
+    FROM u GROUP BY w_start, etype
+    HAVING w_start + INTERVAL 1 HOUR <= (SELECT wm FROM wm)
+    ORDER BY w_start, etype
+    """,
+    section="B9-streaming",
+)
+def q273(spark, sf_dir):
+    """MULTI-SOURCE WATERMARK POLICY: a union of two independently
+    watermarked streams — a low-latency click feed (1-min bound) and a
+    laggy purchase feed (65-min bound, the shape of any ingest that
+    batches upstream) — under the default ``min`` global-watermark
+    policy: the query's event-time clock is the MINIMUM of the
+    per-source watermarks, so the slow feed governs when windows close
+    for BOTH. That is the correct default at 100 TB (append output is
+    never emitted while a lagging source could still contribute rows
+    to the window — no silent undercounts), and its cost is honest:
+    end-to-end latency degrades to the laggiest source, and a stalled
+    source freezes eviction so state grows until it resumes — the
+    operational reason the ``max`` policy exists (trade completeness
+    for liveness). The companion test pins the mechanism live: the
+    same feeds with a tight purchase bound emit one more window than
+    the laggy bound, proving the purchase watermark is what withholds
+    it, and the run's final global watermark equals
+    min(max_click - 1min, max_purchase - 65min).
+
+    Feed construction mirrors q094 (synthesized minute offsets so the
+    span is identical at every SF; the global row_number is the
+    sf-bounded test producer, not a query path). Emitted set =
+    hour windows whose end <= final global watermark, expressed
+    verbatim in the oracle's HAVING."""
+    from pyspark.sql import Window as W
+
+    from s4_spark.streaming.rigs import two_stream_two_phase
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    base = F.lit(lo).cast("timestamp")
+
+    def feed(etype):
+        return ev.filter(F.col("event_type") == etype).select(
+            F.lit(etype).alias("etype"),
+            F.timestamp_add(
+                "MINUTE",
+                ((F.row_number().over(W.orderBy("event_id")) - F.lit(1)) % 180).cast(
+                    "int"
+                ),
+                base,
+            ).alias("ts"),
+        )
+
+    clicks, purch = feed("click"), feed("purchase")
+
+    def build(ls, rs):
+        u = ls.withWatermark("ts", "1 minute").unionByName(
+            rs.withWatermark("ts", "65 minutes")
+        )
+        return (
+            u.groupBy(F.window("ts", "1 hour").alias("w"), "etype")
+            .agg(F.count("*").alias("n"))
+            .select(instant_as_utc_ntz("w.start").alias("w_start"), "etype", "n")
+        )
+
+    return two_stream_two_phase(
+        spark, clicks, purch, clicks.limit(0), purch.limit(0), build, tag="q273"
+    ).orderBy("w_start", "etype")

@@ -435,3 +435,43 @@ def q264(spark, sf_dir):
         .agg(F.sum("s").cast("long").alias("score_sum"), F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "q275_pandas_api_on_spark",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, max(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    section="B10-udfs",
+)
+def q275(spark, sf_dir):
+    """PANDAS API ON SPARK (``pyspark.pandas``) — the third Python
+    surface beside the DataFrame API and SQL: the same merge/groupby/
+    agg a data scientist writes against local pandas, compiled to the
+    identical Catalyst plan (broadcast-able join, partial+final agg)
+    and verified against the plain-SQL oracle. The point of the entry
+    is API parity with ZERO per-row Python: unlike the UDF family
+    above, nothing here crosses into a Python worker — pandas-on-Spark
+    is a front-end that lowers to JVM expressions, so the 10-100x
+    Arrow-vs-row-UDF hierarchy (q100 vs q199) doesn't apply at all.
+
+    The one scale trap is the DEFAULT INDEX: pandas semantics require
+    an index, and the default ``sequence`` type materializes a global
+    row number via a single-partition window — an Exchange
+    SinglePartition on the whole frame before any user work. The entry
+    pins ``compute.default_index_type = distributed`` (monotonic
+    per-partition ids, no shuffle, no ordering promise) — the only
+    index type that survives 100 TB; aggregates are count/max so the
+    result is float-exact cross-engine."""
+    import pyspark.pandas as ps
+
+    with ps.option_context("compute.default_index_type", "distributed"):
+        po = t(spark, sf_dir, "orders").pandas_api()
+        pc = t(spark, sf_dir, "customer").pandas_api()
+        m = po.merge(pc, left_on="o_custkey", right_on="c_custkey")
+        g = m.groupby("c_mktsegment", as_index=False).agg(
+            n=("o_orderkey", "count"), max_price=("o_totalprice", "max")
+        )
+        return g.to_spark().orderBy("c_mktsegment")

@@ -1043,3 +1043,127 @@ def test_q270_aqe_switches_smj_to_broadcast(spark):
     assert "SortMergeJoin" in initial, initial[:2000]
     assert "BroadcastHashJoin" in final, final[:2000]
     assert "SortMergeJoin" not in final, final[:2000]
+
+
+def test_q272_null_safe_join_stays_hash_join(spark):
+    """q272: the EqualNullSafe key must be rewritten to the hashable
+    (coalesce(k, ''), isnull(k)) composite so the join stays a
+    BroadcastHashJoin — never the nested-loop fallback a non-equi
+    predicate would force."""
+    p = plan(spark, "q272_null_safe_join")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "coalesce" in p and "isnull" in p, p
+
+
+def test_q274_both_branches_scan_cache(spark):
+    """q274: with the enrichment frame persisted, BOTH union branches
+    must read InMemoryTableScan instead of re-running the join; after
+    unpersist the cache node disappears again (lifetime is scoped)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from s4_spark.queries.scans import _q274_frames
+
+    enriched, out = _q274_frames(spark, SF_DIR)
+    enriched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        p = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # formatted output lists each node in tree + details; the
+        # BroadcastHashJoin still PRINTS under InMemoryRelation (it is
+        # the cached plan's provenance) but the live branches read the
+        # two InMemoryTableScans.
+        assert p.count("InMemoryTableScan") >= 2, p
+        assert "InMemoryRelation" in p, p
+    finally:
+        enriched.unpersist()
+    enriched2, out2 = _q274_frames(spark, SF_DIR)
+    p2 = out2._sc._jvm.PythonSQLUtils.explainString(
+        out2._jdf.queryExecution(), "formatted"
+    )
+    assert "InMemoryTableScan" not in p2, p2
+
+
+def test_q275_pandas_api_stays_jvm_side(spark):
+    """q275: pandas-on-Spark is a front-end, not a UDF — the plan must
+    contain no Python evaluation node and a real partial+final
+    aggregate."""
+    p = plan(spark, "q275_pandas_api_on_spark")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in p, p
+    assert "HashAggregate" in p, p
+    assert "Exchange SinglePartition" not in p, p
+
+
+def test_q277_recursive_cte_union_loop(spark):
+    """q277: the recursive CTE must plan as the engine's iterative
+    union-loop operator (set-based fixpoint inside one plan), with the
+    final rollup a real partial+final hash aggregate over the closure."""
+    p = plan(spark, "q277_recursive_cte")
+    assert "UnionLoop" in p, p[:3000]
+    assert "HashAggregate" in p, p[:3000]
+
+
+def test_q278_sql_udf_inlines_to_expressions(spark):
+    """q278: SQL UDFs must be inlined at analysis — zero Python
+    evaluation nodes, the filter pushed to the scan, and a partial+final
+    aggregate as if the formulas were written by hand."""
+    p = plan(spark, "q278_sql_udf")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in p, p
+    assert "HashAggregate" in p, p
+    assert "PushedFilters" in p and "l_shipdate" in p, p
+
+
+def test_q279_bloom_filter_injected_on_probe_side(spark):
+    """q279: under forced-shuffle confs the optimizer must inject the
+    dim-side bloom into the fact scan side as might_contain(...), and
+    the join must actually be the shuffle join the rewrite targets."""
+    from s4_spark.queries.joins import _Q279_BLOOM_CONFS, _q279_frame
+
+    saved = {}
+    for k, v in _Q279_BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        df = _q279_frame(spark, SF_DIR)
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in p, p[:4000]
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:4000]
+        assert "BroadcastHashJoin" not in p, p[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_q281_pair_predicate_stays_filter_not_nlj(spark):
+    """q281 (TPC-H Q7): the disjunctive nation-pair coupling must be a
+    post-join Filter over broadcast-joined dimension columns — all joins
+    equi (no BroadcastNestedLoopJoin/CartesianProduct), nation/supplier
+    paths broadcast, facts meeting on their natural keys."""
+    p = plan(spark, "q281_tpch_q7_shape")
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:3000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    # the shipdate range must reach the lineitem scan
+    assert "PushedFilters" in p and "l_shipdate" in p, p[:3000]
+
+
+def test_q282_single_aggregate_single_fact_scan(spark):
+    """q282 (TPC-H Q8): numerator (CASE) and denominator ride ONE
+    aggregate over ONE lineitem scan — a self-join or second scan would
+    double the fact cost; dims broadcast."""
+    p = plan(spark, "q282_tpch_q8_shape")
+    # exactly one lineitem scan (each scan prints one Location line)
+    assert p.count("lineitem.parquet") == 1, p[:4000]
+    assert "BroadcastHashJoin" in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
