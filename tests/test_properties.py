@@ -486,3 +486,62 @@ def test_stale_checkpoint_roots_swept_fresh_kept(tmp_path, monkeypatch):
     swept = lineage.sweep_stale_checkpoint_roots("local-333")
     assert swept == [str(old)]
     assert not old.exists() and fresh.exists() and mine.exists()
+
+
+nullable_keys = st.lists(
+    st.one_of(st.none(), st.text(alphabet="xyz", min_size=1, max_size=2)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(segs=nullable_keys)
+@SETTINGS
+def test_null_safe_join_routes_null_bucket(spark, segs):
+    """q272's semantics for ANY null mix: a null-safe self-enrichment
+    keeps EVERY row (the NULL bucket joins its own aggregate), while the
+    plain equi join drops exactly the null-key rows — and on the non-null
+    subset the two joins agree row-for-row."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(segs)], "row_id int, seg string"
+    )
+    stats = df.groupBy("seg").agg(F.count("*").alias("seg_n")).withColumnRenamed(
+        "seg", "s_seg"
+    )
+    safe = df.join(stats, df.seg.eqNullSafe(stats.s_seg))
+    plain = df.join(stats, df.seg == stats.s_seg)
+    n_null = sum(1 for s in segs if s is None)
+    assert safe.count() == len(segs)
+    assert plain.count() == len(segs) - n_null
+    # the NULL bucket's aggregate is the null-row count itself
+    if n_null:
+        got = safe.filter(F.col("seg").isNull()).select("seg_n").distinct().collect()
+        assert [r.seg_n for r in got] == [n_null]
+
+
+@given(ks=st.lists(st.integers(1, 500), min_size=1, max_size=20, unique=True))
+@SETTINGS
+def test_recursive_cte_closure_depth_formula(spark, ks):
+    """q277's halving walk for ANY key set: the transitive closure has
+    exactly floor(log2(k)) + 1 rows per seed key (depths 0..log2(k)),
+    and every chain terminates at k = 1 — the engine's UnionLoop reaches
+    the fixpoint rather than looping or truncating."""
+    import math
+
+    spark.createDataFrame([(k,) for k in ks], "k0 bigint").createOrReplaceTempView(
+        "prop_seed"
+    )
+    out = spark.sql(
+        """
+        WITH RECURSIVE walk(start_key, k, depth) AS (
+          SELECT k0, k0, 0 FROM prop_seed
+          UNION ALL
+          SELECT start_key, k DIV 2, depth + 1 FROM walk WHERE k > 1
+        )
+        SELECT start_key, count(*) AS n, min(k) AS terminal
+        FROM walk GROUP BY start_key
+        """
+    ).collect()
+    got = {r.start_key: (r.n, r.terminal) for r in out}
+    want = {k: (int(math.log2(k)) + 1, 1) for k in ks}
+    assert got == want
