@@ -463,3 +463,84 @@ def test_q258_runs_two_stateful_operators(spark, duck):
     from s4_spark.queries.streaming import q258
 
     assert q258.last_state_operator_count == 2, q258.last_state_operator_count
+
+
+def _q273_companion_run(spark, purchase_bound: str, tag: str):
+    """Drive q273's union-of-watermarked-streams shape live with a
+    parameterized purchase bound; return (emitted window starts,
+    final global watermark string from query progress)."""
+    import datetime as dt
+    import shutil
+
+    from s4_spark.streaming.rigs import scratch
+
+    hours = [0, 1, 2, 3]
+    mk = lambda h: dt.datetime(2024, 1, 1, h, 30)
+    clicks = spark.createDataFrame(
+        [("click", mk(h)) for h in hours], "etype string, ts timestamp"
+    )
+    purch = spark.createDataFrame(
+        [("purchase", mk(h)) for h in hours], "etype string, ts timestamp"
+    )
+    landings = [scratch(f"{tag}_c"), scratch(f"{tag}_p")]
+    for d in landings:
+        os.makedirs(d, exist_ok=True)
+
+    def drop(df, landing, fname):
+        stage = scratch(f"{tag}_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.startswith("part-") and p.endswith(".parquet")
+        )
+        shutil.copyfile(os.path.join(stage, part), os.path.join(landing, fname))
+
+    drop(clicks, landings[0], "p1.parquet")
+    drop(purch, landings[1], "p1.parquet")
+    cs = spark.readStream.schema(clicks.schema).parquet(landings[0])
+    ps = spark.readStream.schema(purch.schema).parquet(landings[1])
+    u = cs.withWatermark("ts", "1 minute").unionByName(
+        ps.withWatermark("ts", purchase_bound)
+    )
+    out = (
+        u.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    name = f"s4_mem_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch(f"ckpt_{tag}"))
+        .start()
+    )
+    q.processAllAvailable()
+    # empty second files advance both source watermarks past phase-1 maxes
+    drop(clicks.limit(0), landings[0], "p2.parquet")
+    drop(purch.limit(0), landings[1], "p2.parquet")
+    q.processAllAvailable()
+    wm = q.lastProgress["eventTime"]["watermark"]
+    q.stop()
+    starts = sorted(r.w_start for r in spark.table(name).collect())
+    return starts, wm
+
+
+def test_q273_min_policy_slow_source_withholds_window(spark):
+    """q273's claimed mechanism, live: under the default `min` global
+    watermark policy the LAGGY purchase bound (65 min) governs window
+    close for the whole union — the tight-bound run emits exactly one
+    more closed hour window, and the withheld window is the latest one.
+    The final global watermark equals min(max_click - 1min,
+    max_purchase - 65min) for the laggy run and max - 1min for the
+    tight run."""
+    import datetime as dt
+
+    laggy, wm_laggy = _q273_companion_run(spark, "65 minutes", "q273lag")
+    tight, wm_tight = _q273_companion_run(spark, "1 minute", "q273tight")
+    # data max = 03:30; laggy wm = min(03:29, 02:25) = 02:25 → windows
+    # [00:00) and [01:00) close (end <= 02:25); tight wm = 03:29 adds [02:00).
+    assert laggy == [dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 1)], laggy
+    assert tight == laggy + [dt.datetime(2024, 1, 1, 2)], tight
+    assert wm_laggy == "2024-01-01T02:25:00.000Z", wm_laggy
+    assert wm_tight == "2024-01-01T03:29:00.000Z", wm_tight
