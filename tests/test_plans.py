@@ -1167,3 +1167,14 @@ def test_q282_single_aggregate_single_fact_scan(spark):
     assert p.count("lineitem.parquet") == 1, p[:4000]
     assert "BroadcastHashJoin" in p, p[:3000]
     assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+
+
+def test_q280_xml_codec_is_jvm_expression(spark):
+    """q280: to_xml/from_xml must be plain JVM expressions in the
+    projection — zero Python evaluation nodes, and the aggregate behind
+    the codec keeps its partial+final shape."""
+    p = plan(spark, "q280_xml_roundtrip")
+    assert "from_xml" in p and "to_xml" in p, p[:3000]
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in p, p
+    assert "HashAggregate" in p, p[:3000]
