@@ -265,6 +265,7 @@ def simhash_candidate_pairs(
     sim_col: str = "simhash",
     band_bits: int = 8,
     max_hamming: int | None = None,
+    probe_1bit: bool = False,
 ) -> DataFrame:
     """Banded SimHash join: 64/band_bits bands; pairs agreeing on any band
     are candidates. With 8-bit bands, any pair within Hamming distance 7
@@ -273,6 +274,16 @@ def simhash_candidate_pairs(
     ``max_hamming`` pushes the Hamming cutoff into the join itself so the
     pair-dedup shuffle (the ``distinct``) only carries survivors — at
     sf0.1 that is 950k rows instead of 5.1M.
+
+    ``probe_1bit`` (VERDICT r6 item 4) additionally probes every
+    one-bit variant of each band key on the left side, which extends the
+    pigeonhole guarantee to Hamming ≤ ``2 * n_bands - 2`` (14 with 8-bit
+    bands): a pair at distance d with NO exactly-agreeing band spreads
+    its d differing bits so at least ``2*n_bands - d`` bands differ in
+    exactly one bit, and the probe corrects any single-bit band. Probing
+    stays join-keyed — the probe keys are exploded literals feeding the
+    same (band_id, key) equi-join, never a nested-loop Hamming ball —
+    at the cost of ``band_bits + 1`` left rows per band instead of one.
 
     Scale note: band keys have only ``2^band_bits`` values, so bucket
     occupancy — and the O(Σ bucket²) join blow-up — grows linearly with
@@ -296,7 +307,21 @@ def simhash_candidate_pairs(
     bd = df.select(F.col(id_col), F.col(sim_col), F.explode(entries).alias("b")).select(
         id_col, sim_col, "b.band_id", "b.band_key"
     )
-    a, b = bd.alias("a"), bd.alias("b")
+    if probe_1bit:
+        # Left side probes the exact key plus every 1-bit variant; XOR is
+        # symmetric, so one-sided probing covers both orientations of a
+        # single-bit band disagreement.
+        probes = F.array(
+            F.col("band_key"),
+            *[
+                F.col("band_key").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(band_bits)
+            ],
+        )
+        left = bd.withColumn("band_key", F.explode(probes))
+    else:
+        left = bd
+    a, b = left.alias("a"), bd.alias("b")
     cond = (
         (F.col("a.band_id") == F.col("b.band_id"))
         & (F.col("a.band_key") == F.col("b.band_key"))
@@ -325,12 +350,23 @@ def connected_components(
     pairs: DataFrame, max_iters: int = 20, reliable: bool = False
 ) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``,
-    ``id_b``) by iterative min-label propagation: every node repeatedly
-    takes the minimum label among itself and its neighbors until a
-    fixpoint. Converges in <= diameter iterations; near-dup clusters are
-    dense and shallow (diameter 1-3), so the loop is short in practice.
+    ``id_b``): min-label propagation with per-round pointer doubling,
+    raising ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iters`` rounds (VERDICT r6: the old cap fell through and
+    returned partially-propagated labels with no signal).
 
-    Scale shape: each iteration is one join keyed on node id + one
+    Each round does (1) neighbor propagation — every node takes the
+    minimum label among itself and its neighbors — then (2) a shortcut
+    step: because every label is itself a node id, ``node -> label`` is
+    composed with ``label -> label'`` so chains halve each round.
+    Convergence is therefore O(log diameter) rounds, not O(diameter):
+    a 1M-node path converges in ~20 rounds where pure propagation needs
+    1M. Near-dup clusters are dense and shallow (diameter 1-3), so in
+    practice 2-3 rounds suffice; the doubling is the at-scale guard for
+    pathological chains, and the raise makes any residual
+    non-convergence loud instead of silently wrong.
+
+    Scale shape: each round is two joins keyed on node id + one
     min-aggregate — node-count-sized tables, never corpus-sized. Each
     round is barriered with a lineage cut (iterative plans MUST cut
     lineage: round N's plan would otherwise embed rounds 1..N-1) and the
@@ -365,8 +401,21 @@ def connected_components(
             .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
             .select(F.col("e.id_a").alias("node"), F.col("l.label").alias("label"))
         )
+        # Pointer doubling: every label is itself a node id (labels start
+        # as node ids and only ever take mins over other labels), so the
+        # inner self-join composes node->label with label->label' —
+        # folded into the same min-aggregate as neighbor propagation, the
+        # per-node reach at least doubles each round. The self-join is on
+        # the round's cut LogicalRDD (a Union-bearing operand here trips
+        # UnionBase.rewriteConstraints on Spark 4.1).
+        shortcut = (
+            labels.alias("n")
+            .join(labels.alias("m"), F.col("n.label") == F.col("m.node"))
+            .select(F.col("n.node").alias("node"), F.col("m.label").alias("label"))
+        )
         new_labels = cut_lineage(
             labels.union(nbr)
+            .union(shortcut)
             .groupBy("node")
             .agg(F.min("label").alias("label")),
             reliable,
@@ -379,5 +428,9 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iters={max_iters} "
+        f"rounds ({changed} labels still changing); with pointer doubling this "
+        f"means component diameter exceeds ~2^{max_iters} — raise max_iters"
+    )

@@ -1178,3 +1178,64 @@ def test_q280_xml_codec_is_jvm_expression(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in p, p
     assert "HashAggregate" in p, p[:3000]
+
+
+def test_brute_force_topk_dispatches_above_threshold(spark):
+    """VERDICT r6 item 3: above dispatch_rows candidates, brute_force_topk
+    must NOT plan the crossJoin+window Q x N scored space — the plan
+    switches to the block-partitioned MapInPandas formulation (per-batch
+    top-k, shuffle sees <= Q x k x n_batches rows). Below the threshold
+    the crossJoin exact path remains. Results are bit-identical."""
+    from s4_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cands = e.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+
+    dispatched = S.brute_force_topk(queries, cands, k=5, dispatch_rows=10)
+    p = dispatched._sc._jvm.PythonSQLUtils.explainString(
+        dispatched._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in p, p[:3000]
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, p[:3000]
+
+    pinned = S.brute_force_topk(queries, cands, k=5, dispatch_rows=None)
+    got = sorted(map(tuple, dispatched.collect()))
+    want = sorted(map(tuple, pinned.collect()))
+    assert got == want
+
+
+def test_simhash_probe_complete_at_declared_radius(spark):
+    """VERDICT r6 item 4: q120's candidate generation must be complete at
+    its declared Hamming radius by construction. Adversarial pair — every
+    8-bit band differs in exactly one bit (Hamming 8, no exact band
+    agreement) — is invisible to plain banding and MUST surface via the
+    1-bit key multiprobe. The probe stays join-keyed: the plan is a hash
+    or sort-merge equi-join on (band_id, band_key), never a nested-loop
+    Hamming ball."""
+    from s4_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0x0101010101010101)], "doc_id long, simhash long"
+    )
+    plain = D.simhash_candidate_pairs(df, "doc_id", max_hamming=12)
+    probed = D.simhash_candidate_pairs(
+        df, "doc_id", max_hamming=12, probe_1bit=True
+    )
+    assert plain.count() == 0
+    assert [(r.id_a, r.id_b, r.hamming) for r in probed.collect()] == [(1, 2, 8)]
+
+    p = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in p, p[:3000]
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    ), p[:3000]

@@ -142,6 +142,36 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want, (sorted(got), sorted(want))
 
 
+def test_connected_components_long_path_converges(spark):
+    """VERDICT r6 item 2: a path graph deeper than the iteration cap must
+    still label correctly. Pure min-propagation needs diameter rounds (41
+    here > max_iters=20) and used to fall through the cap returning
+    silently-wrong labels; pointer doubling converges in O(log diameter)
+    (~6 rounds for a 42-node path), so the default cap is ample."""
+    from s4_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(41)], "id_a int, id_b int"
+    )
+    got = {(r.node, r.label) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(42)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """The cap must be loud: when the fixpoint is not reached within
+    max_iters, connected_components raises instead of returning
+    partially-propagated labels (the r6 latent defect)."""
+    import pytest as _pytest
+
+    from s4_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a int, id_b int"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=1)
+
+
 @given(
     counts=st.lists(st.integers(1, 1000), min_size=1, max_size=6),
 )
@@ -465,7 +495,12 @@ def test_stale_checkpoint_roots_swept_fresh_kept(tmp_path, monkeypatch):
     prune only the CURRENT app's dir (dead code — app ids embed start
     timestamps), letting dead apps' dirs accumulate forever. The sweep
     removes siblings untouched for an hour and never touches a fresh
-    (possibly concurrent) sibling or the current app's own dir."""
+    (possibly concurrent) sibling or the current app's own dir.
+
+    r6 advice closed: age alone is NOT death — a dir's mtime freezes once
+    its last checkpoint lands, so an old dir whose recorded owner PID is
+    still running (a long-idle live session) must survive the sweep; only
+    dead-owner (or pre-marker) old dirs go."""
     import os
     import time
 
@@ -474,18 +509,23 @@ def test_stale_checkpoint_roots_swept_fresh_kept(tmp_path, monkeypatch):
     root = tmp_path / "reliable_ckpt"
     root.mkdir()
     monkeypatch.setattr(lineage, "DEFAULT_CHECKPOINT_DIR", str(root))
-    old = root / "local-111"
+    old = root / "local-111"           # old, no owner marker -> swept
+    dead_owner = root / "local-444"    # old, owner PID dead -> swept
+    idle_live = root / "local-555"     # old, owner (us) alive -> KEPT
     fresh = root / "local-222"
     mine = root / "local-333"
-    for d in (old, fresh, mine):
+    for d in (old, dead_owner, idle_live, fresh, mine):
         d.mkdir()
         (d / "rdd-1").write_text("x")
+    (dead_owner / lineage.OWNER_PID_FILE).write_text("999999999")
+    (idle_live / lineage.OWNER_PID_FILE).write_text(str(os.getpid()))
     past = time.time() - 7200
-    os.utime(old, (past, past))
-    os.utime(mine, (past, past))  # own dir: never swept even if old
+    for d in (old, dead_owner, idle_live, mine):
+        os.utime(d, (past, past))  # mine: own dir never swept even if old
     swept = lineage.sweep_stale_checkpoint_roots("local-333")
-    assert swept == [str(old)]
-    assert not old.exists() and fresh.exists() and mine.exists()
+    assert sorted(swept) == sorted([str(old), str(dead_owner)])
+    assert not old.exists() and not dead_owner.exists()
+    assert idle_live.exists() and fresh.exists() and mine.exists()
 
 
 nullable_keys = st.lists(
