@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
 _CHUNK_RE = re.compile(r"chunk-(\d{8})\.txt$")
+_FLOOR_MARKER = ".offset_floor"
 
 
 def chunk_path(path: str, i: int) -> str:
@@ -56,13 +57,29 @@ class ChunkSpoolStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
         self.ack = options.get("ack", "true").lower() == "true"
+        # Monotone floor for latestOffset (r6 advice): with ack enabled,
+        # commit() deletes the committed chunks, so a drained spool lists
+        # as empty and a listing-only latestOffset would REGRESS from N
+        # back to -1 — Spark then plans a spurious (N, -1] batch, persists
+        # the regressed offset, and a producer that restarts numbering
+        # after a drain would get its re-used chunk numbers re-read,
+        # breaking exactly-once. The floor is the max offset ever seen or
+        # committed, seeded from the marker file commit() writes so it
+        # survives reader re-instantiation across restarts.
+        self._floor = -1
+        try:
+            with open(os.path.join(self.path, _FLOOR_MARKER)) as f:
+                self._floor = int(f.read().strip())
+        except (OSError, ValueError):
+            pass
 
     def initialOffset(self) -> dict:
         return {"chunk": -1}
 
     def latestOffset(self) -> dict:
         chunks = _list_chunks(self.path)
-        return {"chunk": chunks[-1] if chunks else -1}
+        self._floor = max(self._floor, chunks[-1] if chunks else -1)
+        return {"chunk": self._floor}
 
     def partitions(self, start: dict, end: dict):
         return [
@@ -79,6 +96,14 @@ class ChunkSpoolStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         if not self.ack:
             return
+        self._floor = max(self._floor, end["chunk"])
+        # Persist the floor BEFORE deleting, atomically (tmp + rename):
+        # a crash between delete and marker write must not resurrect a
+        # regressed offset on restart.
+        tmp = os.path.join(self.path, _FLOOR_MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(self._floor))
+        os.replace(tmp, os.path.join(self.path, _FLOOR_MARKER))
         for i in _list_chunks(self.path):
             if i <= end["chunk"]:
                 try:

@@ -6,8 +6,10 @@ foreachBatch escape hatch).
 
 Both writers implement the two-phase commit protocol the V2 API defines:
 
-- executors stage each partition to a hidden ``.staging/`` file and
-  return a picklable :class:`WriterCommitMessage` naming it;
+- executors stage each partition to a hidden ``.staging/<token>/`` file
+  (token = per-writer-instance UUID, so concurrent jobs sharing a path
+  never touch each other's staging) and return a picklable
+  :class:`WriterCommitMessage` naming it;
 - only the DRIVER publishes: batch commit renames every staged file to
   its final ``part-NNNNN.txt`` and drops a ``_SUCCESS`` manifest listing
   files + row counts; abort deletes the staged files, so a failed job
@@ -47,13 +49,20 @@ class SpoolCommit(WriterCommitMessage):
     n_rows: int
 
 
-def _stage_dir(path: str) -> str:
-    return os.path.join(path, ".staging")
+def _stage_dir(path: str, token: str) -> str:
+    # Staging is namespaced per WRITER INSTANCE (r6 advice): the token is
+    # minted on the driver at writer construction and travels to every
+    # task via pickling, so (a) failed/speculative task attempts — whose
+    # staged files never surface in commit messages — are confined to
+    # this writer's own subtree and swept at its next commit, and (b) two
+    # concurrent jobs sharing one output path can never delete each
+    # other's in-flight staged files (the old flat .staging/ rmtree did).
+    return os.path.join(path, ".staging", token)
 
 
-def _write_partition(path: str, iterator) -> SpoolCommit:
-    os.makedirs(_stage_dir(path), exist_ok=True)
-    staged = os.path.join(_stage_dir(path), f"{uuid.uuid4().hex}.txt")
+def _write_partition(path: str, token: str, iterator) -> SpoolCommit:
+    os.makedirs(_stage_dir(path, token), exist_ok=True)
+    staged = os.path.join(_stage_dir(path, token), f"{uuid.uuid4().hex}.txt")
     n = 0
     with open(staged, "w") as f:
         for row in iterator:
@@ -65,9 +74,10 @@ def _write_partition(path: str, iterator) -> SpoolCommit:
 class LineSpoolBatchWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options["path"]
+        self.token = uuid.uuid4().hex
 
     def write(self, iterator) -> SpoolCommit:
-        return _write_partition(self.path, iterator)
+        return _write_partition(self.path, self.token, iterator)
 
     def commit(self, messages) -> None:
         total = 0
@@ -81,20 +91,24 @@ class LineSpoolBatchWriter(DataSourceWriter):
             lines.append(f"part-{i:05d}.txt\t{m.n_rows}")
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("\n".join(lines + [f"total\t{total}"]) + "\n")
-        shutil.rmtree(_stage_dir(self.path), ignore_errors=True)
+        # Scoped to OUR token subtree only: sweeps this job's failed-attempt
+        # leftovers without touching a concurrent writer's staging.
+        shutil.rmtree(_stage_dir(self.path, self.token), ignore_errors=True)
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        shutil.rmtree(_stage_dir(self.path, self.token), ignore_errors=True)
 
 
 class LineSpoolStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
         self.path = options["path"]
+        self.token = uuid.uuid4().hex
 
     def write(self, iterator) -> SpoolCommit:
-        return _write_partition(self.path, iterator)
+        return _write_partition(self.path, self.token, iterator)
 
     def commit(self, messages, batchId: int) -> None:
         # assemble the batch in a hidden dir, then publish with ONE atomic
@@ -114,12 +128,18 @@ class LineSpoolStreamWriter(DataSourceStreamWriter):
         final = os.path.join(self.path, f"batch={batchId}")
         shutil.rmtree(final, ignore_errors=True)
         os.replace(assembly, final)
+        # commit runs only after every task of this batch finished, so any
+        # file left in our token subtree is a failed/speculative attempt's
+        # orphan — sweep it here so staging cannot grow across batches
+        # (r6 advice), scoped to this query's own token.
+        shutil.rmtree(_stage_dir(self.path, self.token), ignore_errors=True)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
         shutil.rmtree(os.path.join(self.path, f".batch-{batchId}.tmp"), ignore_errors=True)
+        shutil.rmtree(_stage_dir(self.path, self.token), ignore_errors=True)
 
 
 class LineSpoolDataSource(DataSource):

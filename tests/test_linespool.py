@@ -61,3 +61,36 @@ def test_single_string_column_enforced(spark):
     df = spark.range(3).select(F.col("id"), F.col("id").alias("b"))
     with pytest.raises(Exception):
         df.write.format("linespool").option("path", "/tmp/never").save()
+
+
+def test_staging_scoped_per_writer_and_swept(tmp_path):
+    """r6 advice: staging is namespaced per writer token. A concurrent
+    writer's in-flight staged file survives another writer's commit, and
+    a writer's own failed-attempt orphans (never named in messages) are
+    swept at its commit instead of accumulating across batches."""
+    out = str(tmp_path / "spool")
+    os.makedirs(out)
+    w1 = LineSpoolStreamWriter({"path": out})
+    w2 = LineSpoolStreamWriter({"path": out})
+    assert w1.token != w2.token
+
+    def stage(w, name):
+        d = os.path.join(out, ".staging", w.token)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{name}.txt")
+        with open(p, "w") as f:
+            f.write(f"row-{name}\n")
+        return SpoolCommit(staged=p, n_rows=1)
+
+    m1 = stage(w1, "good")
+    stage(w1, "orphan-from-failed-attempt")  # never surfaces in messages
+    m2_inflight = stage(w2, "concurrent-inflight")
+
+    w1.commit([m1], batchId=0)
+    # w1's own subtree (incl. the orphan) is gone...
+    assert not os.path.exists(os.path.join(out, ".staging", w1.token))
+    # ...but w2's in-flight staged file is untouched
+    assert os.path.exists(m2_inflight.staged)
+    w2.commit([m2_inflight], batchId=0)
+    with open(os.path.join(out, "batch=0", "part-00000.txt")) as f:
+        assert f.read() == "row-concurrent-inflight\n"

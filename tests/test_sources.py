@@ -400,3 +400,32 @@ def test_chunk_spool_acks_on_next_run_exactly_once(spark, tmp_path):
     ) == [f"chunk-{i:08d}.txt" for i in range(3, 5)]  # run-1 prefix drained
     rows = sorted(r.value for r in spark.read.parquet(out).collect())
     assert rows == [f"r{i}" for i in range(5)]  # exactly once, no re-read
+
+
+def test_chunk_spool_latest_offset_monotone_after_drain(tmp_path):
+    """r6 advice: with ack enabled, commit() deletes the committed chunks,
+    so a drained (empty) spool must NOT report {"chunk": -1} — the floor
+    persists the highest committed offset (marker file survives reader
+    re-instantiation), preventing a spurious regressed batch and a
+    re-read of re-used chunk numbers after a producer restart."""
+    import os
+
+    from s4_spark.sources.chunk_spool import ChunkSpoolStreamReader, chunk_path
+
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    for i in range(3):
+        with open(chunk_path(spool, i), "w") as f:
+            f.write(f"r{i}\n")
+    r = ChunkSpoolStreamReader({"path": spool})
+    assert r.latestOffset() == {"chunk": 2}
+    r.commit({"chunk": 2})  # deletes all chunks
+    assert [p for p in os.listdir(spool) if p.startswith("chunk")] == []
+    assert r.latestOffset() == {"chunk": 2}  # monotone, not -1
+    # a fresh reader instance (restart) seeds the floor from the marker
+    r2 = ChunkSpoolStreamReader({"path": spool})
+    assert r2.latestOffset() == {"chunk": 2}
+    # new production continues forward
+    with open(chunk_path(spool, 3), "w") as f:
+        f.write("r3\n")
+    assert r2.latestOffset() == {"chunk": 3}

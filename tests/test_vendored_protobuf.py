@@ -142,3 +142,29 @@ def test_clear_resets_everything():
     req.Clear()
     assert req.stateName == ""
     assert req.SerializeToString() == b""
+
+
+def test_truncated_length_delimited_raises_not_truncates():
+    """r6 advice: a frame whose length-delimited field claims more bytes
+    than remain must raise in every decode path — _skip_field (unknown
+    field skip) and _iter_fields (descriptor TLV walk) used to silently
+    truncate, masking state-server protocol corruption as wrong state."""
+    import pytest
+
+    from s4_spark._vendor.google.protobuf.internal import minipb
+
+    # unknown LEN field (number 14) claiming 100 bytes, only 3 present
+    corrupt = (
+        minipb.encode_varint((14 << 3) | minipb.WIRE_LEN)
+        + minipb.encode_varint(100)
+        + b"xyz"
+    )
+    out = sm.SetImplicitKey()
+    with pytest.raises(ValueError, match="truncated"):
+        out.ParseFromString(corrupt)
+
+    with pytest.raises(ValueError, match="truncated"):
+        list(minipb._iter_fields(corrupt))
+
+    with pytest.raises(ValueError, match="truncated"):
+        minipb._skip_field(minipb.WIRE_LEN, corrupt, len(minipb.encode_varint((14 << 3) | minipb.WIRE_LEN)))
