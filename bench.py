@@ -28,6 +28,9 @@ STREAM_N = int(os.environ.get("S4_BENCH_STREAM_N", "1000000"))
 
 # Headline set: one per family — scan, agg, join, asof, window, top-k,
 # setop, functions, UDF, dedup (exact + LSH), similarity, text, stream e2e.
+# The 37 keys below (36 queries + stream_ingest_1m) predate rounds 5-6 and
+# are the continuity set: `value` sums exactly these so every BENCH_r{N}
+# stays comparable to BASELINE.md and to prior rounds.
 HEADLINE = [
     "q001_parquet_scan",
     "q030_hash_agg_tpch_q1",
@@ -68,6 +71,18 @@ HEADLINE = [
     "q160_gap_fill",
 ]
 
+# Rounds 5-6 surface representatives (VERDICT r6 item 5): timed and
+# reported under their own keys in `queries` + `extended_total`, but NOT
+# summed into `value`, which stays the 37-key continuity metric.
+EXTENDED = [
+    "q246_offset_managed_stream_source",  # parallel offset-managed source
+    "q257_approx_top_k_sketch",
+    "q277_recursive_cte",
+    "q279_runtime_bloom_filter_join",
+    "q281_tpch_q7_shape",
+    "q282_tpch_q8_shape",
+]
+
 
 def bench_stream_ingest(spark, n: int) -> float:
     """Replay n generated line records (the UnixBenchmarkServer corpus
@@ -106,28 +121,38 @@ def main() -> None:
     # machine-load noise plus first-run codegen compilation; the min is
     # the stable, comparable statistic for a regression bound.
     runs = int(os.environ.get("S4_BENCH_RUNS", "2"))
-    results: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, SF_DIR).collect()
-            best = min(best, time.time() - t0)
-        results[name] = round(best, 3)
 
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = REGISTRY[name].fn
+            best = float("inf")
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, SF_DIR).collect()
+                best = min(best, time.time() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    results = time_set(HEADLINE)
     results["stream_ingest_1m"] = round(bench_stream_ingest(spark, STREAM_N), 3)
-
     total = round(sum(results.values()), 3)
+
+    extended = time_set(EXTENDED)
+    results.update(extended)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
+                # continuity metric: the original 37 keys only, directly
+                # comparable to BASELINE.md and BENCH_r01..r06
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf else SF_DIR,
                 "env": {
                     "cpus": CPUS,

@@ -26,121 +26,65 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-6 rotation (the final one): rounds 1-5 drove 179 distinct
-# entries green; this window holds ALL 23 remaining never-verified
-# oracle-backed entries (q210-q223, q225, q227-q234 — the r5-pinned
-# R6_QUEUE, pre-validated on a vanilla session late round 5), plus
-# any entries ADDED this round (new entries are never-verified by
-# definition and displace fillers as they land), plus already-green
-# canaries/fillers for the families the queue does not touch
-# (B2/B6/B7/B8/B10). After the round-6 driver run every oracle-backed
-# registry entry has an external driver-green CORRECTNESS row; only
-# the rows-only-by-design entries (q008 console sink, q162 k-means
-# property rig) remain outside the union.
+# Round-7 rotation: CORRECTNESS_r06 came back 50/50, so every r6-windowed
+# entry is driver-green and the 27 entries pinned in the r6
+# NEXT_WINDOW_QUEUE (q253, q257-q282 — all sf0.001..sf0.1 oracle-checked
+# and vanilla-Chicago certified late round 6) rotate in, plus
+# q008_console_sink (upgraded rows-only -> oracle-backed this round, so
+# never-verified by definition). That is 28 never-verified entries; the
+# 22 remaining slots hold already-green canaries for the four families
+# the queue misses (B2/B6/B7 + B11) and fillers, preferring entries whose
+# IMPLEMENTATION changed this round (q112 scale dispatch, q120 probe
+# banding, q148 pointer-doubling CC) and bench-headline representatives
+# so driver verification doubles as a regression watch. After the
+# round-7 driver run the driver-verified union covers the entire oracled
+# registry (254/254), leaving only q162 (rows-only by design) outside.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
-# this round's additions overflowed the window's five displaceable
-# filler slots, so the overflow entries wait here (every one
-# sf0.001..sf0.1 oracle-checked; they rotate in at the next round's
-# window edit).
-NEXT_WINDOW_QUEUE: tuple = (
-    "q253_chi2_token_association",
-    "q257_approx_top_k_sketch",
-    "q258_chained_streaming_aggs",
-    "q259_ewma_smoothing",
+# empty now (all never-verified entries fit this window) — new entries
+# added this round displace fillers as they land.
+NEXT_WINDOW_QUEUE: tuple = ()
+
+DRIVER_WINDOW = (
+    # ---- never-verified: the 27 r6-queue entries ----
+    # B1-scans
+    "q263_bucket_pruning",
+    "q271_column_defaults",
+    "q274_columnar_cache_reuse",
+    # B3-joins
     "q260_aqe_skew_join",
     "q261_tpch_q15_shape",
-    "q262_grouped_applyInArrow",
-    "q263_bucket_pruning",
-    "q264_iter_pandas_udf",
-    "q265_parameterized_sql",
-    "q266_listagg",
-    "q267_convert_timezone",
-    "q268_stream_to_table",
-    "q269_join_then_window_chain",
     "q270_aqe_join_strategy_switch",
-    "q271_column_defaults",
     "q272_null_safe_join",
-    "q273_multi_watermark_policy",
-    "q274_columnar_cache_reuse",
-    "q275_pandas_api_on_spark",
+    "q279_runtime_bloom_filter_join",
+    "q281_tpch_q7_shape",
+    "q282_tpch_q8_shape",
+    # B4-aggregations
+    "q257_approx_top_k_sketch",
+    "q266_listagg",
+    # B5-windows
+    "q259_ewma_smoothing",
+    # B8-functions
+    "q265_parameterized_sql",
+    "q267_convert_timezone",
     "q276_sql_ergonomics",
     "q277_recursive_cte",
     "q278_sql_udf",
-    "q279_runtime_bloom_filter_join",
     "q280_xml_roundtrip",
-    "q281_tpch_q7_shape",
-    "q282_tpch_q8_shape",
-)
-
-DRIVER_WINDOW = (
-    # B1-scans (never-verified, r6 queue)
-    "q210_balanced_write",
-    "q214_manifest_time_travel",
-    # B1-scans: new this round (Python DataSource writer API)
-    "q242_python_datasource_sink",
-    "q243_python_datasource_stream_sink",
-    "q246_offset_managed_stream_source",
-    # B3-joins (never-verified, r6 queue)
-    "q217_point_in_time_join",
-    "q218_asof_join_tolerance",
-    "q223_tpch_q18_shape",
-    "q232_tpch_q21_shape",
-    # B3-joins: new this round (TPC-H decorrelation breadth)
-    "q236_tpch_q17_shape",
-    "q237_tpch_q20_shape",
-    "q239_tpch_q22_shape",
-    # B4-aggregations (never-verified, r6 queue)
-    "q220_cohort_retention",
-    "q227_rfm_segmentation",
-    "q230_winsorized_stats",
-    # B5-windows (never-verified, r6 queue)
-    "q219_windowed_funnel",
-    "q222_event_transitions",
-    "q229_event_streaks",
-    "q231_cusum_changepoint",
-    # B9-streaming (never-verified, r6 queue)
-    "q234_streaming_funnel",
-    # B9-streaming: unblocked this round by the vendored protobuf runtime
-    "q174_transform_with_state",
-    # B9-streaming: upgraded rows-only -> oracle-backed this round
-    "q094_watermark_late_drop",
-    "q165_stream_stream_outer_join",
-    # B9-streaming: new this round (out-of-order funnel hardening,
-    # funnel state-store introspection)
-    "q235_streaming_funnel_reordered",
-    "q238_funnel_state_introspection",
-    "q240_transform_with_list_state",
-    "q241_transform_with_map_state_timers",
-    "q247_transform_with_initial_state",
-    "q248_streaming_progress_metrics",
-    # B8-functions / B10-udfs: new this round (SQL scripting,
-    # polymorphic UDTF)
-    "q244_sql_scripting",
-    "q245_polymorphic_udtf",
-    "q249_try_functions",
-    "q250_collated_strings",
-    # B11-llm (never-verified, r6 queue)
-    "q211_audio_segment_plumbing",
-    "q213_image_resize_features",
-    # B12-training (never-verified, r6 queue)
-    "q212_packed_loss_masks",
-    "q215_per_group_regression",
-    "q216_contrastive_pair_mining",
-    "q221_domain_quality_propagation",
-    "q225_rank_blend_quality",
-    "q228_weighted_sample",
-    "q233_training_pipeline_e2e",
-    # B9-streaming: new this session (state lifecycle breadth —
-    # changelog-checkpointed restart recovery, processing-time TTL)
-    "q251_rocksdb_changelog_restart",
-    "q252_state_ttl_eviction",
-    # B3-joins: new this session (plan-rewrite breadth — EXISTS with a
-    # non-equi outer correlation, ON-clause-filtered outer join with a
-    # double aggregation, disjunctive OR-of-ANDs spanning both sides)
-    "q254_tpch_q4_shape",
-    "q255_tpch_q13_shape",
-    "q256_tpch_q19_shape",
+    # B9-streaming
+    "q258_chained_streaming_aggs",
+    "q268_stream_to_table",
+    "q269_join_then_window_chain",
+    "q273_multi_watermark_policy",
+    # B10-udfs
+    "q262_grouped_applyInArrow",
+    "q264_iter_pandas_udf",
+    "q275_pandas_api_on_spark",
+    # B12-training
+    "q253_chi2_token_association",
+    # ---- never-verified: upgraded rows-only -> oracled this round ----
+    # B1-scans
+    "q008_console_sink",
     # ---- canaries (families with no never-verified entries left) ----
     # B2-projection-filter
     "q011_filter_comparison",
@@ -148,6 +92,29 @@ DRIVER_WINDOW = (
     "q061_topk",
     # B7-setops
     "q070_union",
+    # ---- fillers: implementation changed this round (re-verify) ----
+    # B11-llm: brute-force scale dispatch, probe-banded SimHash,
+    # pointer-doubled connected components
+    "q112_cosine_topk_bruteforce",
+    "q120_simhash_neardup",
+    "q148_dedup_cluster_cc",
+    # ---- fillers: bench-headline / family representatives ----
+    "q005_partitioned_parquet_sink",
+    "q020_inner_join_tpch_q3",
+    "q028_asof_join",
+    "q030_hash_agg_tpch_q1",
+    "q054_range_frame",
+    "q085_json_functions",
+    "q090_s4_pipeline_parity",
+    "q095_streaming_dedup",
+    "q101_pandas_udf",
+    "q111_minhash_lsh_neardup",
+    "q115_token_df_topk",
+    "q130_corpus_prep",
+    "q134_sequence_packing",
+    "q147_hll_sketch_rollup",
+    "q166_tpch_q5_shape",
+    "q182_global_row_number",
 )
 
 

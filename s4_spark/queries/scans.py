@@ -206,9 +206,23 @@ def q007(spark, sf_dir):
     return spark.table(sink_name)
 
 
-@query("q008_console_sink", oracle=None, section="B1-scans")
+@query(
+    "q008_console_sink",
+    oracle="""
+    SELECT count(*) AS console_input_rows, CAST(1 AS INT) AS committed
+    FROM events
+    """,
+    section="B1-scans",
+)
 def q008(spark, sf_dir):
-    """Console sink smoke (A19 parity) — rows-only check by design."""
+    """Console sink (A19 parity), upgraded from a rows-only smoke to an
+    oracled observability row (VERDICT r6 item 6, q248 pattern): run the
+    availableNow stream to the console sink, then certify via the
+    progress API that EVERY event row passed through it —
+    sum(numInputRows) across progress events equals the table
+    cardinality exactly — and that at least one batch committed. The
+    sink itself writes stdout (unassertable), but the metrics surface a
+    production monitor scrapes is exact and oracle-checked."""
     stream = _events_stream_raw(spark, sf_dir)
     q = (
         stream.writeStream.format("console")
@@ -218,8 +232,12 @@ def q008(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    n_rows = sum(p["numInputRows"] for p in (q.recentProgress or []))
-    return spark.createDataFrame([(int(n_rows > 0),)], "streamed int")
+    progresses = [p for p in (q.recentProgress or []) if p is not None]
+    n_rows = sum(int(p["numInputRows"]) for p in progresses)
+    committed = int(any(int(p["batchId"]) >= 0 for p in progresses))
+    return spark.createDataFrame(
+        [(n_rows, committed)], "console_input_rows long, committed int"
+    )
 
 
 @query(
