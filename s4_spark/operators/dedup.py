@@ -350,21 +350,22 @@ def connected_components(
     pairs: DataFrame, max_iters: int = 20, reliable: bool = False
 ) -> DataFrame:
     """Connected components over an undirected pair list (``id_a``,
-    ``id_b``): min-label propagation with per-round pointer doubling,
+    ``id_b``): min-label propagation with pointer doubling from round 3,
     raising ``RuntimeError`` if the fixpoint is not reached within
     ``max_iters`` rounds (VERDICT r6: the old cap fell through and
     returned partially-propagated labels with no signal).
 
     Each round does (1) neighbor propagation — every node takes the
-    minimum label among itself and its neighbors — then (2) a shortcut
-    step: because every label is itself a node id, ``node -> label`` is
-    composed with ``label -> label'`` so chains halve each round.
-    Convergence is therefore O(log diameter) rounds, not O(diameter):
-    a 1M-node path converges in ~20 rounds where pure propagation needs
-    1M. Near-dup clusters are dense and shallow (diameter 1-3), so in
-    practice 2-3 rounds suffice; the doubling is the at-scale guard for
-    pathological chains, and the raise makes any residual
-    non-convergence loud instead of silently wrong.
+    minimum label among itself and its neighbors — and, from round 3,
+    (2) a shortcut step: because every label is itself a node id,
+    ``node -> label`` is composed with ``label -> label'`` so chains
+    halve each round. Convergence is therefore O(log diameter) rounds,
+    not O(diameter): a 1M-node path converges in ~25 rounds where pure
+    propagation needs 1M. Near-dup clusters are dense and shallow
+    (diameter 1-3) and converge before the shortcut engages, paying
+    nothing for it; the doubling is the at-scale guard for pathological
+    chains, and the raise makes any residual non-convergence loud
+    instead of silently wrong.
 
     Scale shape: each round is two joins keyed on node id + one
     min-aggregate — node-count-sized tables, never corpus-sized. Each
@@ -395,29 +396,36 @@ def connected_components(
         .withColumn("label", F.col("node")),
         reliable,
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         nbr = (
             edges.alias("e")
             .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
             .select(F.col("e.id_a").alias("node"), F.col("l.label").alias("label"))
         )
-        # Pointer doubling: every label is itself a node id (labels start
-        # as node ids and only ever take mins over other labels), so the
-        # inner self-join composes node->label with label->label' —
-        # folded into the same min-aggregate as neighbor propagation, the
-        # per-node reach at least doubles each round. The self-join is on
-        # the round's cut LogicalRDD (a Union-bearing operand here trips
-        # UnionBase.rewriteConstraints on Spark 4.1).
-        shortcut = (
-            labels.alias("n")
-            .join(labels.alias("m"), F.col("n.label") == F.col("m.node"))
-            .select(F.col("n.node").alias("node"), F.col("m.label").alias("label"))
-        )
+        stages = [labels, nbr]
+        if it >= 2:
+            # Pointer doubling: every label is itself a node id (labels
+            # start as node ids and only ever take mins over other
+            # labels), so the inner self-join composes node->label with
+            # label->label' — folded into the same min-aggregate as
+            # neighbor propagation, per-node reach at least doubles each
+            # round. Gated to round 3+: near-dup graphs (diameter 1-3)
+            # converge before it and pay nothing; deep chains engage it
+            # and still finish in O(log diameter) rounds. The self-join
+            # is on the round's cut LogicalRDD (a Union-bearing operand
+            # here trips UnionBase.rewriteConstraints on Spark 4.1).
+            stages.append(
+                labels.alias("n")
+                .join(labels.alias("m"), F.col("n.label") == F.col("m.node"))
+                .select(
+                    F.col("n.node").alias("node"), F.col("m.label").alias("label")
+                )
+            )
+        merged = stages[0]
+        for s in stages[1:]:
+            merged = merged.union(s)
         new_labels = cut_lineage(
-            labels.union(nbr)
-            .union(shortcut)
-            .groupBy("node")
-            .agg(F.min("label").alias("label")),
+            merged.groupBy("node").agg(F.min("label").alias("label")),
             reliable,
         )
         changed = (

@@ -2185,7 +2185,26 @@ def q269(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"))
         .select(instant_as_utc_ntz("w.start").alias("h_start"), "n_pairs")
     )
-    out = run_to_memory(hourly, mode="append", tag="q269")
+    # inlined run_to_memory so the query handle is observable: the
+    # progress report must show TWO state operators (the interval join
+    # and the hourly rollup) — pinned by tests/test_streaming.py
+    name = f"s4_mem_q269_{os.getpid()}"
+    q = (
+        hourly.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    counts = [
+        len(p.get("stateOperators") or [])
+        for p in q.recentProgress
+        if p is not None
+    ]
+    q269.last_state_operator_count = max(counts, default=0)
+    out = spark.table(name)
     # string -> NTZ parse, never F.lit(datetime): a naive-datetime
     # literal becomes session-tz-interpreted TIMESTAMP and the NTZ
     # comparison would silently cast through the session zone

@@ -3086,25 +3086,29 @@ def q253(spark, sf_dir):
     a = en docs containing it, b = other docs containing it, c/d the
     complements; chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
 
-    Scale shape: presence (not frequency) needs one explode +
-    DISTINCT(doc, tok) — partial-aggregated per partition before the
-    single tok-keyed shuffle; the per-token contingency row is then a
-    conditional-sum aggregate on the same key (no second shuffle), and
-    the corpus totals (N, N_en) are a 1-row broadcast joined onto the
-    per-token table. All contingency math stays in exact DECIMAL(38,0)
-    until one final double division, so the ranking cannot flip on
-    float noise; top-20 ties break on the token itself. At 100 TB this
-    is the same two-pass shape as q115's document-frequency top-k with
-    an extra broadcast — no all-pairs, no driver state."""
+    Scale shape: presence (not frequency) is established JVM-side with
+    ZERO dedup shuffle — ``array_distinct`` before the explode makes
+    (doc, tok) pairs unique by construction (doc_id is the table's key,
+    so within-doc repeats are the only duplicate source), where a
+    post-explode DISTINCT would add a full-width (doc, is_en, tok)
+    exchange ahead of the tok one (plan-pinned: the only
+    hashpartitioning exchange in the plan is tok-keyed). The per-token
+    contingency row is then one partial-aggregated tok-keyed
+    conditional-sum shuffle, and the corpus totals (N, N_en) are a
+    1-row broadcast joined onto the per-token table. All contingency
+    math stays in exact DECIMAL(38,0) until one final double division,
+    so the ranking cannot flip on float noise; top-20 ties break on the
+    token itself. At 100 TB this is the same two-pass shape as q115's
+    document-frequency top-k with an extra broadcast — no all-pairs, no
+    driver state."""
     docs = t(spark, sf_dir, "documents")
     pres = (
         docs.select(
             "doc_id",
             (F.col("lang") == "en").alias("is_en"),
-            F.explode(F.split("text", " ")).alias("tok"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
         )
         .filter(F.col("tok") != "")
-        .distinct()
     )
     cells = pres.groupBy("tok").agg(
         F.sum(F.col("is_en").cast("int")).cast("long").alias("a"),

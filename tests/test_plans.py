@@ -1239,3 +1239,63 @@ def test_simhash_probe_complete_at_declared_radius(spark):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
         "BroadcastHashJoin" in p
     ), p[:3000]
+
+
+def test_q253_single_tok_shuffle_broadcast_totals(spark):
+    """q253 (chi-square feature selection): presence dedup happens
+    JVM-side via array_distinct BEFORE the explode, so the ONLY
+    hashpartitioning exchange is the tok-keyed contingency aggregate —
+    a post-explode DISTINCT would add a full-width (doc, is_en, tok)
+    shuffle ahead of it. Corpus totals ride a broadcast, and the top-20
+    is TakeOrderedAndProject, never a global sort."""
+    p = plan(spark, "q253_chi2_token_association")
+    assert "hashpartitioning(tok" in p, p[:3000]
+    assert "hashpartitioning(doc_id" not in p, p[:3000]
+    assert "BroadcastExchange" in p, p[:3000]
+    assert "TakeOrderedAndProject" in p, p[:3000]
+
+
+def test_q257_sketch_is_partial_aggregated(spark):
+    """q257 (approx_top_k lifecycle): accumulate must run as a partial
+    ObjectHashAggregate — each task compresses its token stream to one
+    fixed-size sketch BEFORE the per-source shuffle, so shuffle volume
+    is sketches, not token occurrences."""
+    p = plan(spark, "q257_approx_top_k_sketch")
+    assert "ObjectHashAggregate" in p, p[:3000]
+    assert "hashpartitioning(source" in p, p[:3000]
+    # token rows are never shuffled by tok
+    assert "hashpartitioning(tok" not in p, p[:3000]
+
+
+def test_q266_listagg_pushdown_and_partial_agg(spark):
+    """q266 (listagg WITHIN GROUP): the custkey filter reaches the
+    parquet scan and the ordered-concat aggregate keeps the
+    partial+final ObjectHashAggregate shape on one nationkey shuffle."""
+    p = plan(spark, "q266_listagg")
+    assert "LessThanOrEqual(c_custkey,200)" in p, p[:3000]
+    assert "ObjectHashAggregate" in p, p[:3000]
+    assert "hashpartitioning(c_nationkey" in p, p[:3000]
+
+
+def test_q265_parameters_bind_as_pushed_literals(spark):
+    """q265 (parameterized SQL): :param markers bind before analysis, so
+    the parameterized spelling pushes the same scan filters as literal
+    SQL — and a value smuggling SQL text stays an inert literal (zero
+    groups match), never injected syntax."""
+    p = plan(spark, "q265_parameterized_sql")
+    assert "PushedFilters" in p, p[:3000]
+    assert "o_orderpriority" in p and "o_totalprice" in p, p[:3000]
+
+    from s4_spark.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    hostile = spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"tbl": "orders", "prio": "2-HIGH' OR '1'='1"},
+    )
+    assert hostile.count() == 0

@@ -544,3 +544,14 @@ def test_q273_min_policy_slow_source_withholds_window(spark):
     assert tight == laggy + [dt.datetime(2024, 1, 1, 2)], tight
     assert wm_laggy == "2024-01-01T02:25:00.000Z", wm_laggy
     assert wm_tight == "2024-01-01T03:29:00.000Z", wm_tight
+
+
+def test_q269_join_then_window_is_one_query_two_state_ops(spark, duck):
+    """q269 must be ONE query chaining a stream-stream interval join into
+    a windowed aggregation — two state operators in the progress report,
+    not a join query stitched to an agg query through a sink."""
+    got = REGISTRY["q269_join_then_window_chain"].fn(spark, SF_DIR)
+    assert got.count() > 0
+    from s4_spark.queries.streaming import q269
+
+    assert q269.last_state_operator_count == 2, q269.last_state_operator_count
