@@ -1231,6 +1231,19 @@ def test_simhash_probe_complete_at_declared_radius(spark):
     assert plain.count() == 0
     assert [(r.id_a, r.id_b, r.hamming) for r in probed.collect()] == [(1, 2, 8)]
 
+    # complement case for the k-band probe derivation: all 12 diffs
+    # clustered in the UNPROBED bands (5-7) forces the 5 probed bands to
+    # agree exactly, so plain banding catches it — the two cases together
+    # cover the pigeonhole split behind k = max_hamming - n_bands + 1
+    v = (0b1111 << 40) | (0b1111 << 48) | (0b1111 << 56)
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, v)], "doc_id long, simhash long"
+    )
+    probed2 = D.simhash_candidate_pairs(
+        df2, "doc_id", max_hamming=12, probe_1bit=True
+    )
+    assert [(r.id_a, r.id_b, r.hamming) for r in probed2.collect()] == [(1, 2, 12)]
+
     p = probed._sc._jvm.PythonSQLUtils.explainString(
         probed._jdf.queryExecution(), "formatted"
     )
