@@ -70,11 +70,18 @@ def brute_force_topk(
     rows inside the task before any shuffle. The two formulations are
     bit-identical (per-batch top-k under the final total order is a
     lossless pre-filter), so callers see the same result either way; the
-    exact baseline simply cannot be naively invoked at corpus scale. The
-    one `.count()` action this costs is a metadata-cheap scan next to the
-    crossJoin it guards against; pass ``dispatch_rows=None`` to pin the
-    crossJoin path (plan tests do)."""
-    if dispatch_rows is not None and candidates.count() > dispatch_rows:
+    exact baseline simply cannot be naively invoked at corpus scale.
+    The guard is free below the threshold: Catalyst's sizeInBytes
+    estimate (pure metadata, no job) rules out small inputs at >=16
+    bytes/row — an id + embedding row is an order of magnitude wider —
+    and only a table that MIGHT exceed the threshold pays one count()
+    job, which is noise next to the crossJoin it guards against. Pass
+    ``dispatch_rows=None`` to pin the crossJoin path (plan tests do)."""
+    if dispatch_rows is not None and (
+        candidates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        > dispatch_rows * 16
+        and candidates.count() > dispatch_rows
+    ):
         q_rows = [
             (r[q_id], list(r[q_vec])) for r in queries.select(q_id, q_vec).collect()
         ]
