@@ -142,6 +142,55 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want, (sorted(got), sorted(want))
 
 
+@given(
+    chain_len=st.integers(5, 30),
+    extra=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        max_size=8,
+    ),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_chain_heavy_matches_union_find(
+    spark, chain_len, extra
+):
+    """Deep-chain graphs (diameter past the round-3 doubling gate) plus
+    random shortcut edges must still match a driver-side union-find —
+    exercises the pointer-doubling path the small random graphs in
+    test_connected_components_matches_union_find never reach."""
+    from s4_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(chain_len)] + extra
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a int, id_b int"
+    )
+    got = {(r.node, r.label) for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    want = {(n, min(members)) for root, members in comp.items() for n in members}
+    assert got == want
+
+
 def test_connected_components_long_path_converges(spark):
     """VERDICT r6 item 2: a path graph deeper than the iteration cap must
     still label correctly. Pure min-propagation needs diameter rounds (41
