@@ -3,11 +3,14 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], one JSON line on stdout.
 
-Two metric families:
+Three metric families:
 - relational/LLM headline queries: wall-clock seconds each (collect()d);
+  their sum is `value`, the 37-key continuity metric vs BASELINE.md;
 - S4-parity streaming ingest (BASELINE.md §3.2): n line records replayed
   through the q090-shaped pipeline with availableNow, reported as
-  `stream_ingest_1m` seconds (records/s derivable: n / sec).
+  `stream_ingest_1m` seconds (records/s derivable: n / sec);
+- EXTENDED representatives of the rounds-5/6 surface, reported per-key
+  and as `extended_total`, never mixed into `value`.
 """
 
 from __future__ import annotations
