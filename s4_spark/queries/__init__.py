@@ -30,15 +30,16 @@ from s4_spark.queries import (  # noqa: F401,E402
 # entry is driver-green and the 27 entries pinned in the r6
 # NEXT_WINDOW_QUEUE (q253, q257-q282 — all sf0.001..sf0.1 oracle-checked
 # and vanilla-Chicago certified late round 6) rotate in, plus
-# q008_console_sink (upgraded rows-only -> oracle-backed this round, so
-# never-verified by definition). That is 28 never-verified entries; the
-# 22 remaining slots hold already-green canaries for the four families
+# q008_console_sink and q162_kmeans_ivf_fit (upgraded rows-only ->
+# oracle-backed this round, so never-verified by definition). That is
+# 29 never-verified entries; the
+# 21 remaining slots hold already-green canaries for the four families
 # the queue misses (B2/B6/B7 + B11) and fillers, preferring entries whose
 # IMPLEMENTATION changed this round (q112 scale dispatch, q120 probe
 # banding, q148 pointer-doubling CC) and bench-headline representatives
 # so driver verification doubles as a regression watch. After the
-# round-7 driver run the driver-verified union covers the entire oracled
-# registry (254/254), leaving only q162 (rows-only by design) outside.
+# round-7 driver run the driver-verified union covers the entire
+# oracled registry (255/255) — no rows-only entries remain.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
 # empty now (all never-verified entries fit this window) — new entries
@@ -85,6 +86,8 @@ DRIVER_WINDOW = (
     # ---- never-verified: upgraded rows-only -> oracled this round ----
     # B1-scans
     "q008_console_sink",
+    # B11-llm (certified-invariants oracle, q113/q170 pattern)
+    "q162_kmeans_ivf_fit",
     # ---- canaries (families with no never-verified entries left) ----
     # B2-projection-filter
     "q011_filter_comparison",
@@ -104,7 +107,6 @@ DRIVER_WINDOW = (
     "q028_asof_join",
     "q030_hash_agg_tpch_q1",
     "q054_range_frame",
-    "q085_json_functions",
     "q090_s4_pipeline_parity",
     "q095_streaming_dedup",
     "q101_pandas_udf",

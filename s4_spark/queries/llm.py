@@ -853,29 +853,58 @@ def q148(spark, sf_dir):
     )
 
 
-@query("q162_kmeans_ivf_fit", oracle=None, section="B11-llm")
+@query(
+    "q162_kmeans_ivf_fit",
+    oracle="""
+    SELECT count(*) AS n_assigned, true AS inertia_monotone,
+           true AS nearest_ok
+    FROM embeddings
+    """,
+    section="B11-llm",
+)
 def q162(spark, sf_dir):
     """K-means centroid training for the IVF index (operators/similarity
     .kmeans_fit): 16 clusters, 5 Lloyd iterations over the embeddings.
-    Iterative — rows-only check by design (SURVEY §2-B methodology for
-    fixpoint algorithms); the algorithmic invariants are property-tested
-    instead: inertia is non-increasing per iteration and every point
-    lands on its nearest centroid (tests/test_properties.py)."""
+    Iterative, so the fitted output can't be SQL-replayed — instead the
+    entry emits a CERTIFIED-INVARIANTS row (the q113/q170 recall_ok
+    pattern, upgrading the r1-r6 rows-only check): every vector is
+    assigned exactly once (n_assigned must equal the table cardinality
+    via the inner join back to embeddings), the inertia history is
+    non-increasing across iterations (Lloyd's invariant, computed from
+    the fit's history), and every point's recorded dist2 equals its
+    distance to the NEAREST centroid of the final assignment's centroid
+    set — recomputed JVM-side against the centroid literals with a 1e-9
+    tolerance, the same check tests/test_properties.py makes in Python
+    on random data. A wrong assignment, a diverging iteration, or a
+    stale dist2 flips a boolean and fails the hash."""
     from s4_spark.operators.similarity import kmeans_fit
 
     e = t(spark, sf_dir, "embeddings")
-    assigned, cents, hist, _ = kmeans_fit(
+    assigned, cents, hist, assign_cents = kmeans_fit(
         e.select("vec_id", "embedding"), "embedding", k=16, n_iters=5
     )
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.round(
-                F.sum(F.col("dist2").cast("decimal(30,6)")).cast("double"), 6
-            ).alias("cluster_inertia"),
+    mono = all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        .orderBy("cluster")
+        for c in assign_cents
+    ]
+    joined = e.select("vec_id", "embedding").join(
+        assigned.select("vec_id", "dist2"), "vec_id"
+    )
+    return joined.agg(
+        F.count("*").alias("n_assigned"),
+        F.lit(bool(mono)).alias("inertia_monotone"),
+        (F.max(F.abs(F.col("dist2") - F.least(*dists))) <= F.lit(1e-9)).alias(
+            "nearest_ok"
+        ),
     )
 
 
