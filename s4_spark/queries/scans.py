@@ -36,9 +36,26 @@ def events_landing_dir(sf_dir: str) -> str:
     north star describes: S3 prefix as a stream)."""
     path = os.path.join(scratch_root(), f"landing_{os.path.basename(sf_dir)}")
     os.makedirs(path, exist_ok=True)
-    dst = os.path.join(path, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # directory-of-part-files layout (scaled probes, real lakes):
+        # flatten the parts into the landing root — the streaming file
+        # source lists one level, exactly like an S3 prefix. Marker is
+        # NOT .parquet-suffixed (a zero-byte .parquet would be listed
+        # by the source and break footer reads).
+        marker = os.path.join(path, ".events_staged")
+        if not os.path.exists(marker):
+            for i, part in enumerate(sorted(os.listdir(src))):
+                if part.endswith(".parquet"):
+                    shutil.copyfile(
+                        os.path.join(src, part),
+                        os.path.join(path, f"events_{i:05d}.parquet"),
+                    )
+            open(marker, "w").close()
+    else:
+        dst = os.path.join(path, "events.parquet")
+        if not os.path.exists(dst):
+            shutil.copyfile(src, dst)
     return path
 
 
