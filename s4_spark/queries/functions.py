@@ -788,9 +788,34 @@ def q277(spark, sf_dir):
     and depth is bounded by log2(max key) — 25 steps at 10^7.5
     customers. Guardrails that matter in production (cycle bombs,
     runaway recursion) exist as the engine's recursion row/depth
-    limits rather than app code. The oracle is the byte-identical
+    limits rather than app code — and the closure here LEGITIMATELY
+    outgrows the engine's default ``cteRecursionRowLimit`` of 1M
+    (|customer| x bit_length(max key): ~3M rows at a 10x-scaled
+    sf0.1, found by the round-7 scale probe). The entry therefore
+    declares its own provable bound — count(customer) x
+    (bit_length(max key) + 1), one aggregate-pushdown job — sets the
+    limit to exactly that for ONE eager materialization, and restores
+    it in ``finally`` (the q194 conf-scoping discipline; the runaway
+    guardrail stays meaningful instead of being cranked to infinity).
+    The plan pin (UnionLoop + hash agg) runs on the un-materialized
+    builder ``_q277_frame``. The oracle is the byte-identical
     statement modulo integer-division spelling (Spark ``DIV`` vs
     DuckDB ``//``), run natively recursive on both engines."""
+    n, mx = (
+        t(spark, sf_dir, "customer").agg(F.count("*"), F.max("c_custkey")).first()
+    )
+    bound = int(n) * (int(mx).bit_length() + 1)
+    saved = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(bound, 1_000_000)))
+    try:
+        return _q277_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", saved)
+
+
+def _q277_frame(spark, sf_dir):
+    """The un-materialized recursive-CTE frame (plan pinned in
+    tests/test_plans.py::test_q277_recursive_cte_union_loop)."""
     from s4_spark.catalog import register_views
 
     register_views(spark, sf_dir)

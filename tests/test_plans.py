@@ -1099,10 +1099,32 @@ def test_q275_pandas_api_stays_jvm_side(spark):
 def test_q277_recursive_cte_union_loop(spark):
     """q277: the recursive CTE must plan as the engine's iterative
     union-loop operator (set-based fixpoint inside one plan), with the
-    final rollup a real partial+final hash aggregate over the closure."""
-    p = plan(spark, "q277_recursive_cte")
+    final rollup a real partial+final hash aggregate over the closure.
+    Pins the un-materialized builder — the entry itself eagerly
+    materializes under a derived cteRecursionRowLimit (q194 discipline),
+    which hides the loop behind a LogicalRDD."""
+    from s4_spark.queries.functions import _q277_frame
+
+    df = _q277_frame(spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "UnionLoop" in p, p[:3000]
     assert "HashAggregate" in p, p[:3000]
+
+
+def test_q277_recursion_limit_scales_with_input_and_restores(spark):
+    """q277 at any SF: the entry must derive a closure bound from the
+    input (count x bit_length(max key)) instead of inheriting the
+    engine's fixed 1M default — the closure legitimately reaches ~3M
+    rows at 10x the bench SF (round-7 scale probe) — and must restore
+    the session limit afterwards (conf-leak discipline)."""
+    from s4_spark.queries import REGISTRY
+
+    before = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    rows = REGISTRY["q277_recursive_cte"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    assert spark.conf.get("spark.sql.cteRecursionRowLimit") == before
 
 
 def test_q278_sql_udf_inlines_to_expressions(spark):
