@@ -48,6 +48,26 @@ def cosine(a: Column, b: Column) -> Column:
 BRUTE_FORCE_DISPATCH_ROWS = 1_000_000
 
 
+#: All-PAIRS dispatch threshold: the pair space is N(N-1)/2, so the
+#: naive formulation's work envelope matches the query-topk threshold
+#: (Q x 1M ~ 10M scored rows at Q=10) at N ~ 4000 — far below the 1M
+#: row count that guards brute_force_topk. Above it, allpairs_topk_cosine
+#: returns the bit-identical list with vectorized scoring.
+ALLPAIRS_DISPATCH_ROWS = 4_000
+
+
+def _exceeds_rows(df: DataFrame, n: int) -> bool:
+    """True iff ``df`` has more than ``n`` rows, ruling out small inputs
+    for free first: Catalyst's sizeInBytes estimate (pure metadata, no
+    job) bounds rows from above at a conservative 16 bytes/row — an
+    id + embedding row is an order of magnitude wider — so only a table
+    that MIGHT exceed the threshold pays one count() job."""
+    return (
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes() > n * 16
+        and df.count() > n
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -77,11 +97,7 @@ def brute_force_topk(
     and only a table that MIGHT exceed the threshold pays one count()
     job, which is noise next to the crossJoin it guards against. Pass
     ``dispatch_rows=None`` to pin the crossJoin path (plan tests do)."""
-    if dispatch_rows is not None and (
-        candidates._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        > dispatch_rows * 16
-        and candidates.count() > dispatch_rows
-    ):
+    if dispatch_rows is not None and _exceeds_rows(candidates, dispatch_rows):
         q_rows = [
             (r[q_id], list(r[q_vec])) for r in queries.select(q_id, q_vec).collect()
         ]
@@ -246,6 +262,87 @@ def block_topk_cosine(
     return partial.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def allpairs_topk_cosine(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact global top-k most-similar PAIRS (``id_a < id_b``) — the
+    vectorized form of the self-crossJoin + HOF-cosine formulation, which
+    is interpreted per pair and 2 orders of magnitude slower (round-7
+    scale probe: 814 s vs seconds at 20k vectors).
+
+    Shape: the full (id, vector) matrix broadcasts to every task; each
+    Arrow batch scores ONLY its own rows against the matrix (mask
+    ``batch_id < matrix_id``, so each unordered pair is produced exactly
+    once, in the batch owning its smaller id) and reduces to <= k rows
+    per batch under the final total order (cos desc, id_a, id_b) — a
+    lossless pre-filter, as in :func:`block_topk_cosine` — so the merge
+    stage sees k x n_batches rows, never the N²/2 pair space.
+    Accumulation is per-dimension left-to-right (seq_dot), matching the
+    HOF fold and the DuckDB oracle bit-for-bit, so rounding at
+    ``round_dp`` agrees across engines and across formulations.
+
+    Declared regime: the broadcast matrix bounds this operator at
+    ~10^6 x 64 doubles (~0.5 GB executor-side) — the EXACT-baseline
+    regime. Past it, candidate generation must be sublinear first
+    (LSH q113 / IVF q128 / banded q122's q141 sibling), which is the
+    same regime split brute_force_topk declares for query top-k."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids_all = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
+    M = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+
+    def seq_dot(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            acc += np.outer(A[:, j], B[:, j])
+        return acc
+
+    def seq_norm(A: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        return np.sqrt(acc)
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids_all, M, seq_norm(M)))
+
+    def score_batches(batches):
+        ids_c, Mat, norm_c = bc.value
+        # chunk the batch rows so the chunk x N score block stays ~32 MB
+        # regardless of corpus size (the matmul is the work either way)
+        step = max(1, 4_000_000 // max(len(ids_c), 1))
+        for pdf in batches:
+            for lo in range(0, len(pdf), step):
+                part = pdf.iloc[lo : lo + step]
+                if not len(part):
+                    continue
+                A = np.asarray(part[vec_col].tolist(), dtype=np.float64)
+                ids_a = part[id_col].to_numpy(dtype=np.int64)
+                cos = np.round(
+                    seq_dot(A, Mat) / np.outer(seq_norm(A), norm_c), round_dp
+                )
+                a_idx, c_idx = np.nonzero(ids_a[:, None] < ids_c[None, :])
+                if not len(a_idx):
+                    continue
+                s = cos[a_idx, c_idx]
+                ia, ib = ids_a[a_idx], ids_c[c_idx]
+                order = np.lexsort((ib, ia, -s))[:k]
+                yield pd.DataFrame(
+                    {"id_a": ia[order], "id_b": ib[order], "cos": s[order]}
+                )
+
+    partial = df.select(id_col, vec_col).mapInPandas(
+        score_batches, "id_a long, id_b long, cos double"
+    )
+    return partial.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(k)
 
 
 def ivf_assign(

@@ -391,9 +391,17 @@ def q122(spark, sf_dir):
     """Embedding-cosine near-dup: top-10 most similar pairs. (This corpus
     has no planted embedding dups — max pair cosine ≈ 0.51 — so the check
     is the exact top-of-distribution list rather than a threshold set.)
-    At 100 TB the same operator runs behind LSH/IVF candidate generation
-    (q113/q128) instead of the all-pairs join."""
+    Scale dispatch (round-7 probe): past the brute-force row threshold
+    the self-crossJoin + interpreted-HOF cosine — 814 s at a mere 20k
+    vectors — is replaced by operators/similarity.allpairs_topk_cosine
+    (broadcast matrix + per-batch vectorized scoring, each pair produced
+    once in the batch owning its smaller id, lossless per-batch top-k),
+    which returns the bit-identical list in seconds. At 100 TB the same
+    operator runs behind LSH/IVF candidate generation (q113/q128)
+    instead of any all-pairs scoring."""
     e = t(spark, sf_dir, "embeddings")
+    if S._exceeds_rows(e, S.ALLPAIRS_DISPATCH_ROWS):
+        return S.allpairs_topk_cosine(e, k=10)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))

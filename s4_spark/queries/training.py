@@ -516,7 +516,27 @@ def q141(spark, sf_dir):
     6/10 at sf0.001, with the candidate space pruned to ~24% of all
     pairs — near-uniform vectors (max pair cosine ≈ 0.51) are IVF's hard
     regime; on a corpus with real planted duplicates (cosine ≥ 0.99) the
-    duplicate pair lands in the same cell essentially always."""
+    duplicate pair lands in the same cell essentially always.
+
+    Scale shape (round-7 probe rework): the within-cell pair space was
+    previously materialized as a self-join carrying BOTH embedding
+    arrays per pair row — Σ|cell|² rows x ~1 KB through the shuffle
+    (~48 GB at a 20k-vector corpus) scored by the interpreted HOF
+    cosine (968 s at x10). Cells now score LOCALLY: one applyInPandas
+    per cell computes the within-cell pair cosines as a vectorized
+    matmul in the task (same left-to-right fp accumulation as the HOF
+    fold, so values are bit-identical) and emits only the cell's top-10
+    pairs — the shuffle moves N x n_probe vector rows in and
+    16 x 10 candidate rows out. Per-cell top-10 under the final total
+    order is a lossless pre-filter for the global candidate top-10
+    (dedup across the <= n_probe shared cells of a pair happens on the
+    160-row remainder). The exact reference list comes from
+    allpairs_topk_cosine — the same vectorized kernel the q122 dispatch
+    uses — instead of a second quadratic crossJoin. In production k
+    grows ~sqrt(N) so cells stay bounded; k=16 here matches the fit SF."""
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings")
     cents = [
         r.embedding
@@ -528,33 +548,54 @@ def q141(spark, sf_dir):
     assigned = S.ivf_assign(
         e.select("vec_id", "embedding"), "embedding", cents, n_probe=2
     ).select("vec_id", "embedding", F.explode("ivf_cell").alias("cell"))
-    a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    pairs = (
-        a.join(b, ["cell"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    scored = pairs.select(
-        "id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos")
-    )
-    approx10 = scored.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(10)
 
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    exact10 = (
-        ea.join(eb, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos")
-        )
+    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = np.zeros(len(ids))
+        for j in range(M.shape[1]):  # left-to-right, the HOF fold's order
+            nrm += M[:, j] * M[:, j]
+        nrm = np.sqrt(nrm)
+        # row-chunked so the chunk x |cell| score block stays ~32 MB even
+        # when a cell outgrows the fit SF (the allpairs_topk pattern)
+        step = max(1, 4_000_000 // max(len(ids), 1))
+        frames = []
+        for lo in range(0, len(ids), step):
+            hi = min(lo + step, len(ids))
+            acc = np.zeros((hi - lo, len(ids)))
+            for j in range(M.shape[1]):
+                acc += np.outer(M[lo:hi, j], M[:, j])
+            cos = np.round(acc / np.outer(nrm[lo:hi], nrm), 6)
+            ia, ib = np.nonzero(ids[lo:hi, None] < ids[None, :])
+            if not len(ia):
+                continue
+            s = cos[ia, ib]
+            order = np.lexsort((ids[ib], ids[lo + ia], -s))[:10]
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": ids[lo + ia][order], "id_b": ids[ib][order],
+                     "cos": s[order]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        order = np.lexsort(
+            (out["id_b"].to_numpy(), out["id_a"].to_numpy(), -out["cos"].to_numpy())
+        )[:10]
+        return out.iloc[order].reset_index(drop=True)
+
+    cand = assigned.groupBy("cell").applyInPandas(
+        cell_topk, "id_a long, id_b long, cos double"
+    )
+    approx10 = (
+        cand.dropDuplicates(["id_a", "id_b"])
         .orderBy(F.col("cos").desc(), "id_a", "id_b")
         .limit(10)
     )
+    exact10 = S.allpairs_topk_cosine(e, k=10)
     hits = approx10.select("id_a", "id_b").intersect(exact10.select("id_a", "id_b"))
     return hits.agg(
         F.lit(10).cast("long").alias("n_pairs"),

@@ -1233,6 +1233,51 @@ def test_brute_force_topk_dispatches_above_threshold(spark):
     assert got == want
 
 
+def test_allpairs_topk_matches_crossjoin_formulation(spark):
+    """Round-7 probe rework: allpairs_topk_cosine (broadcast matrix +
+    per-batch vectorized scoring, each pair produced once in the batch
+    owning its smaller id) must return the BIT-IDENTICAL top-k pair list
+    to the self-crossJoin + HOF-cosine formulation it replaces above the
+    dispatch threshold (q122, and q141's exact reference) — same seq-fold
+    fp accumulation, same rounding, same (cos desc, id_a, id_b) order."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.operators import similarity as S
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = [tuple(r) for r in S.allpairs_topk_cosine(e, k=10).collect()]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    want = [
+        tuple(r)
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+            .orderBy(F.col("cos").desc(), "id_a", "id_b")
+            .limit(10)
+        ).collect()
+    ]
+    assert got == want
+    assert len(got) == 10
+
+
+def test_exceeds_rows_guard_is_metadata_first(spark):
+    """_exceeds_rows must answer False for small frames without running a
+    count job when Catalyst's sizeInBytes already bounds rows under the
+    threshold, and True only when the actual count exceeds it."""
+    from s4_spark.operators import similarity as S
+
+    small = spark.range(100).selectExpr("id", "array(1.0, 2.0) AS v")
+    assert S._exceeds_rows(small, 1000) is False
+    big = spark.range(5000).selectExpr("id", "array(1.0, 2.0) AS v")
+    assert S._exceeds_rows(big, 1000) is True
+    assert S._exceeds_rows(big, 10_000) is False
+
+
 def test_simhash_probe_complete_at_declared_radius(spark):
     """VERDICT r6 item 4: q120's candidate generation must be complete at
     its declared Hamming radius by construction. Adversarial pair — every
