@@ -204,15 +204,18 @@ def test_repetition_signals_partial_aggregate(spark):
     assert "CartesianProduct" not in p, p
 
 
-def test_semantic_dedup_cell_join_is_equi(spark):
-    """q141: the candidate-pair self-join keys on the bounded cell id
-    (hash/sort-merge), never a cartesian pair-space — only the exact-
-    recall ORACLE arm may nested-loop (it is the thing being avoided)."""
+def test_semantic_dedup_cells_score_locally(spark):
+    """q141 (round-7 rework): candidate pairs never materialize as join
+    rows at all — cells score LOCALLY via one grouped-map Pandas stage
+    keyed on the bounded cell id, and the exact-recall reference is the
+    vectorized allpairs operator (MapInPandas), so the plan contains NO
+    pair-space join of any kind: zero nested-loop joins, and the only
+    shuffle feeding Python is the cell-id grouping."""
     p = plan(spark, "q141_semantic_dedup_clustered")
-    # formatted mode prints join keys as a detail line under the node
-    assert "Left keys [1]: [cell#" in p, p
-    # exactly one NLJ: the exact all-pairs oracle arm of the recall check
-    assert p.count("BroadcastNestedLoopJoin") <= 2, p  # tree + details
+    assert "FlatMapGroupsInPandas" in p, p[:3000]
+    assert "MapInPandas" in p, p[:3000]
+    assert "BroadcastNestedLoopJoin" not in p, p[:3000]
+    assert "CartesianProduct" not in p, p[:3000]
 
 
 def test_time_rollup_single_scan_expand(spark):
