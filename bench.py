@@ -133,7 +133,16 @@ def main() -> None:
             for _ in range(runs):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                fn(spark, SF_DIR).collect()
+                # Engine-side reduction (VERDICT r7 item 4): the noop v2
+                # sink executes the FULL plan on the executors and
+                # discards rows there, so the timing measures the plan,
+                # not single-threaded driver deserialization of the
+                # result set — at x10 the old collect() charged q050
+                # ~23 s of driver IO for a 4.5M-row result against
+                # ~3.5 s of actual compute, poisoning decade ratios.
+                # The correctness/oracle path still collects; only the
+                # bench measurement changed.
+                fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 best = min(best, time.time() - t0)
             out[name] = round(best, 3)
         return out

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Full-registry execution sweep at a scaled SF — the per-round scale gate.
+
+Usage: python bench/scale_sweep.py [sf_dir] [--out results.json]
+                                   [--only name1,name2] [--runs 1]
+
+Runs EVERY registry entry (not just the bench subsets) against
+``sf_dir`` (default /tmp/s4_scaleprobe/sf1, the x10 decade built by
+``bench/make_scaled_sf.py``) with the same engine-side noop-sink
+reduction bench.py uses, and prints one JSON line:
+
+    {"sf_dir": ..., "n": 255, "failed": [...], "total_sec": ...,
+     "outliers": [...], "timings": {"q...": sec, ...}}
+
+This is the instrument that caught round 7's two quadratic-constant
+outliers (q122 at 814 s and q141 at 968 s at a mere x10 — invisible to
+the bench sets, which don't cover every entry): a plan whose CONSTANT
+is quadratic in the corpus looks fine at sf0.1 and detonates one decade
+up, which is precisely the 100 TB failure mode the mandate cares about.
+Institutionalized per VERDICT r7 item 3: rebuild the probe dirs if /tmp
+was wiped (``make_scaled_sf.py /root/testdata/sf0.1 /tmp/s4_scaleprobe/sf1 10``),
+re-run after substantive operator changes, append the decade table to
+SCALE.md each round.
+
+``outliers`` lists entries over ``--outlier-sec`` (default 120 s at x10
+— r7's two true positives ran 814/968 s; the slowest honest entries,
+streaming rigs with fixed startup cost, sit under 60 s).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from s4_spark.queries import REGISTRY
+from s4_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/tmp/s4_scaleprobe/sf1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None, help="comma-separated entry names")
+    ap.add_argument("--outlier-sec", type=float, default=120.0)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="s4_scale_sweep", cpus=args.cpus)
+    spark.read.parquet(os.path.join(args.sf_dir, "region.parquet")).count()
+
+    names = list(REGISTRY)
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep]
+
+    timings: dict[str, float] = {}
+    failed: list[str] = []
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            REGISTRY[name].fn(spark, args.sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            timings[name] = round(time.time() - t0, 2)
+        except Exception:
+            failed.append(name)
+            print(f"FAIL {name}", file=sys.stderr)
+            traceback.print_exc()
+        print(f"{name}: {round(time.time() - t0, 2)}s", file=sys.stderr)
+
+    out = {
+        "sf_dir": args.sf_dir,
+        "n": len(names),
+        "failed": failed,
+        "total_sec": round(sum(timings.values()), 1),
+        "outliers": sorted(
+            (n for n, s in timings.items() if s > args.outlier_sec),
+            key=lambda n: -timings[n],
+        ),
+        "timings": timings,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -411,6 +411,7 @@ def connected_components(
         .withColumn("label", F.col("node")),
         reliable,
     )
+    changed = -1  # sentinel: no iteration ran (max_iters <= 0)
     for it in range(max_iters):
         nbr = (
             edges.alias("e")
@@ -454,6 +455,8 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iters={max_iters} "
-        f"rounds ({changed} labels still changing); with pointer doubling this "
-        f"means component diameter exceeds ~2^{max_iters} — raise max_iters"
+        f"rounds ("
+        + (f"{changed} labels still changing" if changed >= 0 else "no rounds ran")
+        + f"); pointer doubling engages from round 3, so this means component "
+        f"diameter exceeds ~2^{max(max_iters - 2, 0)} — raise max_iters"
     )

@@ -37,13 +37,24 @@ def _owner_alive(root_dir: str) -> bool:
     The default checkpoint root is a single-node convenience (cluster
     deployments set their own HDFS/S3 dir), so a local PID probe is a
     valid liveness signal. A missing/garbled marker reads as not-alive —
-    pre-marker dirs fall back to the age heuristic."""
+    pre-marker dirs fall back to the age heuristic. EPERM from the probe
+    means the PID EXISTS but belongs to another user — on a multi-user
+    host sharing tempfile.gettempdir() that is a LIVE session, so it
+    must read as alive (deleting would be the exact live-state loss the
+    sweep exists to prevent); only ESRCH means the process is gone."""
     try:
         with open(os.path.join(root_dir, OWNER_PID_FILE)) as f:
             pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
         os.kill(pid, 0)
         return True
-    except (OSError, ValueError):
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # process exists under another uid
+    except OSError:
         return False
 
 

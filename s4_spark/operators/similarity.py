@@ -56,14 +56,29 @@ BRUTE_FORCE_DISPATCH_ROWS = 1_000_000
 ALLPAIRS_DISPATCH_ROWS = 4_000
 
 
+#: Hard ceiling on :func:`allpairs_topk_cosine`'s broadcast-matrix
+#: regime: ~1M x 64 doubles ~ 0.5 GB executor-side. Past it the operator
+#: RAISES (VERDICT r7 item 2) instead of OOMing the driver — the caller
+#: must generate candidates sublinearly first (LSH q113 / IVF q128 /
+#: banded semantic-dedup q141) and verify only those pairs exactly.
+ALLPAIRS_BROADCAST_ROWS = 1_000_000
+
+
 def _exceeds_rows(df: DataFrame, n: int) -> bool:
     """True iff ``df`` has more than ``n`` rows, ruling out small inputs
     for free first: Catalyst's sizeInBytes estimate (pure metadata, no
-    job) bounds rows from above at a conservative 16 bytes/row — an
-    id + embedding row is an order of magnitude wider — so only a table
-    that MIGHT exceed the threshold pays one count() job."""
+    job) short-circuits only when the estimate is below ``n`` BYTES —
+    i.e. the table would have to average under 1 byte/row to actually
+    hold ``n`` rows, which no id+vector (or any non-degenerate) layout
+    does. The r7 advice measured Catalyst estimating 8 B/row on
+    ``spark.range`` (below the 16 B/row this guard previously assumed)
+    and dictionary/RLE parquet can dip lower still, so the divisor is
+    pinned at 1 B/row: the short-circuit can now only MISS (pay a cheap
+    count()) — never silently skip the dispatch a large table needs.
+    Only a table that might exceed the threshold pays that one count()
+    job."""
     return (
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes() > n * 16
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes() > n
         and df.count() > n
     )
 
@@ -92,10 +107,11 @@ def brute_force_topk(
     lossless pre-filter), so callers see the same result either way; the
     exact baseline simply cannot be naively invoked at corpus scale.
     The guard is free below the threshold: Catalyst's sizeInBytes
-    estimate (pure metadata, no job) rules out small inputs at >=16
-    bytes/row — an id + embedding row is an order of magnitude wider —
-    and only a table that MIGHT exceed the threshold pays one count()
-    job, which is noise next to the crossJoin it guards against. Pass
+    estimate (pure metadata, no job) rules out inputs whose estimate is
+    under ``dispatch_rows`` BYTES (a 1 byte/row floor no real layout
+    undercuts — see :func:`_exceeds_rows`), and only a table that MIGHT
+    exceed the threshold pays one count() job, which is noise next to
+    the crossJoin it guards against. Pass
     ``dispatch_rows=None`` to pin the crossJoin path (plan tests do)."""
     if dispatch_rows is not None and _exceeds_rows(candidates, dispatch_rows):
         q_rows = [
@@ -208,7 +224,11 @@ def block_topk_cosine(
     is bit-identical to the crossJoin formulation (q129 shares q112's
     oracle). Accumulation is per-dimension left-to-right, matching the
     sequential-fold semantics of :func:`dot` and the DuckDB oracle, so
-    rounding at ``round_dp`` agrees across engines."""
+    rounding at ``round_dp`` agrees across engines — up to the np.round
+    (half-to-even) vs F.round (HALF_UP) tie-break, which can only differ
+    on a cosine landing exactly on a half at the last kept decimal:
+    measure-zero on real float data and pinned empirically by the shared
+    oracle, not guaranteed by construction (r7 advice)."""
     import numpy as np
     import pandas as pd
 
@@ -270,6 +290,7 @@ def allpairs_topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_broadcast_rows: int | None = ALLPAIRS_BROADCAST_ROWS,
 ) -> DataFrame:
     """Exact global top-k most-similar PAIRS (``id_a < id_b``) — the
     vectorized form of the self-crossJoin + HOF-cosine formulation, which
@@ -284,17 +305,37 @@ def allpairs_topk_cosine(
     lossless pre-filter, as in :func:`block_topk_cosine` — so the merge
     stage sees k x n_batches rows, never the N²/2 pair space.
     Accumulation is per-dimension left-to-right (seq_dot), matching the
-    HOF fold and the DuckDB oracle bit-for-bit, so rounding at
-    ``round_dp`` agrees across engines and across formulations.
+    HOF fold and the DuckDB oracle bit-for-bit BEFORE rounding; see the
+    rounding tie-break caveat below for the (measure-zero) case where
+    the rounding mode itself could differ.
 
     Declared regime: the broadcast matrix bounds this operator at
     ~10^6 x 64 doubles (~0.5 GB executor-side) — the EXACT-baseline
-    regime. Past it, candidate generation must be sublinear first
-    (LSH q113 / IVF q128 / banded q122's q141 sibling), which is the
-    same regime split brute_force_topk declares for query top-k."""
+    regime — and that bound is ENFORCED (VERDICT r7 item 2): inputs past
+    ``max_broadcast_rows`` raise before anything is collected, directing
+    the caller to sublinear candidate generation (LSH q113 / IVF q128 /
+    banded q122's q141 sibling), the same regime split brute_force_topk
+    declares for query top-k. The row probe reuses the metadata-first
+    :func:`_exceeds_rows` guard, so in-regime calls pay at most one
+    count() job.
+
+    Rounding tie-break caveat (r7 advice): np.round is half-to-even
+    while the crossJoin formulation's F.round (and the DuckDB oracle)
+    are HALF_UP, so cross-formulation bit-identity holds unless a cosine
+    lands EXACTLY on a half at the ``round_dp``-th decimal — measure-zero
+    on real float data (a cosine's double expansion continuing past 6
+    decimals with all-zeros), and empirically pinned by the 3-SF
+    equality tests rather than guaranteed by construction."""
     import numpy as np
     import pandas as pd
 
+    if max_broadcast_rows is not None and _exceeds_rows(df, max_broadcast_rows):
+        raise ValueError(
+            f"allpairs_topk_cosine is an exact-baseline kernel bounded by its "
+            f"broadcast matrix (> {max_broadcast_rows} rows given): generate "
+            f"candidates sublinearly first (hyperplane LSH q113, IVF q128, or "
+            f"banded semantic dedup q141) and exact-verify only those pairs."
+        )
     rows = df.select(id_col, vec_col).collect()
     ids_all = np.asarray([int(r[0]) for r in rows], dtype=np.int64)
     M = np.asarray([list(r[1]) for r in rows], dtype=np.float64)

@@ -26,97 +26,83 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-7 rotation: CORRECTNESS_r06 came back 50/50, so every r6-windowed
-# entry is driver-green and the 27 entries pinned in the r6
-# NEXT_WINDOW_QUEUE (q253, q257-q282 — all sf0.001..sf0.1 oracle-checked
-# and vanilla-Chicago certified late round 6) rotate in, plus
-# q008_console_sink and q162_kmeans_ivf_fit (upgraded rows-only ->
-# oracle-backed this round, so never-verified by definition). That is
-# 29 never-verified entries; the
-# 21 remaining slots hold already-green canaries for the four families
-# the queue misses (B2/B6/B7 + B11) and fillers, preferring entries whose
-# IMPLEMENTATION changed this round (q112 scale dispatch, q120 probe
-# banding, q148 pointer-doubling CC) and bench-headline representatives
-# so driver verification doubles as a regression watch. After the
-# round-7 driver run the driver-verified union covers the entire
-# oracled registry (255/255) — no rows-only entries remain.
+# Round-8 rotation (saturation steady state): the driver-verified union
+# covers the whole registry (255/255 after r7), so the standing rule is
+# "window priority = code changed since last driver row, then staleness"
+# (VERDICT r7 item 1). The 8 entries whose IMPLEMENTATION was reworked
+# during round 7 AFTER/OUTSIDE the r7 window lead — their green rows
+# predate the rework (q007 landing-dir staging, q117 normalize, q122
+# allpairs kernel, q129 blocked topk, q141 cell-kernel semantic dedup,
+# q242/q243 linespool staging namespacing, q246 offset floor) — followed
+# by the 33 oldest-verified entries (r2 vintage: nothing has re-checked
+# them since the round-2 driver run) and 9 r3-vintage canaries chosen so
+# every §2-B family keeps a row (B5/B6/B7/B8/B9/B10/B12 have no r2
+# entries). q050 doubles as the watch on this round's bench-harness
+# change (engine-side result reduction).
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
-# empty now (all never-verified entries fit this window) — new entries
-# added this round displace fillers as they land.
+# empty (nothing is never-verified) — new entries added this round
+# displace fillers as they land.
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- never-verified: the 27 r6-queue entries ----
+    # ---- reworked during round 7 outside the r7 window (stale rows) ----
+    "q007_streaming_file_source",
+    "q117_embedding_normalize",
+    "q122_embedding_neardup_pairs",
+    "q129_cosine_topk_blocked",
+    "q141_semantic_dedup_clustered",
+    "q242_python_datasource_sink",
+    "q243_python_datasource_stream_sink",
+    "q246_offset_managed_stream_source",
+    # ---- r2 vintage: oldest driver rows in the registry ----
     # B1-scans
-    "q263_bucket_pruning",
-    "q271_column_defaults",
-    "q274_columnar_cache_reuse",
-    # B3-joins
-    "q260_aqe_skew_join",
-    "q261_tpch_q15_shape",
-    "q270_aqe_join_strategy_switch",
-    "q272_null_safe_join",
-    "q279_runtime_bloom_filter_join",
-    "q281_tpch_q7_shape",
-    "q282_tpch_q8_shape",
-    # B4-aggregations
-    "q257_approx_top_k_sketch",
-    "q266_listagg",
-    # B5-windows
-    "q259_ewma_smoothing",
-    # B8-functions
-    "q265_parameterized_sql",
-    "q267_convert_timezone",
-    "q276_sql_ergonomics",
-    "q277_recursive_cte",
-    "q278_sql_udf",
-    "q280_xml_roundtrip",
-    # B9-streaming
-    "q258_chained_streaming_aggs",
-    "q268_stream_to_table",
-    "q269_join_then_window_chain",
-    "q273_multi_watermark_policy",
-    # B10-udfs
-    "q262_grouped_applyInArrow",
-    "q264_iter_pandas_udf",
-    "q275_pandas_api_on_spark",
-    # B12-training
-    "q253_chi2_token_association",
-    # ---- never-verified: upgraded rows-only -> oracled this round ----
-    # B1-scans
-    "q008_console_sink",
-    # B11-llm (certified-invariants oracle, q113/q170 pattern)
-    "q162_kmeans_ivf_fit",
-    # ---- canaries (families with no never-verified entries left) ----
+    "q002_csv_roundtrip",
+    "q003_jsonl_roundtrip",
+    "q004_text_scan",
+    "q006_gzip_text_sink",
+    "q009_orc_roundtrip",
+    "q019_xml_roundtrip",
+    "q107_unix_socket_source",
+    "q152_zorder_layout",
+    "q153_small_file_compaction",
+    "q154_schema_evolution",
+    "q164_permissive_corrupt_records",
     # B2-projection-filter
-    "q011_filter_comparison",
-    # B6-sorts
-    "q061_topk",
-    # B7-setops
-    "q070_union",
-    # ---- fillers: implementation changed this round (re-verify) ----
-    # B11-llm: brute-force scale dispatch, probe-banded SimHash,
-    # pointer-doubled connected components
-    "q112_cosine_topk_bruteforce",
-    "q120_simhash_neardup",
-    "q148_dedup_cluster_cc",
-    # ---- fillers: bench-headline / family representatives ----
-    "q005_partitioned_parquet_sink",
-    "q020_inner_join_tpch_q3",
-    "q028_asof_join",
-    "q030_hash_agg_tpch_q1",
-    "q054_range_frame",
-    "q090_s4_pipeline_parity",
-    "q095_streaming_dedup",
-    "q101_pandas_udf",
-    "q111_minhash_lsh_neardup",
-    "q115_token_df_topk",
-    "q130_corpus_prep",
-    "q134_sequence_packing",
-    "q147_hll_sketch_rollup",
-    "q166_tpch_q5_shape",
-    "q182_global_row_number",
+    "q010_projection",
+    "q012_in_predicate",
+    "q013_null_predicates",
+    "q014_like_regex",
+    "q016_distinct",
+    # B3-joins
+    "q022_left_outer_join",
+    "q023_full_outer_join",
+    "q024_left_semi_join",
+    "q025_left_anti_join",
+    "q026_theta_join",
+    "q029_cross_join",
+    "q043_scalar_subquery",
+    "q044_correlated_subquery",
+    "q046_salted_join",
+    "q047_lateral_join",
+    "q161_fuzzy_join_blocked",
+    # B4-aggregations
+    "q031_count_distinct",
+    "q032_approx_count_distinct",
+    "q034_rollup",
+    "q035_cube",
+    "q036_filtered_agg",
+    "q039_stats_agg",
+    # ---- r3-vintage canaries: families with no r2 entries left ----
+    "q050_ranking",
+    "q062_per_group_topk",
+    "q071_intersect",
+    "q080_string_functions",
+    "q091_tumbling_window",
+    "q093_session_window",
+    "q100_python_udf",
+    "q103_grouped_map_applyInPandas",
+    "q133_data_mixing",
 )
 
 

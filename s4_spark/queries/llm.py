@@ -318,7 +318,10 @@ def q117(spark, sf_dir):
 def q120(spark, sf_dir):
     """SimHash near-dup detection, exact-verified to the same contract as
     q111 (trigram Jaccard ≥ 0.5): 64-bit simhash → 8×8-bit banded join
-    with 1-bit key multiprobe (pigeonhole-complete for Hamming ≤ 14) →
+    with 1-bit key multiprobe (pigeonhole-complete for Hamming ≤ 12: k =
+    12 - 8 + 1 = 5 probed bands gives completeness ≤ n_bands + k - 1,
+    exactly the declared radius — r7 advice corrected the earlier ≤ 14
+    claim) →
     Hamming ≤ 12 filter → exact Jaccard verification. Radius 12 is the
     measured max Hamming of any Jaccard-≥0.5 pair at sf0.1 (distribution:
     p50=3, max=12), and with the probe the declared radius is GUARANTEED

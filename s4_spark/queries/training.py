@@ -525,7 +525,10 @@ def q141(spark, sf_dir):
     cosine (968 s at x10). Cells now score LOCALLY: one applyInPandas
     per cell computes the within-cell pair cosines as a vectorized
     matmul in the task (same left-to-right fp accumulation as the HOF
-    fold, so values are bit-identical) and emits only the cell's top-10
+    fold, so pre-rounding values are bit-identical; np.round's
+    half-to-even vs F.round's HALF_UP can differ only on an exact half
+    at the 6th decimal — measure-zero on real cosines, pinned by the
+    3-SF equality tests, r7 advice) and emits only the cell's top-10
     pairs — the shuffle moves N x n_probe vector rows in and
     16 x 10 candidate rows out. Per-cell top-10 under the final total
     order is a lossless pre-filter for the global candidate top-10

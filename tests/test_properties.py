@@ -577,6 +577,32 @@ def test_stale_checkpoint_roots_swept_fresh_kept(tmp_path, monkeypatch):
     assert idle_live.exists() and fresh.exists() and mine.exists()
 
 
+def test_owner_alive_eperm_means_alive(tmp_path, monkeypatch):
+    """r7 advice closed: os.kill(pid, 0) raising PermissionError means the
+    PID EXISTS under another uid — on a multi-user host sharing the temp
+    root that is a LIVE session and must NOT be swept. Only ESRCH
+    (ProcessLookupError) reads as dead."""
+    import os
+
+    from s4_spark.operators import lineage
+
+    d = tmp_path / "owned"
+    d.mkdir()
+    (d / lineage.OWNER_PID_FILE).write_text("12345")
+
+    def kill_eperm(pid, sig):
+        raise PermissionError("Operation not permitted")
+
+    monkeypatch.setattr(os, "kill", kill_eperm)
+    assert lineage._owner_alive(str(d)) is True
+
+    def kill_esrch(pid, sig):
+        raise ProcessLookupError("No such process")
+
+    monkeypatch.setattr(os, "kill", kill_esrch)
+    assert lineage._owner_alive(str(d)) is False
+
+
 nullable_keys = st.lists(
     st.one_of(st.none(), st.text(alphabet="xyz", min_size=1, max_size=2)),
     min_size=1,
