@@ -478,7 +478,7 @@ def test_q051_global_window_is_declared_single_partition(spark):
     'fix' the exchange learns the 100 TB spellings are q182 (two-phase
     offsets) and q168 (GK sketch quantiles), not this entry."""
     p = plan(spark, "q051_ntile_percent_rank")
-    assert "Exchange SinglePartition" in p, p
+    assert "SinglePartition" in p, p
 
 
 def test_lm_familiarity_probes_are_broadcast(spark):
@@ -513,7 +513,7 @@ def test_token_budget_cut_has_no_single_partition_exchange(spark):
     (per-bucket windows + driver offsets) — a global window would show
     as Exchange SinglePartition, the one shape that cannot scale."""
     p = plan(spark, "q191_token_budget_prefix_cut")
-    assert "Exchange SinglePartition" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_exact_median_final_stage_is_take_ordered(spark):
@@ -523,7 +523,7 @@ def test_exact_median_final_stage_is_take_ordered(spark):
     unscalable full-sort path."""
     p = plan(spark, "q192_exact_median_twophase")
     assert "TakeOrderedAndProject" in p, p
-    assert "Exchange SinglePartition" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_fuzzy_decontamination_broadcasts_protected_bands(spark):
@@ -1110,7 +1110,7 @@ def test_q275_pandas_api_stays_jvm_side(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert node not in p, p
     assert "HashAggregate" in p, p
-    assert "Exchange SinglePartition" not in p, p
+    assert "SinglePartition" not in p, p
 
 
 def test_q277_recursive_cte_union_loop(spark):
