@@ -49,11 +49,18 @@ BRUTE_FORCE_DISPATCH_ROWS = 1_000_000
 
 
 #: All-PAIRS dispatch threshold: the pair space is N(N-1)/2, so the
-#: naive formulation's work envelope matches the query-topk threshold
-#: (Q x 1M ~ 10M scored rows at Q=10) at N ~ 4000 — far below the 1M
-#: row count that guards brute_force_topk. Above it, allpairs_topk_cosine
-#: returns the bit-identical list with vectorized scoring.
-ALLPAIRS_DISPATCH_ROWS = 4_000
+#: naive formulation blows up far below the 1M row count that guards
+#: brute_force_topk. Above the threshold, allpairs_topk_cosine returns
+#: the bit-identical list with vectorized scoring. 1000 rather than the
+#: work-envelope-derived ~4000 because the interpreted-HOF cosine's
+#: CONSTANT dominates long before the envelope does — measured round 8:
+#: 2k vectors (2M pairs) cost 36-41 s on the crossJoin path vs <1 s
+#: vectorized, leaving the bench SF non-monotonically SLOWER than the
+#: x10 probe (which dispatched). At 1000 the reference formulation still
+#: runs at the sf0.01 driver-gate (500 vectors), so the oracle exercises
+#: it every round, and the 3-SF equality tests pin bit-identity between
+#: the two paths.
+ALLPAIRS_DISPATCH_ROWS = 1_000
 
 
 #: Hard ceiling on :func:`allpairs_topk_cosine`'s broadcast-matrix

@@ -29,16 +29,20 @@ from s4_spark.queries import (  # noqa: F401,E402
 # Round-8 rotation (saturation steady state): the driver-verified union
 # covers the whole registry (255/255 after r7), so the standing rule is
 # "window priority = code changed since last driver row, then staleness"
-# (VERDICT r7 item 1). The 8 entries whose IMPLEMENTATION was reworked
-# during round 7 AFTER/OUTSIDE the r7 window lead — their green rows
-# predate the rework (q007 landing-dir staging, q117 normalize, q122
-# allpairs kernel, q129 blocked topk, q141 cell-kernel semantic dedup,
-# q242/q243 linespool staging namespacing, q246 offset floor) — followed
-# by the 33 oldest-verified entries (r2 vintage: nothing has re-checked
-# them since the round-2 driver run) and 9 r3-vintage canaries chosen so
-# every §2-B family keeps a row (B5/B6/B7/B8/B9/B10/B12 have no r2
-# entries). q050 doubles as the watch on this round's bench-harness
-# change (engine-side result reduction).
+# (VERDICT r7 item 1). The entries whose IMPLEMENTATION changed since
+# their last driver row lead: the 8 reworked during round 7
+# AFTER/OUTSIDE the r7 window (q007 landing-dir staging, q117 normalize,
+# q122 allpairs kernel, q129 blocked topk, q141 cell-kernel semantic
+# dedup, q242/q243 linespool staging namespacing, q246 offset floor)
+# plus q216, reworked THIS round (the r8 ×10 sweep caught its quadratic
+# anchor×corpus negative pool; now hash-bucketed per-anchor pools with a
+# rewritten oracle — it displaced the r3-vintage B12 canary
+# q133_data_mixing, keeping the family covered). Then the 33
+# oldest-verified entries (r2 vintage: nothing has re-checked them since
+# the round-2 driver run) and 8 r3-vintage canaries chosen so every §2-B
+# family keeps a row (B5/B6/B7/B8/B9/B10 have no r2 entries). q050
+# doubles as the watch on this round's bench-harness change (engine-side
+# result reduction).
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
 # empty (nothing is never-verified) — new entries added this round
@@ -55,6 +59,8 @@ DRIVER_WINDOW = (
     "q242_python_datasource_sink",
     "q243_python_datasource_stream_sink",
     "q246_offset_managed_stream_source",
+    # ---- reworked during round 8 (bucketed negative pool, new oracle) ----
+    "q216_contrastive_pair_mining",
     # ---- r2 vintage: oldest driver rows in the registry ----
     # B1-scans
     "q002_csv_roundtrip",
@@ -102,7 +108,6 @@ DRIVER_WINDOW = (
     "q093_session_window",
     "q100_python_udf",
     "q103_grouped_map_applyInPandas",
-    "q133_data_mixing",
 )
 
 

@@ -167,7 +167,19 @@ def q025(spark, sf_dir):
 )
 def q026(spark, sf_dir):
     """Non-equi condition riding an equi key: hash join on brand with a
-    residual size predicate — NOT a nested-loop cross product."""
+    residual size predicate — NOT a nested-loop cross product.
+
+    Scale note (r8 ×10 sweep: 1.1 s → 13.7 s, ~12×/decade): the growth
+    is the operator's OUTPUT, not a plan defect — brand is a fixed
+    25-value domain, so the theta-join's result set is Σ_brand O(n_b²),
+    quadratic in table size by definition. The declared B3 contract here
+    is the JOIN MECHANISM (equi-key hash join + residual predicate,
+    which at any scale beats the nested loop a naive theta join
+    compiles to); a consumer who only wants the COUNT should spell it
+    as order statistics instead — per (brand, size) counts, then
+    c_i × suffix-sum of strictly-larger-size counts within the brand —
+    which is O(n log n) with no pair materialization, the same
+    declared-semantics-vs-scale-spelling split as q051/q029."""
     p = t(spark, sf_dir, "part").select(
         F.col("p_brand").alias("b1"), F.col("p_size").alias("s1")
     )

@@ -2677,12 +2677,17 @@ def q215(spark, sf_dir):
             >= 0.8),
     anchors AS (SELECT anchor_id, min(positive_id) AS positive_id
                 FROM pairs GROUP BY anchor_id),
+    nb AS (SELECT greatest(1, count(*) // 64) AS b FROM documents),
     cands AS (
       SELECT an.anchor_id, an.positive_id, d.doc_id AS cand,
              md5(CAST(an.anchor_id AS VARCHAR) || ':'
                  || CAST(d.doc_id AS VARCHAR)) AS k
-      FROM anchors an, documents d
-      WHERE d.doc_id <> an.anchor_id AND d.doc_id <> an.positive_id
+      FROM anchors an, documents d, nb
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % nb.b)
+          = (('0x' || substr(md5(CAST(an.anchor_id AS VARCHAR)), 1, 6))::BIGINT
+               % nb.b)
+        AND d.doc_id <> an.anchor_id AND d.doc_id <> an.positive_id
         AND NOT EXISTS (SELECT 1 FROM pairs p
                         WHERE (p.anchor_id = an.anchor_id
                                AND p.positive_id = d.doc_id)
@@ -2716,13 +2721,25 @@ def q216(spark, sf_dir):
     partner. Negatives: hash-ranked over the corpus minus self,
     positive, and ANY verified near-dup of the anchor.
 
-    Scale shape: anchors are pair-sized (tiny vs corpus) — the
-    anchor×corpus candidate join BROADCASTS the anchor side and the
-    per-anchor top-3 compiles to WindowGroupLimit (per-partition
-    group-heap before the one anchor-keyed exchange; pinned in
-    tests/test_plans.py). At 100 TB negatives draw from a hash-bucketed
-    sample of the corpus instead of the full table — same plan, a
-    sampled source."""
+    Scale shape — hash-bucketed per-anchor pools (round-8 rework): the
+    round-7 formulation drew every anchor's negatives from the WHOLE
+    corpus (anchor × corpus crossJoin), and since the anchor count is
+    itself corpus-proportional the pool was QUADRATIC — the r8 ×10
+    sweep measured it at 7.6 s → 116.6 s (15.4× for 10× data: 2,440
+    anchors × 50k docs = 122M generated+md5-hashed rows, the one entry
+    left brushing the outlier line after the q122/q141 fixes). Now the
+    corpus is split into B = max(1, N/64) buckets on an md5-prefix of
+    doc_id (operators/corpus.hash_bucket, same arithmetic in the DuckDB
+    oracle) and each anchor draws negatives ONLY from its own bucket
+    (~64 docs regardless of N), so the pool is A×64 — linear — via an
+    EQUI-join on the bucket key that BROADCASTS the pair-sized anchor
+    table and never shuffles the corpus. Per-anchor hash-ranking within
+    the pool is unchanged (reproducible, near-dup-excluding), the pool
+    stays corpus-uniform because bucket membership is a content hash,
+    and the per-anchor top-3 still compiles to WindowGroupLimit below
+    the one anchor-keyed exchange (both pinned in tests/test_plans.py).
+    The driver count() for B is one bounded scalar, same pattern as
+    q191's offsets."""
     docs = t(spark, sf_dir, "documents")
     sig = D.with_minhash_signature(D.shingles_exploded(docs, "doc_id"), "doc_id")
     cands = D.lsh_candidate_pairs(sig, "doc_id").localCheckpoint(eager=False)
@@ -2742,9 +2759,19 @@ def q216(spark, sf_dir):
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     ).select(F.col("id_a").alias("anchor_id"), F.col("id_b").alias("banned_id"))
+    n_buckets = max(1, docs.count() // 64)
+    pool_docs = docs.select(
+        F.col("doc_id").alias("cand"),
+        C.hash_bucket(F.col("doc_id").cast("string"), n_buckets).alias("nb"),
+    )
     pool = (
-        F.broadcast(anchors)
-        .crossJoin(docs.select(F.col("doc_id").alias("cand")))
+        F.broadcast(
+            anchors.withColumn(
+                "nb",
+                C.hash_bucket(F.col("anchor_id").cast("string"), n_buckets),
+            )
+        )
+        .join(pool_docs, "nb")
         .filter(
             (F.col("cand") != F.col("anchor_id"))
             & (F.col("cand") != F.col("positive_id"))
