@@ -710,11 +710,16 @@ def test_balanced_write_uses_rebalance_partitions(spark):
 
 
 def test_contrastive_mining_broadcasts_anchors_and_group_limits(spark):
-    """q216: the anchor×corpus negative pool must broadcast the
-    pair-sized anchor side (never shuffle the corpus for it) and the
-    per-anchor top-3 must group-limit below the window exchange."""
+    """q216: the negative pool must be the hash-bucketed per-anchor
+    EQUI-join (r8 rework — broadcast hash join on the bucket key, the
+    pair-sized anchor side built, the corpus never shuffled), NOT the
+    quadratic anchor×corpus nested loop the ×10 sweep caught at
+    15.4×/decade; and the per-anchor top-3 must group-limit below the
+    window exchange."""
     p = plan(spark, "q216_contrastive_pair_mining")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
     assert "WindowGroupLimit" in p, p
 
 
