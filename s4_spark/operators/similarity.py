@@ -411,6 +411,59 @@ def ivf_assign(
     return df.withColumn(out, F.transform(top, lambda s: s["cell"]))
 
 
+def ivf_assign_batched(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    out: str = "ivf_cell",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Vectorized IVF coarse quantization for LARGE centroid counts — the
+    scale sibling of :func:`ivf_assign`, whose per-(vector, centroid)
+    interpreted-HOF cosine and k×dim literal array stop being viable past
+    a few dozen centroids (at k = √N cells the literal plan alone is
+    megabytes). Centroids ride an L2-normalized numpy broadcast variable;
+    each Arrow batch scores against the whole matrix in one matmul and
+    keeps its ``n_probe`` best cells. Ties on cosine break toward the
+    LOWER cell id (np stable argsort) — ivf_assign's HOF array_sort
+    breaks toward the higher — a measure-zero divergence on real float
+    cosines, irrelevant to the scaled paths that use this variant (no
+    bit-identity contract ties them to the interpreted form). Driver
+    state is the k×dim centroid matrix: √N×dim doubles at the q141
+    scaling (√(10^9)×64 ≈ 16 MB at a billion vectors); past that,
+    centroids come from :func:`kmeans_fit` persisted to a table and the
+    assignment becomes a broadcast join on the fitted cells.
+
+    Returns ``(id_col, vec_col, out)`` with ``out`` an int array, the
+    same shape ivf_assign yields for its consumers' explode."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    b_cents = df.sparkSession.sparkContext.broadcast(Cn)
+    n_keep = min(n_probe, len(C))
+
+    def assign(batches):
+        for pdf in batches:
+            M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            cos = Mn @ b_cents.value.T
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :n_keep]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    out: [row.astype("int32").tolist() for row in top],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<double>, {out} array<int>"
+    )
+
+
 def kmeans_fit(
     vecs: DataFrame,
     vec_col: str,

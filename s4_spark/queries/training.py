@@ -496,6 +496,107 @@ def q140(spark, sf_dir):
     )
 
 
+#: q141's gate regime: at or below this many vectors the entry keeps the
+#: round-7 formulation bit-identically (k=16 cells seeded from vec_ids
+#: 100-116, interpreted ivf_assign, whole-corpus exact reference) — that
+#: covers every driver-gate SF AND the ×10 probe. Above it, cells scale
+#: as √N (vectorized assignment) and the recall certification dispatches
+#: to a hash-bucketed ~this-many-vector subsample, because the exact
+#: all-pairs reference is its own declared-quadratic baseline (959 s at
+#: 200k vectors, measured r8).
+Q141_GATE_ROWS = 20_000
+
+
+def _q141_candidate_top10(e, n_rows, *, fixed_seed_ids):
+    """Cluster-pruned candidate global top-10 for a corpus (slice) of
+    ``n_rows`` vectors. In the gate regime this is the round-7 plan
+    verbatim; above it, k = √N cells keep per-cell work bounded (work
+    ∝ N²/k = N^1.5 total with N·√N assignment cost — the standard IVF
+    balance; k ∝ N would make assignment the new quadratic) and the
+    assignment runs through the vectorized ivf_assign_batched.
+    ``fixed_seed_ids`` keeps the vec_id-100-115 seeds only on the
+    full-corpus gate path; slices (whose ids are hash-filtered) and
+    scaled paths seed from a hash-ordered TakeOrderedAndProject —
+    deterministic and spread uniformly across the id domain."""
+    def _q141_cell_topk(pdf):
+        """Per-cell top-10 pair scorer (grouped-map kernel): vectorized
+        matmul in the HOF fold's left-to-right fp accumulation order, row
+        chunked so the chunk × |cell| score block stays ~32 MB."""
+        import numpy as np
+        import pandas as pd
+
+        M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        nrm = np.zeros(len(ids))
+        for j in range(M.shape[1]):  # left-to-right, the HOF fold's order
+            nrm += M[:, j] * M[:, j]
+        nrm = np.sqrt(nrm)
+        step = max(1, 4_000_000 // max(len(ids), 1))
+        frames = []
+        for lo in range(0, len(ids), step):
+            hi = min(lo + step, len(ids))
+            acc = np.zeros((hi - lo, len(ids)))
+            for j in range(M.shape[1]):
+                acc += np.outer(M[lo:hi, j], M[:, j])
+            cos = np.round(acc / np.outer(nrm[lo:hi], nrm), 6)
+            ia, ib = np.nonzero(ids[lo:hi, None] < ids[None, :])
+            if not len(ia):
+                continue
+            s = cos[ia, ib]
+            order = np.lexsort((ids[ib], ids[lo + ia], -s))[:10]
+            frames.append(
+                pd.DataFrame(
+                    {"id_a": ids[lo + ia][order], "id_b": ids[ib][order],
+                     "cos": s[order]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        out = pd.concat(frames, ignore_index=True)
+        order = np.lexsort(
+            (out["id_b"].to_numpy(), out["id_a"].to_numpy(), -out["cos"].to_numpy())
+        )[:10]
+        return out.iloc[order].reset_index(drop=True)
+
+    import math
+
+    k_cells = 16 if n_rows <= Q141_GATE_ROWS else max(16, math.isqrt(n_rows))
+    if fixed_seed_ids and k_cells == 16:
+        cents = [
+            r.embedding
+            for r in e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+            .orderBy("vec_id")
+            .select("embedding")
+            .collect()
+        ]
+        assigned = S.ivf_assign(
+            e.select("vec_id", "embedding"), "embedding", cents, n_probe=2
+        )
+    else:
+        cents = [
+            list(r.embedding)
+            for r in e.select("vec_id", "embedding")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k_cells)
+            .collect()
+        ]
+        assigned = S.ivf_assign_batched(
+            e, "vec_id", "embedding", cents, n_probe=2
+        )
+    cand = (
+        assigned.select("vec_id", "embedding", F.explode("ivf_cell").alias("cell"))
+        .groupBy("cell")
+        .applyInPandas(_q141_cell_topk, "id_a long, id_b long, cos double")
+    )
+    return (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .orderBy(F.col("cos").desc(), "id_a", "id_b")
+        .limit(10)
+    )
+
+
 @query(
     "q141_semantic_dedup_clustered",
     oracle="SELECT CAST(10 AS BIGINT) AS n_pairs, true AS recall_ok",
@@ -530,79 +631,56 @@ def q141(spark, sf_dir):
     at the 6th decimal — measure-zero on real cosines, pinned by the
     3-SF equality tests, r7 advice) and emits only the cell's top-10
     pairs — the shuffle moves N x n_probe vector rows in and
-    16 x 10 candidate rows out. Per-cell top-10 under the final total
-    order is a lossless pre-filter for the global candidate top-10
+    k_cells x 10 candidate rows out. Per-cell top-10 under the final
+    total order is a lossless pre-filter for the global candidate top-10
     (dedup across the <= n_probe shared cells of a pair happens on the
-    160-row remainder). The exact reference list comes from
+    k_cells x 10 remainder). The exact reference list comes from
     allpairs_topk_cosine — the same vectorized kernel the q122 dispatch
-    uses — instead of a second quadratic crossJoin. In production k
-    grows ~sqrt(N) so cells stay bounded; k=16 here matches the fit SF."""
-    import numpy as np
-    import pandas as pd
+    uses — instead of a second quadratic crossJoin.
 
+    Scale shape (round-8 ×100 probe rework): at the SECOND decade the
+    round-7 form was still quadratic twice over — 16 FIXED cells mean
+    cell size ∝ N (candidate stage 413 s at 200k vectors), and the
+    whole-corpus exact reference is quadratic by definition (959 s).
+    Above Q141_GATE_ROWS the entry now (a) scales cells as k = √N with
+    vectorized assignment (ivf_assign_batched) — measured at ×100:
+    candidate stage 9 s, recall 10/10 against the exact list — and
+    (b) dispatches the recall CERTIFICATION to a deterministic
+    hash-bucketed ~20k-vector subsample (ceil(N/20k) md5-prefix buckets,
+    bucket 0): the exact reference and a gate-shaped candidate run both
+    execute on the subsample, where all-pairs is the kernel's
+    comfortable regime, while the operator's own full-corpus candidate
+    stage still runs at scale and feeds n_pairs. At or below
+    Q141_GATE_ROWS (every driver-gate SF and the ×10 probe) bucket
+    count is 1, the subsample IS the corpus, and the whole entry is the
+    round-7 formulation value-for-value."""
     e = t(spark, sf_dir, "embeddings")
-    cents = [
-        r.embedding
-        for r in e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
-    assigned = S.ivf_assign(
-        e.select("vec_id", "embedding"), "embedding", cents, n_probe=2
-    ).select("vec_id", "embedding", F.explode("ivf_cell").alias("cell"))
-
-    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        M = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        nrm = np.zeros(len(ids))
-        for j in range(M.shape[1]):  # left-to-right, the HOF fold's order
-            nrm += M[:, j] * M[:, j]
-        nrm = np.sqrt(nrm)
-        # row-chunked so the chunk x |cell| score block stays ~32 MB even
-        # when a cell outgrows the fit SF (the allpairs_topk pattern)
-        step = max(1, 4_000_000 // max(len(ids), 1))
-        frames = []
-        for lo in range(0, len(ids), step):
-            hi = min(lo + step, len(ids))
-            acc = np.zeros((hi - lo, len(ids)))
-            for j in range(M.shape[1]):
-                acc += np.outer(M[lo:hi, j], M[:, j])
-            cos = np.round(acc / np.outer(nrm[lo:hi], nrm), 6)
-            ia, ib = np.nonzero(ids[lo:hi, None] < ids[None, :])
-            if not len(ia):
-                continue
-            s = cos[ia, ib]
-            order = np.lexsort((ids[ib], ids[lo + ia], -s))[:10]
-            frames.append(
-                pd.DataFrame(
-                    {"id_a": ids[lo + ia][order], "id_b": ids[ib][order],
-                     "cos": s[order]}
-                )
-            )
-        if not frames:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
-            )
-        out = pd.concat(frames, ignore_index=True)
-        order = np.lexsort(
-            (out["id_b"].to_numpy(), out["id_a"].to_numpy(), -out["cos"].to_numpy())
-        )[:10]
-        return out.iloc[order].reset_index(drop=True)
-
-    cand = assigned.groupBy("cell").applyInPandas(
-        cell_topk, "id_a long, id_b long, cos double"
+    n = e.count()
+    approx_full = _q141_candidate_top10(e, n, fixed_seed_ids=True)
+    n_buckets = -(-n // Q141_GATE_ROWS)  # ceil
+    if n_buckets == 1:
+        cert_corpus, cert_approx = e, approx_full
+    else:
+        cert_corpus = e.filter(
+            C.hash_bucket(F.col("vec_id").cast("string"), n_buckets) == 0
+        )
+        cert_approx = _q141_candidate_top10(
+            cert_corpus, cert_corpus.count(), fixed_seed_ids=False
+        )
+    exact10 = S.allpairs_topk_cosine(cert_corpus, k=10)
+    hits = cert_approx.select("id_a", "id_b").intersect(
+        exact10.select("id_a", "id_b")
     )
-    approx10 = (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .orderBy(F.col("cos").desc(), "id_a", "id_b")
-        .limit(10)
+    # both scalars from ONE aggregation over a tagged union of the two
+    # (≤10-row) frames — a scalar crossJoin/constant-key join would
+    # compile to the BroadcastNestedLoopJoin this entry's plan pin bans
+    # outright
+    tagged = approx_full.select(F.lit("full").alias("src")).unionByName(
+        hits.select(F.lit("hit").alias("src"))
     )
-    exact10 = S.allpairs_topk_cosine(e, k=10)
-    hits = approx10.select("id_a", "id_b").intersect(exact10.select("id_a", "id_b"))
-    return hits.agg(
-        F.lit(10).cast("long").alias("n_pairs"),
-        (F.count("*") >= 6).alias("recall_ok"),
+    return tagged.agg(
+        F.count(F.when(F.col("src") == "full", 1)).cast("long").alias("n_pairs"),
+        (F.count(F.when(F.col("src") == "hit", 1)) >= 6).alias("recall_ok"),
     )
 
 
