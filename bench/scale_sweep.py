@@ -2,7 +2,8 @@
 """Full-registry execution sweep at a scaled SF — the per-round scale gate.
 
 Usage: python bench/scale_sweep.py [sf_dir] [--out results.json]
-                                   [--only name1,name2] [--runs 1]
+                                   [--only name1,name2]
+                                   [--outlier-sec 120]
 
 Runs EVERY registry entry (not just the bench subsets) against
 ``sf_dir`` (default /tmp/s4_scaleprobe/sf1, the x10 decade built by
@@ -57,6 +58,12 @@ def main() -> None:
     names = list(REGISTRY)
     if args.only:
         keep = set(args.only.split(","))
+        unknown = keep - set(names)
+        if unknown:
+            # a typo'd/renamed --only entry must not yield a vacuous
+            # green gate line — this instrument exists to catch
+            # regressions, so unknown names are an error
+            sys.exit(f"--only names not in the registry: {sorted(unknown)}")
         names = [n for n in names if n in keep]
 
     timings: dict[str, float] = {}

@@ -298,6 +298,7 @@ def allpairs_topk_cosine(
     vec_col: str = "embedding",
     round_dp: int = 6,
     max_broadcast_rows: int | None = ALLPAIRS_BROADCAST_ROWS,
+    known_rows: int | None = None,
 ) -> DataFrame:
     """Exact global top-k most-similar PAIRS (``id_a < id_b``) — the
     vectorized form of the self-crossJoin + HOF-cosine formulation, which
@@ -336,7 +337,14 @@ def allpairs_topk_cosine(
     import numpy as np
     import pandas as pd
 
-    if max_broadcast_rows is not None and _exceeds_rows(df, max_broadcast_rows):
+    # callers that already hold the row count (q141 counts its cert
+    # corpus for the bucket split) pass known_rows so the regime guard
+    # skips _exceeds_rows' extra count() scan over the same frame
+    if max_broadcast_rows is not None and (
+        known_rows > max_broadcast_rows
+        if known_rows is not None
+        else _exceeds_rows(df, max_broadcast_rows)
+    ):
         raise ValueError(
             f"allpairs_topk_cosine is an exact-baseline kernel bounded by its "
             f"broadcast matrix (> {max_broadcast_rows} rows given): generate "
@@ -441,14 +449,19 @@ def ivf_assign_batched(
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    # zero-norm floor: an all-zero vector (padding row, failed encode)
+    # must yield finite (zero) cosines and deterministic cell choice,
+    # not a NaN row whose argsort is arbitrary (the interpreted
+    # ivf_assign's ANSI division would THROW on the same input, so any
+    # zero vector is already outside the equality contract)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     b_cents = df.sparkSession.sparkContext.broadcast(Cn)
     n_keep = min(n_probe, len(C))
 
     def assign(batches):
         for pdf in batches:
             M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
             cos = Mn @ b_cents.value.T
             top = np.argsort(-cos, axis=1, kind="stable")[:, :n_keep]
             yield pd.DataFrame(

@@ -562,8 +562,12 @@ def _q141_candidate_top10(e, n_rows, *, fixed_seed_ids):
 
     import math
 
-    k_cells = 16 if n_rows <= Q141_GATE_ROWS else max(16, math.isqrt(n_rows))
-    if fixed_seed_ids and k_cells == 16:
+    gate = n_rows <= Q141_GATE_ROWS
+    k_cells = 16 if gate else max(16, math.isqrt(n_rows))
+    # branch on the regime itself, not k_cells == 16 (a proxy that
+    # inverts for gates below 257, where isqrt(n_rows) <= 16 on a
+    # corpus that is past the gate)
+    if fixed_seed_ids and gate:
         cents = [
             r.embedding
             for r in e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
@@ -659,15 +663,19 @@ def q141(spark, sf_dir):
     approx_full = _q141_candidate_top10(e, n, fixed_seed_ids=True)
     n_buckets = -(-n // Q141_GATE_ROWS)  # ceil
     if n_buckets == 1:
-        cert_corpus, cert_approx = e, approx_full
+        # the same ≤10-row frame feeds BOTH the n_pairs count and the
+        # recall intersect below; cache it so the per-cell matmul — the
+        # entry's dominant gate-regime cost — runs once, not twice
+        cert_corpus, cert_approx, n_cert = e, approx_full.cache(), n
     else:
         cert_corpus = e.filter(
             C.hash_bucket(F.col("vec_id").cast("string"), n_buckets) == 0
         )
+        n_cert = cert_corpus.count()
         cert_approx = _q141_candidate_top10(
-            cert_corpus, cert_corpus.count(), fixed_seed_ids=False
+            cert_corpus, n_cert, fixed_seed_ids=False
         )
-    exact10 = S.allpairs_topk_cosine(cert_corpus, k=10)
+    exact10 = S.allpairs_topk_cosine(cert_corpus, k=10, known_rows=n_cert)
     hits = cert_approx.select("id_a", "id_b").intersect(
         exact10.select("id_a", "id_b")
     )
