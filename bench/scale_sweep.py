@@ -10,8 +10,11 @@ Runs EVERY registry entry (not just the bench subsets) against
 ``bench/make_scaled_sf.py``) with the same engine-side noop-sink
 reduction bench.py uses, and prints one JSON line:
 
-    {"sf_dir": ..., "n": 255, "failed": [...], "total_sec": ...,
-     "outliers": [...], "timings": {"q...": sec, ...}}
+    {"sf_dir": ..., "n": 255, "attempted": 255, "failed": [...],
+     "total_sec": ..., "outliers": [...], "timings": {"q...": sec, ...}}
+
+(``n`` counts successful entries — the ones covered by ``timings`` /
+``total_sec`` / ``outliers``; ``attempted`` = n + len(failed).)
 
 This is the instrument that caught round 7's two quadratic-constant
 outliers (q122 at 814 s and q141 at 968 s at a mere x10 — invisible to
@@ -76,15 +79,20 @@ def main() -> None:
                 "noop"
             ).save()
             timings[name] = round(time.time() - t0, 2)
+            print(f"{name}: {timings[name]}s", file=sys.stderr)
         except Exception:
             failed.append(name)
-            print(f"FAIL {name}", file=sys.stderr)
+            print(f"FAIL {name} after {round(time.time() - t0, 2)}s", file=sys.stderr)
             traceback.print_exc()
-        print(f"{name}: {round(time.time() - t0, 2)}s", file=sys.stderr)
 
     out = {
         "sf_dir": args.sf_dir,
-        "n": len(names),
+        # n counts SUCCESSFUL timings; failures are enumerated (and
+        # excluded from total_sec/outliers), so n + len(failed) =
+        # attempted (r8 advice: an 'n' of attempts over success-only
+        # totals read as full-coverage timings)
+        "n": len(timings),
+        "attempted": len(names),
         "failed": failed,
         "total_sec": round(sum(timings.values()), 1),
         "outliers": sorted(

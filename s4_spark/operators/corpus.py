@@ -24,12 +24,26 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://[^ ]+"
 
 
-def hash_bucket(text: Column, buckets: int = 1000) -> Column:
-    """Deterministic content-hash bucket in [0, buckets): first 6 hex
-    digits of md5 as an integer, mod buckets. Identical on any engine
-    with a standard md5 (DuckDB mirror:
-    ``('0x' || substr(md5(x), 1, 6))::BIGINT % buckets``)."""
-    return F.conv(F.substring(F.md5(text), 1, 6), 16, 10).cast("long") % buckets
+def hash_bucket(text: Column, buckets: int = 1000, hex_digits: int = 6) -> Column:
+    """Deterministic content-hash bucket in [0, buckets): first
+    ``hex_digits`` hex digits of md5 as an integer, mod buckets.
+    Identical on any engine with a standard md5 (DuckDB mirror:
+    ``('0x' || substr(md5(x), 1, hex_digits))::BIGINT % buckets``).
+
+    Key-space bound: the prefix spans ``16^hex_digits`` values, so
+    ``buckets`` must stay well below that or the effective bucket count
+    saturates and modulo bias skews sizes (at buckets ≈ 10% of the
+    space the largest/smallest expected bucket ratio is already ~2:1).
+    The default 6 digits (16.7M values) suits permille-style sampling
+    with bounded bucket counts; callers that derive ``buckets`` from
+    corpus size (q216's N/64 pools) pass 12 digits (2.8e14 values —
+    saturation at N ≈ 1.8e16 docs, four decades past the 100 TB
+    mandate). 12 hex digits = 48 bits still converts exactly inside
+    both engines' int64."""
+    return (
+        F.conv(F.substring(F.md5(text), 1, hex_digits), 16, 10).cast("long")
+        % buckets
+    )
 
 
 def sample_by_hash(df: DataFrame, text_col: str, permille: Column) -> DataFrame:

