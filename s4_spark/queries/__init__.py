@@ -35,7 +35,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # guard in its ivf_assign_batched kernel). Then the 27 stalest entries
 # (latest driver row ≤ r3), then 19 r4-vintage fillers chosen so every
 # §2-B family keeps a row (B6/B7/B10 have no ≤r3 survivors: q060/q072
-# and the three B10 pandas-UDF entries cover them).
+# and the three B10 pandas-UDF entries cover them). q170, listed below
+# with its stale B11 cohort, is ALSO changed this round (√N re-rank
+# depth — the ×1000 probe measured the fixed-64 shortlist under the
+# recall floor at 2M vectors).
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
 # empty (nothing is never-verified) — new entries added this round
