@@ -76,7 +76,10 @@ HEADLINE = [
 
 # Rounds 5-6 surface representatives (VERDICT r6 item 5): timed and
 # reported under their own keys in `queries` + `extended_total`, but NOT
-# summed into `value`, which stays the 37-key continuity metric.
+# summed into `value`, which stays the 37-key continuity metric. Since
+# round 9 these six have baseline rows too (bench/results-sf0.1.json,
+# `env_extended` block: idle min-of-3, recorded 2026-08-15), so every
+# reported query key has a recorded per-query baseline for the 2x bound.
 EXTENDED = [
     "q246_offset_managed_stream_source",  # parallel offset-managed source
     "q257_approx_top_k_sketch",
