@@ -56,7 +56,15 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="s4_scale_sweep", cpus=args.cpus)
-    spark.read.parquet(os.path.join(args.sf_dir, "region.parquet")).count()
+    # JVM/codegen warm-up on any table the probe dir actually has —
+    # subset probe dirs (e.g. a documents-only ×1000 build) are a
+    # legitimate --only target and don't carry the full SF layout
+    warm = [
+        p for p in sorted(os.listdir(args.sf_dir)) if p.endswith(".parquet")
+    ]
+    if not warm:
+        sys.exit(f"no *.parquet tables under {args.sf_dir}")
+    spark.read.parquet(os.path.join(args.sf_dir, warm[0])).count()
 
     names = list(REGISTRY)
     if args.only:
