@@ -32,7 +32,10 @@ from s4_spark.queries import (  # noqa: F401,E402
 # THIS round — q026 (order-statistics count regime above Q026_GATE_ROWS),
 # q120 (MinHash candidate regime above Q120_GATE_ROWS), q216 (12-hex-digit
 # bucket keys on both engine sides, r8 advice), q141 (empty-Arrow-batch
-# guard in its ivf_assign_batched kernel). Then the 27 stalest entries
+# guard in its ivf_assign_batched kernel), plus q232 (single-pass Q21
+# rewrite after the ×1000 relational probe caught the two-pass form
+# executing its 600M-row fact join twice — displaced the q021 filler,
+# B3 keeps four rows). Then the 27 stalest entries
 # (latest driver row ≤ r3), then 19 r4-vintage fillers chosen so every
 # §2-B family keeps a row (B6/B7/B10 have no ≤r3 survivors: q060/q072
 # and the three B10 pandas-UDF entries cover them). q170, listed below
@@ -51,6 +54,7 @@ DRIVER_WINDOW = (
     "q120_simhash_neardup",
     "q216_contrastive_pair_mining",
     "q141_semantic_dedup_clustered",
+    "q232_tpch_q21_shape",
     # ---- stalest: latest driver row ≤ r3 ----
     # B1-scans
     "q001_parquet_scan",
@@ -89,7 +93,6 @@ DRIVER_WINDOW = (
     "q140_repetition_signals",
     "q150_temperature_rebalance",
     # ---- r4-vintage fillers (family coverage: B6/B7/B10 live here) ----
-    "q021_broadcast_join",
     "q040_partial_final_agg",
     "q051_ntile_percent_rank",
     "q060_global_sort",

@@ -975,16 +975,26 @@ def q232(spark, sf_dir):
     the hardest join shape in the TPC-H suite. "Late" adapts to this
     schema as shipped >30 days after the order date.
 
-    The Spark side is the HAND-DECORRELATED aggregate form: one pass
-    flags lateness, one per-order aggregate computes (distinct
-    suppliers, distinct LATE suppliers), the filter n_supp>1 AND
-    n_late_supp=1 replaces both correlated subqueries, and the late
-    rows join back to the qualifying orders. The oracle keeps the
-    textbook EXISTS spelling — the hash match PROVES the rewrite. At
-    scale the rewrite is the difference between three shuffles of
-    lineitem on one shared orderkey partitioning (partial-agg'd,
-    AQE-broadcast join-back) and two correlated re-probes of the fact
-    table per row; supplier (a dim) broadcasts at the end."""
+    The Spark side is the HAND-DECORRELATED SINGLE-PASS form: one pass
+    flags lateness, one per-(order, supplier) aggregate collapses
+    lineitems to pairs (carrying cnt_late, the number of late items —
+    numwait counts l1 ROWS, not suppliers), and a window over
+    l_orderkey computes (n_supp, n_late_supp) per order WITHOUT a new
+    shuffle — HashPartitioning(l_orderkey) from the fact join satisfies
+    both the pair groupBy (subset-of-keys rule) and the window, so
+    lineitem is scanned and shuffled exactly ONCE. The filter n_supp>1
+    AND n_late_supp=1 AND any_late replaces both correlated subqueries;
+    supplier (a dim) broadcasts at the end. The oracle keeps the
+    textbook EXISTS spelling — the hash match PROVES the rewrite.
+
+    The r9 ×1000 probe (600M lineitem) is WHY this is single-pass: the
+    previous form consumed the fact⋈orders frame twice (per-order agg +
+    late-row join-back), and the `late` filter on the second branch
+    made the subtrees differ, so AQE ReusedExchange never fired — the
+    600M-row SMJ executed twice (plan audit: 2 lineitem scans, 0
+    reuse), doubling ~40 GB of sort spill and first failing the probe
+    box on disk. Single-pass: 1 lineitem scan, 446 s → 160 s at ×1000,
+    bit-identical at the 3 gate SFs."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
@@ -997,21 +1007,26 @@ def q232(spark, sf_dir):
             > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
         ).alias("late"),
     )
-    per_order = flagged.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    pairs = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("late"), True)).alias("cnt_late"),
+        F.max("late").alias("any_late"),
     )
-    target = per_order.filter(
-        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
-    waits = flagged.filter(F.col("late")).join(target, "l_orderkey")
+    w = Window.partitionBy("l_orderkey")
+    per_order = pairs.select(
+        "l_suppkey",
+        "cnt_late",
+        "any_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum(F.col("any_late").cast("long")).over(w).alias("n_late_supp"),
+    )
+    waits = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1) & F.col("any_late")
+    )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waits.join(F.broadcast(s), waits.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("cnt_late").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
