@@ -155,7 +155,6 @@ def main() -> None:
     total = round(sum(results.values()), 3)
 
     extended = time_set(EXTENDED)
-    results.update(extended)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
@@ -166,7 +165,13 @@ def main() -> None:
                 # comparable to BASELINE.md and BENCH_r01..r06
                 "value": total,
                 "unit": "sec",
+                # `queries` holds EXACTLY the continuity keys, so
+                # value == sum(queries.values()) by construction; the six
+                # post-baseline headliners live in their own map (ADVICE
+                # r9: a consumer recomputing the headline total from the
+                # merged map silently diverged from `value`)
                 "queries": results,
+                "queries_extended": extended,
                 "extended_total": round(sum(extended.values()), 3),
                 "sf": float(sf) if sf else SF_DIR,
                 "env": {

@@ -56,15 +56,29 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name="s4_scale_sweep", cpus=args.cpus)
-    # JVM/codegen warm-up on any table the probe dir actually has —
+    # JVM/codegen warm-up on the SMALLEST table the probe dir has —
     # subset probe dirs (e.g. a documents-only ×1000 build) are a
-    # legitimate --only target and don't carry the full SF layout
+    # legitimate --only target and don't carry the full SF layout, and
+    # alphabetical-first on a full dir is customer.parquet, whose full
+    # count at ×100/×1000 burns minutes before any timing starts
+    # (ADVICE r9); warm-up only needs a JVM+codegen spin-up, so size is
+    # the right selector.
+    def _du(path: str) -> int:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+
     warm = [
-        p for p in sorted(os.listdir(args.sf_dir)) if p.endswith(".parquet")
+        p for p in os.listdir(args.sf_dir) if p.endswith(".parquet")
     ]
     if not warm:
         sys.exit(f"no *.parquet tables under {args.sf_dir}")
-    spark.read.parquet(os.path.join(args.sf_dir, warm[0])).count()
+    smallest = min(warm, key=lambda p: _du(os.path.join(args.sf_dir, p)))
+    spark.read.parquet(os.path.join(args.sf_dir, smallest)).count()
 
     names = list(REGISTRY)
     if args.only:

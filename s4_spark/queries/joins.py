@@ -189,8 +189,12 @@ def _q026_order_statistics_count(part):
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     larger = F.coalesce(F.sum("c").over(w), F.lit(0))
+    # coalesce: sum over ZERO rows is NULL, but the theta-join regime's
+    # count(*) is 0 — both regimes must agree on the degenerate empty
+    # input (ADVICE r9: the helper is exported and tested directly, so
+    # a small/empty caller would otherwise see a null-vs-0 mismatch)
     return counts.select((F.col("c") * larger).alias("pairs")).agg(
-        F.sum("pairs").cast("long").alias("n")
+        F.coalesce(F.sum("pairs"), F.lit(0)).cast("long").alias("n")
     )
 
 

@@ -318,9 +318,11 @@ def q117(spark, sf_dir):
 #: pattern). At or below it (documents has 500/500/5k rows at the three
 #: driver SFs) the declared SimHash banding runs verbatim; above it the
 #: candidate stage dispatches to MinHash-LSH banding — the linear
-#: spelling — with the identical exact-Jaccard verification, so both
-#: regimes answer the same contract. tests/test_plans.py pins the two
-#: paths value-identical at the 3 gate SFs.
+#: spelling, 32×3-tuned for the 0.5 threshold, probabilistic near it
+#: (P(miss|0.5) ≈ 1.4% per pair; the SimHash path is pigeonhole-complete
+#: at Hamming ≤ 12) — feeding the identical exact-Jaccard verification.
+#: tests/test_plans.py pins the two paths value-identical at the 3 gate
+#: SFs.
 Q120_GATE_ROWS = 20_000
 
 
@@ -362,14 +364,22 @@ def _q120_simhash_candidates(docs):
 
 def _q120_minhash_candidates(docs):
     """The linear-at-scale candidate spelling: trigram shingles → 96
-    minhashes (24 bands × 4 rows) → band-bucket self-join. 64-bit band
+    minhashes (32 bands × 3 rows) → band-bucket self-join. 64-bit band
     keys keep buckets at true-duplicate size (vs SimHash's 2^band_bits
-    key space), so candidate volume tracks true duplicates, not
-    N²/2^w. P(miss | jac=0.8) = (1-0.8⁴)²⁴ ≈ 3e-6; every emitted pair
-    is exact-verified downstream, so precision stays 1."""
+    key space), so candidate volume tracks true duplicates, not N²/2^w.
+
+    Banding is tuned for THIS entry's 0.5 threshold (ADVICE r9): q111's
+    24×4 layout has P(miss | jac=0.5) = (1-0.5⁴)²⁴ ≈ 21% per pair right
+    at the boundary; 32×3 over the same 96-hash signature gives
+    P(miss | 0.5) = (1-0.5³)³² ≈ 1.4%, P(miss | 0.55) ≈ 0.3%,
+    P(miss | 0.8) ≈ 1e-10. The regime is therefore PROBABILISTIC near
+    the threshold — unlike the below-gate SimHash banding, which is
+    pigeonhole-complete at the declared radius — and is documented as
+    such in q120's docstring; every emitted pair is exact-verified
+    downstream, so precision stays 1 regardless."""
     ex = D.shingles_exploded(docs, "doc_id")
     sig = D.with_minhash_signature(ex, "doc_id")
-    return D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
+    return D.lsh_candidate_pairs(sig, "doc_id", bands=32, rows=3).localCheckpoint(
         eager=False
     )
 
@@ -389,8 +399,13 @@ def q120(spark, sf_dir):
     probe and a decade steeper than q111 on the same corpus. MinHash's
     64-bit band keys keep buckets at true-duplicate size (q111 measured
     linear through ×100). Both regimes feed the identical exact-Jaccard
-    verification, so the emitted pair set answers the same contract;
-    tests/test_plans.py pins them value-identical at sf0.001/0.01/0.1."""
+    verification, so precision is exact in both; RECALL differs at the
+    regime boundary (ADVICE r9): the SimHash path is pigeonhole-complete
+    at Hamming ≤ 12, while the above-gate MinHash path is probabilistic
+    near the threshold — 32 bands × 3 rows gives P(miss | jac=0.5) ≈
+    1.4%, decaying to ≈1e-10 by jac=0.8 (see _q120_minhash_candidates
+    for the tuning derivation). tests/test_plans.py pins the two paths
+    value-identical at sf0.001/0.01/0.1."""
     docs = t(spark, sf_dir, "documents")
     if docs.count() > Q120_GATE_ROWS:
         cands = _q120_minhash_candidates(docs)

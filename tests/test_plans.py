@@ -1512,6 +1512,22 @@ def test_q026_order_statistics_matches_theta_join_3sf(spark):
         assert got == want, (sf, got, want)
 
 
+def test_q026_order_statistics_empty_input_is_zero(spark):
+    """ADVICE r9: sum over an empty frame is NULL, but the theta-join
+    regime's count(*) over the same empty input is 0 — the exported
+    helper must agree with the join path on the degenerate case."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.queries import joins as J
+
+    part = (
+        spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+        .filter(F.lit(False))
+    )
+    row = J._q026_order_statistics_count(part).collect()[0]
+    assert row.n == 0 and row.n is not None, row
+
+
 def test_q026_dispatches_above_gate(spark, monkeypatch):
     """Forcing the gate under the sf0.01 part table (2k rows) must route
     the registry entry through the order-statistics plan — whose
@@ -1537,11 +1553,13 @@ def test_q026_dispatches_above_gate(spark, monkeypatch):
 
 
 def test_q120_minhash_regime_matches_simhash_3sf(spark):
-    """r8 verdict item 3: q120's above-gate candidate regime (MinHash-LSH
-    banding, 64-bit band keys) must produce the IDENTICAL verified pair
-    set as the declared SimHash banding at every driver gate SF — both
-    regimes are complete for the Jaccard ≥ 0.5 contract and share the
-    exact verification tail."""
+    """r8 verdict item 3 + ADVICE r9: q120's above-gate candidate regime
+    (MinHash-LSH, 32 bands × 3 rows tuned for the 0.5 threshold) must
+    produce the IDENTICAL verified pair set as the declared SimHash
+    banding at every driver gate SF. The MinHash regime is probabilistic
+    near the threshold (P(miss | jac=0.5) ≈ 1.4% per pair, fixed seed →
+    deterministic here), so this equality pins the tuned banding's
+    recall on these corpora rather than claiming completeness."""
     from s4_spark.queries import llm as L
 
     for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"):
@@ -1571,3 +1589,66 @@ def test_q120_dispatches_above_gate(spark, monkeypatch):
     monkeypatch.setattr(L, "Q120_GATE_ROWS", 100)
     got = [tuple(r) for r in L.q120(spark, SF_DIR).collect()]
     assert got == want and len(got) > 0
+
+
+def test_unix_socket_stream_drain_is_partition_parallel(spark, tmp_path):
+    """VERDICT r9 item 2: the socket source's spool DRAIN must fan out to
+    executors — every non-empty micro-batch of a live query must carry
+    ceil(rows / linesPerPartition) input partitions (the chunk_spool
+    shape), not the Simple reader's single driver-side iterator. Receive
+    stays one driver thread (one socket endpoint, the reference's own
+    topology); this pins that the planned ranges are executor-parallel."""
+    import math
+    import os as _os
+    import socket as _socket
+    import tempfile as _tf
+    import time as _time
+
+    import s4_spark.sources as sources
+
+    sources.register(spark)
+    sock = _os.path.join(_tf.gettempdir(), f"s4_plan_fan_{_os.getpid()}.sock")
+    seen: list[tuple[int, int]] = []
+
+    def observe(df, _bid):
+        n = df.count()
+        if n:
+            seen.append((n, df.rdd.getNumPartitions()))
+
+    q = (
+        spark.readStream.format("s4_unixline")
+        .option("path", sock)
+        .option("mode", "listen")
+        .option("spoolDir", str(tmp_path / "spool"))
+        .option("linesPerPartition", "2")
+        .load()
+        .writeStream.foreachBatch(observe)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 20
+        client = None
+        while _time.time() < deadline:  # server binds on the first batch
+            try:
+                client = _socket.socket(_socket.AF_UNIX, _socket.SOCK_STREAM)
+                client.connect(sock)
+                break
+            except OSError:
+                client.close()
+                client = None
+                _time.sleep(0.05)
+        assert client is not None, "listen-mode server never bound"
+        client.sendall(b"".join(b"rec%d\n" % i for i in range(10)))
+        client.close()
+        deadline = _time.time() + 30
+        while sum(n for n, _ in seen) < 10 and _time.time() < deadline:
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    assert sum(n for n, _ in seen) == 10, seen
+    # the partition-parallel contract, batch by batch
+    assert all(parts == math.ceil(rows / 2) for rows, parts in seen), seen
+    # and fan-out was actually observed (≥2 partitions in some batch)
+    assert any(parts >= 2 for _, parts in seen), seen
