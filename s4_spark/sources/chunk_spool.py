@@ -1,13 +1,13 @@
 """Chunked-spool streaming source with REAL offset management — the
-deep cell of the Spark 4 Python DataSource streaming API that
-sources/unix_socket.py's SimpleDataSourceStreamReader doesn't reach:
+full Spark 4 Python DataSource streaming protocol (and, since round
+10, the pattern sources/unix_socket.py's stream reader follows too):
 
 - offsets are explicit dicts ({"chunk": N}), persisted by Spark's
   checkpoint like any V2 source offset;
 - ``partitions(start, end)`` fans each micro-batch into ONE
   InputPartition PER CHUNK, so executors read chunks in parallel
-  (SimpleDataSourceStreamReader prefetches single-threaded on the
-  driver);
+  (a SimpleDataSourceStreamReader would prefetch single-threaded on
+  the driver);
 - ``commit(end)`` deletes chunks at-or-below the committed offset —
   the drain/ack semantics of the reference's durable buffer
   (/root/reference/river: records leave the spool only after the

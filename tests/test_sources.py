@@ -69,34 +69,82 @@ def test_batch_multi_socket_fan_in(registered):
     assert sorted(r.value for r in df.collect()) == ["a1", "a2", "b1"]
 
 
+def drain(r, off, want_n, timeout=5.0):
+    """Drive the full-reader contract the way a micro-batch engine does:
+    latestOffset() → partitions(start, end) → read(partition) per slice.
+    Returns (records, end_offset)."""
+    got: list[str] = []
+    deadline = time.time() + timeout
+    while len(got) < want_n and time.time() < deadline:
+        end = r.latestOffset()
+        for p in r.partitions(off, end):
+            got.extend(v for (v,) in r.read(p))
+        off = end
+        time.sleep(0.05)
+    return got, off
+
+
+def replay(r, lo, hi):
+    """Re-read a planned range exactly as restart recovery does —
+    through partitions(start, end) + read, no separate replay path."""
+    return [
+        rec
+        for p in r.partitions({"index": lo}, {"index": hi})
+        for rec in r.read(p)
+    ]
+
+
 def test_stream_reader_spool_exactly_once(tmp_path):
-    """The spool contract directly (driver-side unit): read() drains and
-    persists, readBetweenOffsets() replays any committed-or-not range —
-    the Appendix-B at-most-once fix."""
+    """The spool contract directly (driver-side unit): latestOffset()
+    drains the receiver into the spool BEFORE reporting (write-ahead),
+    partitions()+read() replay any committed-or-not range — the
+    Appendix-B at-most-once fix."""
     sock = os.path.join(tempfile.gettempdir(), "s4_src_st.sock")
     serve_lines(sock, b"r0\nr1\nr2\n")
     r = _SpoolingStreamReader(sock, str(tmp_path / "spool"))
     assert r.initialOffset() == {"index": 0}
-    got: list[str] = []
-    deadline = time.time() + 5
-    off = {"index": 0}
-    while len(got) < 3 and time.time() < deadline:
-        it, off = r.read(off)
-        got.extend(v for (v,) in it)
-        time.sleep(0.05)
+    got, off = drain(r, {"index": 0}, 3)
     r.stop()
     assert got == ["r0", "r1", "r2"]
     assert off == {"index": 3}
     # replay from the spool — a restarted query re-reads the same range
-    assert list(r.readBetweenOffsets({"index": 0}, {"index": 3})) == [
-        ("r0",),
-        ("r1",),
-        ("r2",),
-    ]
-    assert list(r.readBetweenOffsets({"index": 1}, {"index": 2})) == [("r1",)]
+    assert replay(r, 0, 3) == [("r0",), ("r1",), ("r2",)]
+    assert replay(r, 1, 2) == [("r1",)]
     # a NEW reader over the same spool resumes past spooled data
     r2 = _SpoolingStreamReader(sock, str(tmp_path / "spool"))
     assert r2.initialOffset() == {"index": 3}
+
+
+def test_stream_reader_fans_range_into_partitions(tmp_path):
+    """VERDICT r9 item 2: a planned offset range must fan out into
+    linesPerPartition-sized InputPartitions (executor-parallel drain,
+    the chunk_spool pattern), and the pickled reader — what executors
+    actually receive — must serve each slice from the spool alone."""
+    import pickle
+
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
+
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_fan.sock")
+    serve_lines(sock, b"".join(b"p%d\n" % i for i in range(5)))
+    r = _SpoolingStreamReader(sock, str(tmp_path / "spool"), lines_per_partition=2)
+    # the promotion itself: a FULL stream reader, not the driver-side
+    # Simple prefetch
+    assert isinstance(r, DataSourceStreamReader)
+    assert not isinstance(r, SimpleDataSourceStreamReader)
+    got, off = drain(r, {"index": 0}, 5)
+    r.stop()
+    assert got == [f"p{i}" for i in range(5)] and off == {"index": 5}
+    parts = r.partitions({"index": 0}, {"index": 5})
+    assert [(p.lo, p.hi) for p in parts] == [(0, 2), (2, 4), (4, 5)]
+    # executor simulation: round-trip through pickle (thread state must
+    # not travel), then read slices out of order — pure spool lookups
+    rx = pickle.loads(pickle.dumps(r))
+    assert [v for (v,) in rx.read(parts[2])] == ["p4"]
+    assert [v for (v,) in rx.read(parts[0])] == ["p0", "p1"]
+    assert r.partitions({"index": 3}, {"index": 3}) == []
 
 
 def test_stream_reader_listen_mode_fan_in(tmp_path):
@@ -137,15 +185,9 @@ def test_stream_reader_listen_mode_fan_in(tmp_path):
     for th in threads:
         th.join()
 
-    got: list[str] = []
-    off = {"index": 0}
     # fresh budget AFTER the producers finished — under a loaded machine
     # (full suite) the accept/drain threads can lag several seconds
-    deadline = time.time() + 20
-    while len(got) < 5 and time.time() < deadline:
-        it, off = r.read(off)
-        got.extend(v for (v,) in it)
-        time.sleep(0.05)
+    got, off = drain(r, {"index": 0}, 5, timeout=20)
     r.stop()
     assert sorted(got) == ["a0", "a1", "b0", "b1", "c0"]
     assert off == {"index": 5}
@@ -162,25 +204,21 @@ def test_stream_reader_replays_after_crash_restart(tmp_path):
     serve_lines(sock, b"r0\nr1\nr2\n", accept_n=2)
     spool = str(tmp_path / "spool")
     a = _SpoolingStreamReader(sock, spool)
-    got: list[str] = []
-    off = {"index": 0}
-    deadline = time.time() + 5
-    while len(got) < 3 and time.time() < deadline:
-        it, off = a.read(off)
-        got.extend(v for (v,) in it)
-        time.sleep(0.05)
+    got, off = drain(a, {"index": 0}, 3)
     a.stop()
     assert got == ["r0", "r1", "r2"] and off == {"index": 3}
 
     # incarnation B: fresh process over the same spool, resuming from the
-    # last offset Spark DURABLY planned (1) — not the last spooled (3)
+    # last offset Spark DURABLY planned (1) — not the last spooled (3).
+    # B's init counts the whole spool, so latestOffset plans r1..r2
+    # without any separate replay path.
     b = _SpoolingStreamReader(sock, spool)
     assert b.initialOffset() == {"index": 3}
-    it, end = b.read({"index": 1})
-    replayed = [v for (v,) in it]
+    end = b.latestOffset()
+    assert end["index"] >= 3
+    replayed = [v for (v,) in replay(b, 1, end["index"])]
     b.stop()
     assert replayed[:2] == ["r1", "r2"], "spooled-but-unplanned records lost"
-    assert end["index"] >= 3
 
 
 def test_stream_reader_spool_compaction_bounds_growth(tmp_path):
@@ -192,13 +230,7 @@ def test_stream_reader_spool_compaction_bounds_growth(tmp_path):
     serve_lines(sock, payload, accept_n=1)
     spool_dir = tmp_path / "spool"
     r = _SpoolingStreamReader(sock, str(spool_dir), compact_every=10)
-    got: list[str] = []
-    off = {"index": 0}
-    deadline = time.time() + 5
-    while len(got) < 100 and time.time() < deadline:
-        it, off = r.read(off)
-        got.extend(v for (v,) in it)
-        time.sleep(0.02)
+    got, off = drain(r, {"index": 0}, 100)
     assert len(got) == 100
     r.commit({"index": 90})
     files = [f for f in os.listdir(spool_dir) if f.startswith("spool-")]
@@ -207,10 +239,7 @@ def test_stream_reader_spool_compaction_bounds_growth(tmp_path):
         n_kept = sum(1 for _ in f)
     assert n_kept == 10, n_kept  # only the uncommitted suffix survives
     # replay across the roll still serves global-index ranges
-    assert list(r.readBetweenOffsets({"index": 95}, {"index": 97})) == [
-        ("c95",),
-        ("c96",),
-    ]
+    assert replay(r, 95, 97) == [("c95",), ("c96",)]
     r.stop()
 
 
@@ -224,13 +253,7 @@ def test_spool_compaction_crash_atomic(tmp_path):
     serve_lines(sock, b"".join(b"a%d\n" % i for i in range(20)))
     spool_dir = tmp_path / "spool"
     r = _SpoolingStreamReader(sock, str(spool_dir), compact_every=5)
-    got: list[str] = []
-    off = {"index": 0}
-    deadline = time.time() + 5
-    while len(got) < 20 and time.time() < deadline:
-        it, off = r.read(off)
-        got.extend(v for (v,) in it)
-        time.sleep(0.02)
+    got, off = drain(r, {"index": 0}, 20)
     assert len(got) == 20
     r.stop()
     # simulate the old failure mode: a crash mid-write left a truncated
@@ -240,19 +263,13 @@ def test_spool_compaction_crash_atomic(tmp_path):
     r2 = _SpoolingStreamReader(sock, str(spool_dir), compact_every=5)
     # init adopted the COMPLETE base-0 file, so nothing was lost
     assert r2.initialOffset() == {"index": 20}
-    assert list(r2.readBetweenOffsets({"index": 10}, {"index": 12})) == [
-        ("a10",),
-        ("a11",),
-    ]
+    assert replay(r2, 10, 12) == [("a10",), ("a11",)]
     assert not partial.exists(), "abandoned .tmp should be cleaned up"
     # and a SUCCESSFUL commit leaves exactly one complete roll, no .tmp
     r2.commit({"index": 18})
     files = sorted(os.listdir(spool_dir))
     assert files == ["spool-00000000000000000018.txt"], files
-    assert list(r2.readBetweenOffsets({"index": 18}, {"index": 20})) == [
-        ("a18",),
-        ("a19",),
-    ]
+    assert replay(r2, 18, 20) == [("a18",), ("a19",)]
     r2.stop()
 
 
@@ -315,13 +332,7 @@ def test_listen_mode_refuses_live_socket(tmp_path):
     assert client is not None, "listen mode failed to reclaim stale path"
     client.sendall(b"alive\n")
     client.close()
-    got: list[str] = []
-    off = r2.initialOffset()
-    deadline = time.time() + 5
-    while not got and time.time() < deadline:
-        it, off = r2.read(off)
-        got.extend(v for (v,) in it)
-        time.sleep(0.05)
+    got, _ = drain(r2, r2.initialOffset(), 1)
     assert got == ["alive"]
     r2.stop()
 
