@@ -26,22 +26,21 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-9 rotation (saturation steady state, standing rule "window
+# Round-10 rotation (saturation steady state, standing rule "window
 # priority = code changed since last driver row, then staleness" —
-# VERDICT r8 item 1). Leads: the 4 entries whose implementation changed
-# THIS round — q026 (order-statistics count regime above Q026_GATE_ROWS),
-# q120 (MinHash candidate regime above Q120_GATE_ROWS), q216 (12-hex-digit
-# bucket keys on both engine sides, r8 advice), q141 (empty-Arrow-batch
-# guard in its ivf_assign_batched kernel), plus q232 (single-pass Q21
-# rewrite after the ×1000 relational probe caught the two-pass form
-# executing its 600M-row fact join twice — displaced the q021 filler,
-# B3 keeps four rows). Then the 27 stalest entries
-# (latest driver row ≤ r3), then 19 r4-vintage fillers chosen so every
-# §2-B family keeps a row (B6/B7/B10 have no ≤r3 survivors: q060/q072
-# and the three B10 pandas-UDF entries cover them). q170, listed below
-# with its stale B11 cohort, is ALSO changed this round (√N re-rank
-# depth — the ×1000 probe measured the fixed-64 shortlist under the
-# recall floor at 2M vectors).
+# VERDICT r8 item 1, applied per VERDICT r9 item 1). Leads: the 4
+# entries whose implementation changed THIS round — q107/q108 (the
+# unix-socket streaming source promoted from the driver-side Simple
+# reader to the partition-parallel DataSourceStreamReader), q120 (the
+# above-gate MinHash regime re-banded 24×4 → 32×3 for the 0.5
+# threshold, ADVICE r9), q026 (empty-input coalesce in the
+# order-statistics helper, ADVICE r9). Then the ENTIRE 20-entry
+# r4-vintage cohort (every entry whose latest driver row is r4 —
+# VERDICT r9 item 2's list corrected against the CORRECTNESS union:
+# q021 and q158 are r4-vintage; q134 is not). Then 24 r5-vintage
+# fillers chosen so every §2-B family keeps a row, plus two r7 canaries
+# for the families with nothing older (B2: q011, B6: q061). After this
+# window lands, the registry's latest-row floor rises to r5.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
 # empty (nothing is never-verified) — new entries added this round
@@ -49,68 +48,69 @@ from s4_spark.queries import (  # noqa: F401,E402
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- implementation changed this round (round 9) ----
-    "q026_theta_join",
-    "q120_simhash_neardup",
-    "q216_contrastive_pair_mining",
-    "q141_semantic_dedup_clustered",
-    "q232_tpch_q21_shape",
-    # ---- stalest: latest driver row ≤ r3 ----
-    # B1-scans
-    "q001_parquet_scan",
-    "q142_binaryfile_ingest",
-    # B2-projection-filter
-    "q015_case_when",
-    # B3-joins
-    "q027_range_join",
-    "q045_bucketed_join",
-    # B4-aggregations
-    "q033_grouping_sets",
-    "q037_collect_set_sorted",
-    "q038_percentiles",
-    "q145_funnel",
-    "q146_retention_cohorts",
-    "q172_bitmap_distinct_rollup",
-    # B5-windows
-    "q052_lag_lead",
-    "q053_running_sum",
-    # B8-functions
-    "q081_datetime_functions",
-    "q086_cast_conversions",
-    # B9-streaming
-    "q092_sliding_window",
-    "q096_output_modes",
-    "q098_stream_static_join",
-    # B11-llm
-    "q110_exact_dedup",
-    "q114_text_stats",
-    "q123_language_id",
-    "q125_token_counting",
-    "q170_pq_ann",
-    # B12-training
-    "q133_data_mixing",
-    "q139_contamination_check",
-    "q140_repetition_signals",
-    "q150_temperature_rebalance",
-    # ---- r4-vintage fillers (family coverage: B6/B7/B10 live here) ----
-    "q040_partial_final_agg",
-    "q051_ntile_percent_rank",
-    "q060_global_sort",
-    "q072_except",
-    "q082_math_functions",
-    "q083_array_functions",
-    "q084_map_functions",
-    "q085_json_functions",
-    "q087_hash_functions",
-    "q097_arbitrary_stateful",
-    "q099_foreachbatch_sink",
-    "q102_grouped_agg_pandas_udf",
-    "q104_udtf_split_to_rows",
-    "q105_mapInPandas",
+    # ---- implementation changed this round (round 10) ----
+    "q107_unix_socket_source",
     "q108_unix_socket_listen_stream",
-    "q113_lsh_ann",
-    "q116_binary_columns",
-    "q131_doc_chunking",
+    "q120_simhash_neardup",
+    "q026_theta_join",
+    # ---- the full r4-vintage cohort (latest driver row = r4) ----
+    "q021_broadcast_join",
+    "q121_ngram_jaccard_exact",
+    "q124_quality_score",
+    "q126_doc_fingerprint",
+    "q127_multimodal_decode_stub",
+    "q128_ivf_ann",
+    "q132_stratified_sample",
+    "q135_pii_redaction",
+    "q136_stopword_coverage",
+    "q137_embedding_quantize",
+    "q138_tfidf_retrieval",
+    "q143_segment_dedup",
+    "q144_time_rollup",
+    "q149_incremental_ingest_dedup",
+    "q151_snapshot_diff",
+    "q155_postings_retrieval",
+    "q156_exact_k_sample",
+    "q157_text_normalize",
+    "q158_pii_tokenization",
+    "q160_gap_fill",
+    # ---- r5-vintage fillers (every family keeps a row) ----
+    # B1-scans
+    "q173_bloom_filter_write",
+    "q185_corrupt_parquet_quarantine",
+    "q200_dynamic_partition_pruning",
+    "q202_zone_map_skipping",
+    # B3-joins
+    "q194_runtime_bloom_join",
+    "q201_cbo_join_reorder",
+    # B4-aggregations
+    "q163_observed_metrics",
+    "q167_incremental_agg_maintenance",
+    "q168_approx_quantile_profile",
+    "q192_exact_median_twophase",
+    "q204_count_min_sketch",
+    "q205_kmv_sketch_setops",
+    # B5-windows
+    "q196_scd2_history",
+    "q197_batch_sessionization",
+    # B7-setops
+    "q208_setops_multiset",
+    # B8-functions
+    "q109_variant_json",
+    "q159_data_quality_audit",
+    # B9-streaming
+    "q106_stream_stream_join",
+    "q171_state_store_introspection",
+    "q179_dedup_within_watermark",
+    "q209_streaming_index_maintenance",
+    # B10-udfs
+    "q199_arrow_python_udf",
+    # B11-llm
+    "q193_heavy_hitters_twopass",
+    "q198_video_frame_sampling",
+    # ---- r7 canaries (B2/B6 have no r4/r5 survivors) ----
+    "q011_filter_comparison",
+    "q061_topk",
 )
 
 
