@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Streaming-STATE family scale probe (VERDICT r9 item 3) — the heavy
+family that had no third-decade row: runs the stateful rigs against a
+scaled SF dir and records, per entry, wall-clock AND the state store's
+maximum ``numRowsTotal`` across every state operator of every query the
+entry runs (captured with a StreamingQueryListener, so no rig needs to
+expose its query handle).
+
+Usage: python bench/stream_state_probe.py [sf_dir]
+           [--only name1,name2] [--out results.json]
+
+Default entry set = the map-state/funnel/changelog/TTL/chained rigs the
+r9 verdict names; timings land in SCALE.md's measured-scaling tables
+with the ×10 (full sweep) and ×100/×1000 (this instrument) decades.
+State-size capture matters as much as time here: a stateful operator
+whose numRowsTotal grows with STREAM LIFETIME instead of open-window /
+open-session count is the 100 TB failure mode (unbounded state → OOM on
+a real cluster), and wall-clock alone can look linear while state
+quietly accumulates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+from s4_spark.queries import REGISTRY
+from s4_spark.session import get_spark
+
+DEFAULT_ENTRIES = [
+    "q234_streaming_funnel",
+    "q235_streaming_funnel_reordered",
+    "q241_transform_with_map_state_timers",
+    "q251_rocksdb_changelog_restart",
+    "q252_state_ttl_eviction",
+    "q258_chained_streaming_aggs",
+    "q269_join_then_window_chain",
+]
+
+
+class _StateCapture(StreamingQueryListener):
+    """Records the max numRowsTotal per state operator across every
+    progress event observed while attached. Listener dispatch is
+    asynchronous — callers settle briefly before reading."""
+
+    def __init__(self) -> None:
+        self.ops: dict[str, int] = defaultdict(int)
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        for op in event.progress.stateOperators:
+            name = op.operatorName or "state"
+            self.ops[name] = max(self.ops[name], op.numRowsTotal)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/tmp/s4_scaleprobe/sf10")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    args = ap.parse_args()
+
+    names = list(DEFAULT_ENTRIES)
+    if args.only:
+        names = [n for n in args.only.split(",") if n]
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        sys.exit(f"not in the registry: {unknown}")
+
+    spark = get_spark(app_name="s4_stream_state_probe", cpus=args.cpus)
+    results: dict[str, dict] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        cap = _StateCapture()
+        spark.streams.addListener(cap)
+        t0 = time.time()
+        try:
+            REGISTRY[name].fn(spark, args.sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sec = round(time.time() - t0, 2)
+            time.sleep(2.0)  # let async listener dispatch settle
+            results[name] = {
+                "sec": sec,
+                "state_rows_max": max(cap.ops.values(), default=0),
+                "state_ops": dict(sorted(cap.ops.items())),
+            }
+            print(f"{name}: {sec}s state_max={results[name]['state_rows_max']}",
+                  file=sys.stderr)
+        except Exception:
+            results[name] = {"sec": None, "error": traceback.format_exc(limit=3)}
+            print(f"FAIL {name}", file=sys.stderr)
+            traceback.print_exc()
+        finally:
+            spark.streams.removeListener(cap)
+
+    out = {"sf_dir": args.sf_dir, "results": results}
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
