@@ -1941,10 +1941,21 @@ def _q252(spark, sf_dir):
             .option("checkpointLocation", ckpt)
             .start()
         )
-        deadline = time.time() + 120
+        # Drain on BATCH-COMPLETION signals, with no bound on the data
+        # batch itself (round-10 ×1000 probe catch: the previous fixed
+        # 120 s total deadline was a hidden scale constant — at 100M
+        # events the data batch outlives it, the loop stopped the query
+        # mid-batch, phase 2 landed nothing, and the old
+        # ``drained or not q.isActive`` assert was vacuously true after
+        # stop()). "Drained" = a zero-input batch committed AFTER a
+        # data batch — the TTL cleanup batches that follow the data are
+        # exactly that signal. The only absolute guard left is an
+        # hour-scale hang stop for a feed that never produces a data
+        # batch at all (a rig invariant violation, not a scale knob).
         drained = False
         saw_data = False
-        while time.time() < deadline and q.isActive:
+        hang_guard = time.time() + 3600
+        while q.isActive:
             for p in q.recentProgress:
                 if p and int(p["numInputRows"]) > 0:
                     saw_data = True
@@ -1952,10 +1963,20 @@ def _q252(spark, sf_dir):
             if saw_data and lp is not None and int(lp["numInputRows"]) == 0:
                 drained = True
                 break
+            if not saw_data and time.time() > hang_guard:
+                break
             time.sleep(0.2)
         q.stop()
         q.awaitTermination()
-        assert drained or not q.isActive, "q252 feed did not drain"
+        if not drained:
+            # the query ended on its own: a clean availableNow
+            # termination implies every available record was processed
+            # even if no trailing zero-input batch was observed
+            for p in q.recentProgress:
+                if p and int(p["numInputRows"]) > 0:
+                    saw_data = True
+            drained = saw_data and q.exception() is None
+        assert drained, f"{name}: data batch never committed"
         return spark.read.parquet(outdir)
 
     import time
