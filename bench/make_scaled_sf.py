@@ -19,7 +19,10 @@ rows:
   same time range, so per-bucket volumes and per-user sessions grow the
   way real event feeds grow.
 - documents: doc_id shifted; copy i > 0 gets an INJECTIVE VOCAB RENAME
-  (every token suffixed `_c<i>`). Shingle equality is invariant under
+  (every token suffixed `_<salt>c<i>` — the salt, defaulting to the
+  output dir basename and overridable as a 4th CLI arg, keeps the
+  rename injective across COMPOSED build levels; see build()'s comment
+  for the round-10 collision this fixes). Shingle equality is invariant under
   injective renaming, so each copy reproduces the source's internal
   near-dup structure exactly while sharing zero shingles/tokens across
   copies: dup-rate stays constant as the corpus grows -- the honest
@@ -66,7 +69,20 @@ def _copies(df: DataFrame, k: int, fn) -> DataFrame:
     return out
 
 
-def build(spark, src: str, out: str, k: int) -> None:
+def build(spark, src: str, out: str, k: int, salt: str | None = None) -> None:
+    # ``salt`` keys the per-copy text rename and embedding transform so
+    # COMPOSED builds (sf1 → sf10 → sf100) stay injective across levels.
+    # Round-10 finding: without it, copy paths with the same non-zero
+    # index subsequence collide — at ×1000 composed in three ×10 levels,
+    # paths (1,0,0)/(0,1,0)/(0,0,1) all rename tokens `w → w_c1`, so 270
+    # of the C(1000,2) copy pairs were token-IDENTICAL corpora and the
+    # documents table carried 1,488,240 cross-copy true near-dup pairs
+    # (the q120 recall certification derived and matched that number
+    # exactly — see SCALE.md). Harder-than-declared dup-rate is
+    # conservative for timing probes but wrong for the "dup-rate stays
+    # constant" model; distinct salts per level (default: the output
+    # dir's basename) restore it.
+    salt = salt if salt is not None else os.path.basename(out.rstrip("/"))
     read = lambda t: spark.read.parquet(os.path.join(src, f"{t}.parquet"))
     write = lambda df, t: df.write.mode("overwrite").parquet(
         os.path.join(out, f"{t}.parquet")
@@ -106,10 +122,14 @@ def build(spark, src: str, out: str, k: int) -> None:
         out = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * (maxes["doc"] + 1)))
         if i == 0:
             return out
+        # salt makes the suffix level-unique: `_sf10c1` from one build
+        # level can never equal `_sf100c1` from the next, so composing
+        # builds keeps zero cross-copy token overlap (copy 0 stays
+        # un-renamed, which is safe once salts differ per level)
         renamed = F.array_join(
             F.transform(
                 F.split(F.col("text"), " "),
-                lambda x: F.concat(x, F.lit(f"_c{i}")),
+                lambda x: F.concat(x, F.lit(f"_{salt}c{i}")),
             ),
             " ",
         )
@@ -121,27 +141,40 @@ def build(spark, src: str, out: str, k: int) -> None:
 
     dim = len(read("embeddings").select("embedding").first()[0])
 
+    import hashlib
+
     def emb_copy(df: DataFrame, i: int) -> DataFrame:
         out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * (maxes["vec"] + 1)))
         if i == 0:
             return out
-        r = i % dim
-        rotated = F.concat(
-            F.slice(F.col("embedding"), r + 1, dim - r),
-            F.slice(F.col("embedding"), 1, r),
+        # Rotation step and sign pattern are keyed by (salt, i): plain
+        # rotate-by-i composed across levels collides exactly like the
+        # token suffixes (rotate i then j == rotate j then i == rotate
+        # i+j, so paths with equal index sums were coordinate-identical
+        # vectors). A salt-keyed odd step de-aliases rotation amounts
+        # across levels and the per-copy sign flip (still orthogonal —
+        # within-copy geometry exact) makes a residual rotation
+        # collision across levels vanishingly unlikely instead of
+        # structural.
+        h = int.from_bytes(
+            hashlib.md5(f"{salt}:{i}".encode()).digest()[:8], "big"
         )
-        hi = i // dim
-        if hi:
-            # sign pattern from the high bits keeps copies i and i+dim
-            # from being coordinate-identical when k > dim; a uniform
-            # per-copy sign flip is still orthogonal, so within-copy
-            # geometry stays exact
-            signs = [-1.0 if (hi >> (j % 6)) & 1 else 1.0 for j in range(dim)]
-            rotated = F.zip_with(
-                rotated,
-                F.array(*[F.lit(s) for s in signs]),
-                lambda x, s: (x * s).cast("float"),
+        step = (h % (dim - 1)) + 1
+        r = (i * step) % dim
+        rotated = (
+            F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
             )
+            if r
+            else F.col("embedding")
+        )
+        signs = [-1.0 if (h >> (8 + (j % 48))) & 1 else 1.0 for j in range(dim)]
+        rotated = F.zip_with(
+            rotated,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: (x * s).cast("float"),
+        )
         return out.withColumn("embedding", rotated)
 
     write(_copies(read("embeddings"), k, emb_copy), "embeddings")
@@ -149,10 +182,11 @@ def build(spark, src: str, out: str, k: int) -> None:
 
 def main() -> None:
     src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    salt = sys.argv[4] if len(sys.argv) > 4 else None
     from s4_spark.session import get_spark
 
     spark = get_spark(app_name="make_scaled_sf", cpus=16)
-    build(spark, src, out, k)
+    build(spark, src, out, k, salt=salt)
     for t in PLAIN + tuple(
         ["supplier", "part", "customer", "orders", "lineitem", "events",
          "documents", "embeddings"]
