@@ -78,6 +78,18 @@ def main() -> None:
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions for this probe run. "
+        "Stateful operators pin their partition count at the first batch "
+        "and AQE is disabled for them, so the session default (= cpus) "
+        "fixes per-task state-op input share at corpus/cpus — which at "
+        "x1000 on one JVM exceeds the heap (q241 OOM'd at 100M events). "
+        "A real cluster bounds that share by executor width; this flag "
+        "is the local analog.",
+    )
     args = ap.parse_args()
 
     names = list(DEFAULT_ENTRIES)
@@ -87,7 +99,14 @@ def main() -> None:
     if unknown:
         sys.exit(f"not in the registry: {unknown}")
 
-    spark = get_spark(app_name="s4_stream_state_probe", cpus=args.cpus)
+    extra = (
+        {"spark.sql.shuffle.partitions": str(args.shuffle_partitions)}
+        if args.shuffle_partitions
+        else None
+    )
+    spark = get_spark(
+        app_name="s4_stream_state_probe", cpus=args.cpus, extra_conf=extra
+    )
     results: dict[str, dict] = {}
     for name in names:
         spark.catalog.clearCache()

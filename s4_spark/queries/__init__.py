@@ -49,10 +49,16 @@ NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
     # ---- implementation changed this round (round 10) ----
+    # (q241/q252 joined mid-round: the ×1000 streaming-state probe
+    # caught q252's fixed drain deadline and q241's driver-collecting
+    # memory sink; both fixed, so both displace same-family r5 fillers
+    # per the standing changed-code-first rule)
     "q107_unix_socket_source",
     "q108_unix_socket_listen_stream",
     "q120_simhash_neardup",
     "q026_theta_join",
+    "q241_transform_with_map_state_timers",
+    "q252_state_ttl_eviction",
     # ---- the full r4-vintage cohort (latest driver row = r4) ----
     "q021_broadcast_join",
     "q121_ngram_jaccard_exact",
@@ -101,8 +107,6 @@ DRIVER_WINDOW = (
     # B9-streaming
     "q106_stream_stream_join",
     "q171_state_store_introspection",
-    "q179_dedup_within_watermark",
-    "q209_streaming_index_maintenance",
     # B10-udfs
     "q199_arrow_python_udf",
     # B11-llm

@@ -21,6 +21,7 @@ from s4_spark.streaming.rigs import (
     instant_as_utc_ntz,
     ntz_as_utc_instant,
     run_to_memory,
+    run_to_parquet,
     scratch,
 )
 
@@ -1509,7 +1510,12 @@ def _q241(spark, sf_dir):
         outputMode="Update",
         timeMode="EventTime",
     )
-    snap = run_to_memory(out, mode="update", tag="q241")
+    # parquet-backed rig sink (round-10 ×1000 probe): q241's emission
+    # set is session-proportional — the memory sink's driver collect
+    # hit maxResultSize at 100M events (~30M sessions) while the
+    # operator itself was healthy; run_to_parquet keeps emissions
+    # executor-side, same update-mode row set
+    snap = run_to_parquet(out, mode="update", tag="q241")
     return snap.filter(F.col("user_id") >= 0).orderBy("user_id", "session_start_us")
 
 

@@ -99,6 +99,48 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
+def run_to_parquet(
+    df: DataFrame, mode: str = "update", tag: str = "q"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with availableNow and
+    return the accumulated emissions, like :func:`run_to_memory`, but
+    through a parquet foreachBatch sink instead of the memory sink.
+
+    The memory sink serializes EVERY emitted row back to the driver —
+    fine for the aggregate-shaped rigs, but a rig whose output is
+    proportional to its input dies at scale on the driver, not in the
+    plan (the round-10 ×1000 probe hit spark.driver.maxResultSize on
+    q241's ~30M session rows after the heap fix). This sink keeps
+    emissions executor-side, which is the only sink shape that survives
+    output ∝ input; update-mode emission sets are identical between the
+    two sinks (the memory sink also appends each batch's rows).
+
+    foreachBatch rather than the parquet file sink because the file
+    sink is append-only and the stateful rigs emit in update mode. The
+    read-back pins the schema explicitly so a zero-emission run returns
+    an empty frame instead of UNABLE_TO_INFER_SCHEMA (the q252 lesson).
+    """
+    name = f"s4_pq_{tag}_{next(_counter)}"
+    out = scratch(f"sink_{name}")
+    os.makedirs(out, exist_ok=True)
+    schema = df.schema
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(out)
+
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", scratch(f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.read.schema(schema).parquet(out)
+
+
 def two_phase_replay(
     spark: SparkSession,
     phase1: DataFrame,
