@@ -157,31 +157,72 @@ def main() -> None:
     extended = time_set(EXTENDED)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                # continuity metric: the original 37 keys only, directly
-                # comparable to BASELINE.md and BENCH_r01..r06
-                "value": total,
-                "unit": "sec",
-                # `queries` holds EXACTLY the continuity keys, so
-                # value == sum(queries.values()) by construction; the six
-                # post-baseline headliners live in their own map (ADVICE
-                # r9: a consumer recomputing the headline total from the
-                # merged map silently diverged from `value`)
-                "queries": results,
-                "queries_extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "sf": float(sf) if sf else SF_DIR,
-                "env": {
-                    "cpus": CPUS,
-                    "spark": spark.version,
-                    "stream_records": STREAM_N,
-                },
-            }
-        )
+    payload = {
+        "metric": "headline_queries_total",
+        # continuity metric: the original 37 keys only, directly
+        # comparable to BASELINE.md and BENCH_r01..r06
+        "value": total,
+        "unit": "sec",
+        # `queries` holds EXACTLY the continuity keys, so
+        # value == sum(queries.values()) by construction; the six
+        # post-baseline headliners live in their own map (ADVICE
+        # r9: a consumer recomputing the headline total from the
+        # merged map silently diverged from `value`)
+        "queries": results,
+        "queries_extended": extended,
+        "extended_total": round(sum(extended.values()), 3),
+        "sf": float(sf) if sf else SF_DIR,
+        "env": {
+            "cpus": CPUS,
+            "spark": spark.version,
+            "stream_records": STREAM_N,
+        },
+    }
+
+    # Idle-series handoff (VERDICT r10 item 7): the per-round driver runs
+    # this script UNDER DRIVER LOAD, and r10 showed that load noise
+    # (+17% total, every >1.15x per-query delta) dominates cross-round
+    # triage. The builder records an idle min-of-3 at round close via
+    # S4_BENCH_WRITE_IDLE=1; every subsequent run embeds that recorded
+    # series as the PRIMARY regression-triage block (`idle`), keeping the
+    # live numbers as the load-sensitive secondary. Consumers comparing
+    # rounds should quote idle.value / idle.queries first.
+    idle_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench", f"idle-sf{sf}.json"
     )
+    if os.environ.get("S4_BENCH_WRITE_IDLE"):
+        import subprocess
+
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+        except OSError:
+            sha = "unknown"
+        with open(idle_path, "w") as f:
+            json.dump(
+                {
+                    "value": total,
+                    "queries": results,
+                    "queries_extended": extended,
+                    "extended_total": payload["extended_total"],
+                    "runs": runs,
+                    "git_sha": sha,
+                    "recorded": time.strftime("%Y-%m-%d"),
+                },
+                f,
+                indent=1,
+            )
+    elif os.path.exists(idle_path):
+        try:
+            with open(idle_path) as f:
+                payload["idle"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

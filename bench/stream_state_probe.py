@@ -70,11 +70,99 @@ class _StateCapture(StreamingQueryListener):
         pass
 
 
+def q269_chunked_probe(spark, sf_dir: str, chunks: int) -> dict:
+    """Close q269's at-scale state contract with a MEASURED row
+    (VERDICT r10 item 3). The registry entry's availableNow rig replays
+    the whole feed as ONE micro-batch, so the stream-stream join pays
+    worst-case state by construction (39.9M rows at x1000) — the
+    watermark only advances BETWEEN batches. This rig replays the same
+    feed through the same `_q269_chain` plan in `chunks` time-ordered
+    micro-batches (repartitionByRange on ts -> one file per range;
+    mtimes bumped in range order because the file source processes
+    files in modification-time order; maxFilesPerTrigger=1), so the
+    watermark advances per chunk and the listener observes the real
+    interval-bounded join state: ~2 chunks of feed + the 10-minute
+    interval population, orders of magnitude under worst case."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from s4_spark.catalog import table
+    from s4_spark.queries.streaming import _q269_chain
+    from s4_spark.streaming.rigs import ntz_as_utc_instant, scratch
+
+    ev = table(spark, sf_dir, "events")
+    if ev.schema["ts"].dataType.typeName() == "timestamp_ntz":
+        ev = ev.withColumn("ts", ntz_as_utc_instant("ts"))
+    feed_rows = ev.filter(F.col("event_type").isin("click", "purchase")).count()
+
+    landing = scratch(f"q269chunked_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev.repartitionByRange(chunks, "ts").write.mode("overwrite").parquet(landing)
+    parts = sorted(glob.glob(os.path.join(landing, "part-*.parquet")))
+    base = time.time() - len(parts) - 10
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+    cap = _StateCapture()
+    spark.streams.addListener(cap)
+    try:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        name = f"s4_q269probe_{os.getpid()}"
+        t0 = time.time()
+        q = (
+            _q269_chain(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch(f"ckpt_{name}"))
+            .start()
+        )
+        q.awaitTermination()
+        sec = round(time.time() - t0, 2)
+        n_out = spark.table(name).count()
+        time.sleep(2.0)  # async listener dispatch
+    finally:
+        spark.streams.removeListener(cap)
+
+    join_ops = {k: v for k, v in cap.ops.items() if "join" in k.lower()}
+    join_max = max(join_ops.values(), default=0)
+    res = {
+        "sec": sec,
+        "chunks": len(parts),
+        "feed_rows_click_purchase": feed_rows,
+        "out_rows": n_out,
+        "state_ops": dict(sorted(cap.ops.items())),
+        "join_state_max": join_max,
+        "join_state_vs_worst_case": round(join_max / feed_rows, 4)
+        if feed_rows
+        else None,
+    }
+    # the measured contract: chunked replay keeps join state an order
+    # of magnitude (at least) under the whole-feed worst case
+    assert join_max < feed_rows / 10, (
+        f"join state {join_max} not interval-bounded vs feed {feed_rows}"
+    )
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/tmp/s4_scaleprobe/sf10")
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--q269-chunked",
+        type=int,
+        default=None,
+        metavar="K",
+        help="run ONLY the chunked q269 state-contract rig with K "
+        "time-ordered micro-batches (see q269_chunked_probe)",
+    )
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     )
@@ -107,6 +195,15 @@ def main() -> None:
     spark = get_spark(
         app_name="s4_stream_state_probe", cpus=args.cpus, extra_conf=extra
     )
+    if args.q269_chunked:
+        res = q269_chunked_probe(spark, args.sf_dir, args.q269_chunked)
+        out = {"sf_dir": args.sf_dir, "q269_chunked": res}
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+        return
     results: dict[str, dict] = {}
     for name in names:
         spark.catalog.clearCache()

@@ -26,21 +26,21 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-10 rotation (saturation steady state, standing rule "window
+# Round-11 rotation (saturation steady state, standing rule "window
 # priority = code changed since last driver row, then staleness" —
-# VERDICT r8 item 1, applied per VERDICT r9 item 1). Leads: the 4
+# VERDICT r8 item 1, applied per VERDICT r10 item 2). Leads: the 4
 # entries whose implementation changed THIS round — q107/q108 (the
-# unix-socket streaming source promoted from the driver-side Simple
-# reader to the partition-parallel DataSourceStreamReader), q120 (the
-# above-gate MinHash regime re-banded 24×4 → 32×3 for the 0.5
-# threshold, ADVICE r9), q026 (empty-input coalesce in the
-# order-statistics helper, ADVICE r9). Then the ENTIRE 20-entry
-# r4-vintage cohort (every entry whose latest driver row is r4 —
-# VERDICT r9 item 2's list corrected against the CORRECTNESS union:
-# q021 and q158 are r4-vintage; q134 is not). Then 24 r5-vintage
-# fillers chosen so every §2-B family keeps a row, plus two r7 canaries
-# for the families with nothing older (B2: q011, B6: q061). After this
-# window lands, the registry's latest-row floor rises to r5.
+# unix-socket executor read now asserts full-slice length and fails the
+# task on persistent truncation instead of silently dropping records,
+# ADVICE r10), q241 (rigs.run_to_parquet sink rebuilt batchId-keyed
+# idempotent, ADVICE r10), q252 (unconditional hour-scale drain guard +
+# the same idempotent sink inline, ADVICE r10). Then the ENTIRE
+# 25-entry r5-vintage cohort (every entry whose latest driver row is
+# r5, per the CORRECTNESS_r01..r10 union — VERDICT r10 item 2's list).
+# Then 18 r6-vintage fillers chosen for family spread (B3 ×8, B5 ×4,
+# B8 ×3, B10 ×1, B11 ×2), plus three canaries for families with no
+# r5/r6 survivors (B2: q010 r8, B6: q062 r8, B7: q070 r7). After this
+# window lands, the registry's latest-row floor rises to r6.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when never-verified entries outnumber the 50 slots;
 # empty (nothing is never-verified) — new entries added this round
@@ -48,73 +48,65 @@ from s4_spark.queries import (  # noqa: F401,E402
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- implementation changed this round (round 10) ----
-    # (q241/q252 joined mid-round: the ×1000 streaming-state probe
-    # caught q252's fixed drain deadline and q241's driver-collecting
-    # memory sink; both fixed, so both displace same-family r5 fillers
-    # per the standing changed-code-first rule)
+    # ---- implementation changed this round (round 11) ----
     "q107_unix_socket_source",
     "q108_unix_socket_listen_stream",
-    "q120_simhash_neardup",
-    "q026_theta_join",
     "q241_transform_with_map_state_timers",
     "q252_state_ttl_eviction",
-    # ---- the full r4-vintage cohort (latest driver row = r4) ----
-    "q021_broadcast_join",
-    "q121_ngram_jaccard_exact",
-    "q124_quality_score",
-    "q126_doc_fingerprint",
-    "q127_multimodal_decode_stub",
-    "q128_ivf_ann",
-    "q132_stratified_sample",
-    "q135_pii_redaction",
-    "q136_stopword_coverage",
-    "q137_embedding_quantize",
-    "q138_tfidf_retrieval",
-    "q143_segment_dedup",
-    "q144_time_rollup",
-    "q149_incremental_ingest_dedup",
-    "q151_snapshot_diff",
-    "q155_postings_retrieval",
-    "q156_exact_k_sample",
-    "q157_text_normalize",
-    "q158_pii_tokenization",
-    "q160_gap_fill",
-    # ---- r5-vintage fillers (every family keeps a row) ----
-    # B1-scans
-    "q173_bloom_filter_write",
-    "q185_corrupt_parquet_quarantine",
-    "q200_dynamic_partition_pruning",
-    "q202_zone_map_skipping",
+    # ---- the full r5-vintage cohort (latest driver row = r5) ----
+    "q041_pivot",
+    "q042_unpivot",
+    "q048_recursive_cte",
+    "q049_pipe_sql",
+    "q169_source_cap",
+    "q175_repeated_ngram_spans",
+    "q176_training_shard_export",
+    "q177_vocab_induction_oov",
+    "q178_train_val_test_split",
+    "q179_dedup_within_watermark",
+    "q180_bm25_retrieval",
+    "q181_incremental_shard_refresh",
+    "q183_epoch_shuffle",
+    "q184_file_provenance",
+    "q186_bpe_merge_learn",
+    "q187_bpe_apply_compression",
+    "q188_lm_familiarity_filter",
+    "q189_dataset_card_profile",
+    "q190_fuzzy_decontamination",
+    "q191_token_budget_prefix_cut",
+    "q195_cdc_apply",
+    "q203_snapshot_index_dedup",
+    "q206_quality_classifier_filter",
+    "q207_trigram_novelty",
+    "q209_streaming_index_maintenance",
+    # ---- r6-vintage fillers (staleness next; family spread) ----
     # B3-joins
-    "q194_runtime_bloom_join",
-    "q201_cbo_join_reorder",
-    # B4-aggregations
-    "q163_observed_metrics",
-    "q167_incremental_agg_maintenance",
-    "q168_approx_quantile_profile",
-    "q192_exact_median_twophase",
-    "q204_count_min_sketch",
-    "q205_kmv_sketch_setops",
+    "q217_point_in_time_join",
+    "q218_asof_join_tolerance",
+    "q223_tpch_q18_shape",
+    "q236_tpch_q17_shape",
+    "q237_tpch_q20_shape",
+    "q239_tpch_q22_shape",
+    "q254_tpch_q4_shape",
+    "q255_tpch_q13_shape",
     # B5-windows
-    "q196_scd2_history",
-    "q197_batch_sessionization",
-    # B7-setops
-    "q208_setops_multiset",
+    "q219_windowed_funnel",
+    "q222_event_transitions",
+    "q229_event_streaks",
+    "q231_cusum_changepoint",
     # B8-functions
-    "q109_variant_json",
-    "q159_data_quality_audit",
-    # B9-streaming
-    "q106_stream_stream_join",
-    "q171_state_store_introspection",
+    "q244_sql_scripting",
+    "q249_try_functions",
+    "q250_collated_strings",
     # B10-udfs
-    "q199_arrow_python_udf",
+    "q245_polymorphic_udtf",
     # B11-llm
-    "q193_heavy_hitters_twopass",
-    "q198_video_frame_sampling",
-    # ---- r7 canaries (B2/B6 have no r4/r5 survivors) ----
-    "q011_filter_comparison",
-    "q061_topk",
+    "q211_audio_segment_plumbing",
+    "q213_image_resize_features",
+    # ---- canaries (B2/B6/B7 have no r5/r6 survivors) ----
+    "q010_projection",
+    "q062_per_group_topk",
+    "q070_union",
 )
 
 

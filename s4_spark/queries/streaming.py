@@ -1924,9 +1924,12 @@ def _q252(spark, sf_dir):
             )
         )
 
-        def sink(batch_df, batch_id):
-            if not batch_df.isEmpty():
-                batch_df.write.mode("append").parquet(outdir)
+        from s4_spark.streaming.rigs import (
+            idempotent_batch_sink,
+            read_batched_parquet,
+        )
+
+        sink = idempotent_batch_sink(outdir)
 
         # Two quirks force this runner's shape. (1) ProcessingTime mode
         # keeps scheduling zero-row "cleaning up state" batches for TTL
@@ -1955,11 +1958,16 @@ def _q252(spark, sf_dir):
         # ``drained or not q.isActive`` assert was vacuously true after
         # stop()). "Drained" = a zero-input batch committed AFTER a
         # data batch — the TTL cleanup batches that follow the data are
-        # exactly that signal. The only absolute guard left is an
-        # hour-scale hang stop for a feed that never produces a data
-        # batch at all (a rig invariant violation, not a scale knob).
+        # exactly that signal. The hour-scale hang stop applies
+        # UNCONDITIONALLY (ADVICE r10): a query that stalls mid- or
+        # post-data-batch (executor stall, state-store lock) must still
+        # terminate the loop; guard_tripped keeps the
+        # clean-self-termination fallback from vacuously passing a
+        # guard-stopped run, so `assert drained` fails loudly instead
+        # of the round-close gate hanging forever.
         drained = False
         saw_data = False
+        guard_tripped = False
         hang_guard = time.time() + 3600
         while q.isActive:
             for p in q.recentProgress:
@@ -1969,12 +1977,13 @@ def _q252(spark, sf_dir):
             if saw_data and lp is not None and int(lp["numInputRows"]) == 0:
                 drained = True
                 break
-            if not saw_data and time.time() > hang_guard:
+            if time.time() > hang_guard:
+                guard_tripped = True
                 break
             time.sleep(0.2)
         q.stop()
         q.awaitTermination()
-        if not drained:
+        if not drained and not guard_tripped:
             # the query ended on its own: a clean availableNow
             # termination implies every available record was processed
             # even if no trailing zero-input batch was observed
@@ -1983,7 +1992,7 @@ def _q252(spark, sf_dir):
                     saw_data = True
             drained = saw_data and q.exception() is None
         assert drained, f"{name}: data batch never committed"
-        return spark.read.parquet(outdir)
+        return read_batched_parquet(spark, outdir, out.schema)
 
     import time
 
@@ -2141,6 +2150,36 @@ def q268(spark, sf_dir):
     )
 
 
+def _q269_chain(ev):
+    """The q269 operator chain, parameterized by the event stream so the
+    scale probe (bench/stream_state_probe.py --q269-chunked) can drive
+    the SAME two-state-operator plan through a chunked, time-ordered
+    replay: clicks joined to purchases within 10 minutes per user
+    (watermarked stream-stream interval join), rolled up to hourly
+    conversion counts (windowed agg)."""
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+    )
+    pairs = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return (
+        pairs.groupBy(F.window("click_ts", "60 minutes").alias("w"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(instant_as_utc_ntz("w.start").alias("h_start"), "n_pairs")
+    )
+
+
 @query(
     "q269_join_then_window_chain",
     # Horizon discipline: append mode emits a window once the
@@ -2191,27 +2230,7 @@ def q269(spark, sf_dir):
     mx = (
         t(spark, sf_dir, "events").agg(F.max("ts").alias("mx")).collect()[0]["mx"]
     )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select("user_id", F.col("ts").alias("click_ts"))
-        .withWatermark("click_ts", "0 seconds")
-    )
-    purch = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "0 seconds")
-    )
-    pairs = clicks.join(
-        purch,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("p_ts") >= F.col("click_ts"))
-        & (F.col("p_ts") < F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
-    )
-    hourly = (
-        pairs.groupBy(F.window("click_ts", "60 minutes").alias("w"))
-        .agg(F.count("*").alias("n_pairs"))
-        .select(instant_as_utc_ntz("w.start").alias("h_start"), "n_pairs")
-    )
+    hourly = _q269_chain(ev)
     # inlined run_to_memory so the query handle is observable: the
     # progress report must show TWO state operators (the interval join
     # and the hourly rollup) — pinned by tests/test_streaming.py

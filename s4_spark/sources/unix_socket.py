@@ -103,6 +103,12 @@ class _UnixLineBatchReader(DataSourceReader):
             yield (line,)
 
 
+class _ShortSpoolSlice(IOError):
+    """A spool roll resolved for a planned partition held fewer records
+    than the partition's [lo, hi) range — retryable (shared-filesystem
+    visibility lag), fatal if persistent (truncated roll)."""
+
+
 class _SpoolSlicePartition(InputPartition):
     """One executor-readable slice of the spool: global record indexes
     [lo, hi). Carries the spool DIRECTORY, not a file name — the reader
@@ -400,12 +406,29 @@ class _SpoolingStreamReader(DataSourceStreamReader):
                             break
                         if i >= partition.lo:
                             out.append((ln.rstrip("\n"),))
+                if len(out) != partition.hi - partition.lo:
+                    # Short slice: the resolved roll holds fewer than
+                    # partition.hi records — a non-fsynced append lost to
+                    # an OS crash after the offset was checkpointed, or
+                    # shared-filesystem visibility lag on the documented
+                    # cluster deployment. Silent loss would break the
+                    # source's exactly-once contract, so treat it like
+                    # the list/roll race: retry (visibility lag heals),
+                    # then raise so truncation surfaces as a TASK
+                    # FAILURE instead of missing rows.
+                    raise _ShortSpoolSlice(
+                        f"spool roll {path} served {len(out)} of "
+                        f"{partition.hi - partition.lo} records for "
+                        f"[{partition.lo}, {partition.hi})"
+                    )
                 return iter(out)
-            except FileNotFoundError:
+            except (FileNotFoundError, _ShortSpoolSlice):
                 time.sleep(0.05 * (attempt + 1))
-        raise FileNotFoundError(
-            f"spool roll under {partition.spool_dir} kept vanishing across "
-            f"retries while reading [{partition.lo}, {partition.hi})"
+        raise IOError(
+            f"spool roll under {partition.spool_dir} kept vanishing or "
+            f"truncating across retries while reading "
+            f"[{partition.lo}, {partition.hi}) — checkpointed records are "
+            "not durably readable; failing the task rather than dropping rows"
         )
 
     def commit(self, end: dict) -> None:

@@ -99,6 +99,43 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
+def idempotent_batch_sink(out: str):
+    """foreachBatch sink closure that lands each micro-batch under a
+    batchId-keyed directory, exactly once.
+
+    A plain ``mode("append")`` foreachBatch sink is NOT idempotent: a
+    batch retried after a partial parquet append duplicates rows, and an
+    ``isEmpty()`` probe before the write executes the batch plan twice.
+    Here each batch writes to ``b{batchId}.tmp`` and is atomically
+    renamed to ``b{batchId}`` — a retry of an already-landed batch is a
+    no-op (dir exists), a retry after a partial write overwrites the
+    .tmp and renames cleanly, and the batch plan executes exactly once
+    (empty batches land an empty-but-valid parquet dir; the pinned
+    read-back schema absorbs them)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(out, f"b{batch_id}")
+        if os.path.exists(bdir):
+            return  # batch already fully committed by a previous attempt
+        tmp = bdir + ".tmp"
+        batch_df.write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, bdir)
+
+    return sink
+
+
+def read_batched_parquet(spark: SparkSession, out: str, schema) -> DataFrame:
+    """Read back everything an :func:`idempotent_batch_sink` landed.
+    recursiveFileLookup walks the b{N} dirs WITHOUT treating them as
+    partition columns; the explicit schema keeps a zero-emission run an
+    empty frame rather than UNABLE_TO_INFER_SCHEMA."""
+    return (
+        spark.read.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+
+
 def run_to_parquet(
     df: DataFrame, mode: str = "update", tag: str = "q"
 ) -> DataFrame:
@@ -125,12 +162,8 @@ def run_to_parquet(
     os.makedirs(out, exist_ok=True)
     schema = df.schema
 
-    def sink(batch_df: DataFrame, _batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            batch_df.write.mode("append").parquet(out)
-
     q = (
-        df.writeStream.foreachBatch(sink)
+        df.writeStream.foreachBatch(idempotent_batch_sink(out))
         .queryName(name)
         .outputMode(mode)
         .trigger(availableNow=True)
@@ -138,7 +171,7 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
-    return df.sparkSession.read.schema(schema).parquet(out)
+    return read_batched_parquet(df.sparkSession, out, schema)
 
 
 def two_phase_replay(

@@ -555,3 +555,41 @@ def test_q269_join_then_window_is_one_query_two_state_ops(spark, duck):
     from s4_spark.queries.streaming import q269
 
     assert q269.last_state_operator_count == 2, q269.last_state_operator_count
+
+
+def test_idempotent_batch_sink_retry_and_partial_write(spark, tmp_path):
+    """ADVICE r10: a plain append foreachBatch sink duplicates rows when a
+    batch is retried after a partial write. The batchId-keyed sink must
+    (a) land a batch exactly once, (b) make a retry of a landed batch a
+    no-op, (c) heal a leftover partial .tmp from a crashed attempt, and
+    (d) read back empty (not UNABLE_TO_INFER_SCHEMA) when nothing landed."""
+    import os
+
+    from s4_spark.streaming.rigs import idempotent_batch_sink, read_batched_parquet
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    df = spark.range(5).select(F.col("id"))
+    sink = idempotent_batch_sink(out)
+
+    # (d) empty read-back before anything lands
+    assert read_batched_parquet(spark, out, df.schema).count() == 0
+
+    # simulate a crashed first attempt: partial .tmp exists, no b0
+    crash_tmp = os.path.join(out, "b0.tmp")
+    df.limit(2).write.parquet(crash_tmp)
+
+    # (c) retry overwrites the partial tmp and commits exactly the batch
+    sink(df, 0)
+    assert read_batched_parquet(spark, out, df.schema).count() == 5
+    assert not os.path.exists(crash_tmp)
+
+    # (b) re-delivery of a committed batch is a no-op — no duplicates
+    sink(df, 0)
+    assert read_batched_parquet(spark, out, df.schema).count() == 5
+
+    # (a) a second batch appends under its own key
+    sink(df, 1)
+    got = read_batched_parquet(spark, out, df.schema)
+    assert got.count() == 10
+    assert sorted(r.id for r in got.collect()) == sorted(list(range(5)) * 2)
