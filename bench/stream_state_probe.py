@@ -70,6 +70,42 @@ class _StateCapture(StreamingQueryListener):
         pass
 
 
+class _BatchProfile(StreamingQueryListener):
+    """Per-micro-batch profile: (query, batchId) -> input rows, trigger
+    execution ms, state rows/bytes. Lets a probe attribute an entry's
+    wall-clock to its phases (e.g. q235: append-only data batches vs
+    the watermark-release fold batch) instead of guessing from totals."""
+
+    def __init__(self) -> None:
+        self.batches: list[dict] = []
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self.batches.append(
+            {
+                "name": p.name,
+                "batchId": p.batchId,
+                "inputRows": p.numInputRows,
+                "ms": (p.durationMs or {}).get("triggerExecution"),
+                "stateRows": max(
+                    (op.numRowsTotal for op in p.stateOperators), default=0
+                ),
+                "stateBytes": max(
+                    (op.memoryUsedBytes for op in p.stateOperators), default=0
+                ),
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+
 def q269_chunked_probe(spark, sf_dir: str, chunks: int) -> dict:
     """Close q269's at-scale state contract with a MEASURED row
     (VERDICT r10 item 3). The registry entry's availableNow rig replays
@@ -156,6 +192,12 @@ def main() -> None:
     ap.add_argument("--only", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument(
+        "--batch-profile",
+        action="store_true",
+        help="also record a per-micro-batch profile (input rows, trigger "
+        "ms, state rows/bytes) for each probed entry",
+    )
+    ap.add_argument(
         "--q269-chunked",
         type=int,
         default=None,
@@ -209,6 +251,10 @@ def main() -> None:
         spark.catalog.clearCache()
         cap = _StateCapture()
         spark.streams.addListener(cap)
+        prof = None
+        if args.batch_profile:
+            prof = _BatchProfile()
+            spark.streams.addListener(prof)
         t0 = time.time()
         try:
             REGISTRY[name].fn(spark, args.sf_dir).write.mode("overwrite").format(
@@ -221,6 +267,8 @@ def main() -> None:
                 "state_rows_max": max(cap.ops.values(), default=0),
                 "state_ops": dict(sorted(cap.ops.items())),
             }
+            if prof is not None:
+                results[name]["batches"] = prof.batches
             print(f"{name}: {sec}s state_max={results[name]['state_rows_max']}",
                   file=sys.stderr)
         except Exception:
@@ -229,6 +277,8 @@ def main() -> None:
             traceback.print_exc()
         finally:
             spark.streams.removeListener(cap)
+            if prof is not None:
+                spark.streams.removeListener(prof)
 
     out = {"sf_dir": args.sf_dir, "results": results}
     line = json.dumps(out)
