@@ -154,6 +154,7 @@ def main() -> None:
         planted_cert(int(sys.argv[2]) if len(sys.argv) > 2 else 2000)
         return
     src, probe, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
     from s4_spark.queries import REGISTRY
     from s4_spark.session import get_spark
@@ -192,6 +193,8 @@ def main() -> None:
         "q120_simhash_neardup",
         "q121_ngram_jaccard_exact",
     ):
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         within, cross = split_counts(REGISTRY[name].fn(spark, probe))
         sec = round(time.time() - t0, 1)
@@ -209,6 +212,9 @@ def main() -> None:
     # q148 consumes the pair list into clusters; row count is the
     # cluster-membership table — timed for the scaling row, recall is
     # inherited from q111's candidate stage.
+    if only is not None and "q148_dedup_cluster_cc" not in only:
+        print(json.dumps(out))
+        return
     t0 = time.time()
     n148 = REGISTRY["q148_dedup_cluster_cc"].fn(spark, probe).count()
     out["entries"]["q148_dedup_cluster_cc"] = {

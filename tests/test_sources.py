@@ -456,3 +456,28 @@ def test_chunk_spool_latest_offset_monotone_after_drain(tmp_path):
     with open(chunk_path(spool, 3), "w") as f:
         f.write("r3\n")
     assert r2.latestOffset() == {"chunk": 3}
+
+
+def test_stream_reader_short_slice_fails_instead_of_dropping(tmp_path):
+    """ADVICE r10: a spool roll that holds fewer records than a planned
+    partition's [lo, hi) range (truncated by an OS crash after the
+    offset was checkpointed) must surface as a task failure, not a
+    silently short record set — the source's contract is exactly-once."""
+    import pytest as _pytest
+
+    sock = os.path.join(tempfile.gettempdir(), "s4_src_short.sock")
+    serve_lines(sock, b"a\nb\nc\n")
+    r = _SpoolingStreamReader(sock, str(tmp_path / "spool"))
+    got, off = drain(r, {"index": 0}, 3)
+    r.stop()
+    assert got == ["a", "b", "c"]
+    # truncate the spool roll to simulate a lost (non-fsynced) append
+    spool_file = next(
+        p for p in os.listdir(tmp_path / "spool") if p.startswith("spool-")
+    )
+    with open(tmp_path / "spool" / spool_file, "w", encoding="utf-8") as f:
+        f.write("a\n")
+    with _pytest.raises(IOError, match="truncat"):
+        replay(r, 0, 3)
+    # the intact prefix still replays fine
+    assert replay(r, 0, 1) == [("a",)]
