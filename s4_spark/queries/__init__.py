@@ -28,16 +28,20 @@ from s4_spark.queries import (  # noqa: F401,E402
 # tests/test_driver_window.py enforces all three properties.
 # Round-11 rotation (saturation steady state, standing rule "window
 # priority = code changed since last driver row, then staleness" —
-# VERDICT r8 item 1, applied per VERDICT r10 item 2). Leads: the 4
+# VERDICT r8 item 1, applied per VERDICT r10 item 2). Leads: the 5
 # entries whose implementation changed THIS round — q107/q108 (the
 # unix-socket executor read now asserts full-slice length and fails the
 # task on persistent truncation instead of silently dropping records,
 # ADVICE r10), q241 (rigs.run_to_parquet sink rebuilt batchId-keyed
 # idempotent, ADVICE r10), q252 (unconditional hour-scale drain guard +
-# the same idempotent sink inline, ADVICE r10). Then the ENTIRE
-# 25-entry r5-vintage cohort (every entry whose latest driver row is
-# r5, per the CORRECTNESS_r01..r10 union — VERDICT r10 item 2's list).
-# Then 18 r6-vintage fillers chosen for family spread (B3 ×8, B5 ×4,
+# the same idempotent sink inline, ADVICE r10), and q121 (candidate
+# generation rebuilt with the set-similarity PREFIX FILTER + length
+# filter after the un-prefixed inverted-index join exceeded the probe
+# box's disk envelope at ×1000 — provably complete at jac ≥ 0.5, pinned
+# by a threshold-boundary test). Then the ENTIRE 25-entry r5-vintage
+# cohort (every entry whose latest driver row is r5, per the
+# CORRECTNESS_r01..r10 union — VERDICT r10 item 2's list).
+# Then 17 r6-vintage fillers chosen for family spread (B3 ×7, B5 ×4,
 # B8 ×3, B10 ×1, B11 ×2), plus three canaries for families with no
 # r5/r6 survivors (B2: q010 r8, B6: q062 r8, B7: q070 r7). After this
 # window lands, the registry's latest-row floor rises to r6.
@@ -53,6 +57,7 @@ DRIVER_WINDOW = (
     "q108_unix_socket_listen_stream",
     "q241_transform_with_map_state_timers",
     "q252_state_ttl_eviction",
+    "q121_ngram_jaccard_exact",
     # ---- the full r5-vintage cohort (latest driver row = r5) ----
     "q041_pivot",
     "q042_unpivot",
@@ -88,7 +93,6 @@ DRIVER_WINDOW = (
     "q237_tpch_q20_shape",
     "q239_tpch_q22_shape",
     "q254_tpch_q4_shape",
-    "q255_tpch_q13_shape",
     # B5-windows
     "q219_windowed_funnel",
     "q222_event_transitions",

@@ -416,27 +416,68 @@ def q120(spark, sf_dir):
 
 @query("q121_ngram_jaccard_exact", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
 def q121(spark, sf_dir):
-    """Exact n-gram Jaccard dedup via inverted-index candidate generation:
-    explode shingles → join on shingle → distinct pairs → verify. Complete
-    for any threshold > 0 (pairs with jac ≥ t share a shingle), and never
-    materializes the quadratic pair space of docs with nothing in common."""
+    """Exact n-gram Jaccard dedup via PREFIX-FILTERED inverted-index
+    candidate generation (the set-similarity-join prefix principle —
+    public algorithm family: Chaudhuri et al. ICDE'06, Bayardo et al.
+    WWW'07 "all-pairs", Xiao et al. PPJoin):
+
+    explode shingles → per-doc prefix in a canonical rarest-first global
+    order → join on PREFIX shingle → length filter → distinct pairs →
+    exact verify.
+
+    Completeness (why indexing only the prefix loses nothing): order all
+    shingles totally by (global document frequency, shingle). jac(A,B) ≥
+    t forces overlap |A∩B| ≥ t·max(|A|,|B|) ≥ ⌈t·|X|⌉ for each doc X of
+    the pair, and any ⌈t·|X|⌉-subset of X must intersect X's first
+    |X| − ⌈t·|X|⌉ + 1 shingles in the total order — so both prefixes
+    contain a COMMON shingle and the prefix self-join emits the pair.
+    The length filter (min size ≥ t · max size, implied by jac ≥ t)
+    prunes survivors cheaply before the distinct.
+
+    Why it matters at scale: the full inverted-index join's candidate
+    volume is Σ_s df(s)² — on collision-heavy corpora (this one shares
+    a 31-word vocabulary, avg trigram df ≈ 8 per 5k-doc block) the
+    un-prefixed spelling measured >50 GB of shuffle spill at ×1000 (5M
+    docs), past the probe box's disk envelope. The t=0.5 prefix keeps
+    ~s/2+1 of s shingles per doc and rarest-first ordering biases the
+    indexed occurrences toward low-df shingles, cutting candidate
+    volume ~4× with zero recall loss (the oracle is the exact pair
+    list; equality is pinned at every gate SF). All added stages are
+    linear: one agg on shingle (df), one agg + window on doc_id
+    (sizes/prefix ranks), same-key shuffles that AQE/ReusedExchange
+    co-plan."""
+    from pyspark.sql import Window
+
+    T = 0.5
     docs = t(spark, sf_dir, "documents")
     inv = D.shingles_exploded(docs, "doc_id").withColumnRenamed("shingle", "s").distinct()
-    a, b = inv.alias("a"), inv.alias("b")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = inv.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        inv.join(dfreq, "s")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(T)) + 1)
+        .select("doc_id", "s", "sz")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # length filter: jac ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
+        .filter(F.col("a.sz") >= F.col("b.sz") * F.lit(T))
+        .filter(F.col("b.sz") >= F.col("a.sz") * F.lit(T))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
-        # NO barrier here, unlike q111: this corpus's 31-word shared
-        # vocabulary makes trigram collisions common, so the candidate
-        # set is large (unlike LSH's true-duplicate-scale buckets) and
-        # materializing it costs more than ReusedExchange's replay
-        # (measured 26s+ with a localCheckpoint vs 9.6s without, sf0.1)
+        # NO barrier here, unlike q111: the candidate set is still large
+        # relative to LSH buckets and materializing it costs more than
+        # ReusedExchange's replay (measured 26s+ with a localCheckpoint
+        # vs 9.6s without, sf0.1, pre-prefix)
     )
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
         verified.withColumn("jac", F.round("jac", 6))
-        .filter(F.col("jac") >= 0.5)
+        .filter(F.col("jac") >= T)
         .select("id_a", "id_b", "jac")
         .orderBy("id_a", "id_b")
     )

@@ -660,3 +660,53 @@ def test_recursive_cte_closure_depth_formula(spark, ks):
     got = {r.start_key: (r.n, r.terminal) for r in out}
     want = {k: (int(math.log2(k)) + 1, 1) for k in ks}
     assert got == want
+
+
+def test_q121_prefix_filter_complete_at_threshold_boundary(spark, tmp_path):
+    """The q121 prefix filter (set-similarity prefix lemma) must emit
+    every pair with jac >= 0.5 even at the lemma's worst cases:
+    (a) jac EXACTLY 0.5 with equal sizes (overlap exactly t*max — the
+    minimal-overlap pair the prefix bound is tight for);
+    (b) unequal sizes exactly at the length-filter boundary
+    (|B| = 2|A| with every A-shingle shared gives jac = |A|/|B| = 0.5);
+    (c) a just-below-threshold pair that must NOT appear (precision is
+    exact regardless — verification rejects it even if the prefix join
+    proposes it)."""
+    import os
+
+    from s4_spark.queries.registry import REGISTRY
+
+    def doc(tokens):
+        return " ".join(tokens)
+
+    # (a) s=48 shingles each (50 tokens), shared prefix 34 tokens -> 32
+    # shared shingles, jac = 32/(96-32) = 0.5 exactly
+    a1 = [f"a_{i}" for i in range(50)]
+    b1 = a1[:34] + [f"b_{i}" for i in range(16)]
+    # (b) A has 12 tokens (10 shingles), B = A + 10 fresh tokens tagged
+    # c_* (22 tokens, 20 shingles): every A-shingle shared except the 2
+    # straddling the boundary -> overlap 10? Construct exactly: B = A
+    # followed by c tokens; shared shingles = shingles fully inside A =
+    # 10; |B| shingles = 20; jac = 10/(10+20-10) = 0.5 exactly, sizes
+    # 10 vs 20 = the length-filter edge (min = t*max)
+    a2 = [f"d_{i}" for i in range(12)]
+    b2 = a2 + [f"c_{i}" for i in range(10)]
+    # (c) below threshold: 30 shared of 48/48 -> jac = 30/66 ~ 0.4545
+    a3 = [f"e_{i}" for i in range(50)]
+    b3 = a3[:32] + [f"f_{i}" for i in range(18)]
+    rows = [
+        (0, doc(a1)), (1, doc(b1)),
+        (10, doc(a2)), (11, doc(b2)),
+        (20, doc(a3)), (21, doc(b3)),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        os.path.join(sf, "documents.parquet")
+    )
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in REGISTRY["q121_ngram_jaccard_exact"].fn(spark, sf).collect()
+    }
+    assert set(got) == {(0, 1), (10, 11)}, got
+    assert got[(0, 1)] == 0.5 and got[(10, 11)] == 0.5, got
