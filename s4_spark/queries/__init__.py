@@ -34,11 +34,12 @@ from s4_spark.queries import (  # noqa: F401,E402
 # task on persistent truncation instead of silently dropping records,
 # ADVICE r10), q241 (rigs.run_to_parquet sink rebuilt batchId-keyed
 # idempotent, ADVICE r10), q252 (unconditional hour-scale drain guard +
-# the same idempotent sink inline, ADVICE r10), and q121 (candidate
-# generation rebuilt with the set-similarity PREFIX FILTER + length
-# filter after the un-prefixed inverted-index join exceeded the probe
-# box's disk envelope at ×1000 — provably complete at jac ≥ 0.5, pinned
-# by a threshold-boundary test). Then the ENTIRE 25-entry r5-vintage
+# the same idempotent sink inline, ADVICE r10), and q121 (rebuilt as
+# the inverted-index OVERLAP-COUNT exact join — jac closed-form from
+# o/(|A|+|B|−o), no per-pair set materialization — after the old
+# candidates-then-verify spelling moved O(800 GB) of shingle arrays at
+# ×1000 and died on spill disk; pinned by a threshold-boundary test).
+# Then the ENTIRE 25-entry r5-vintage
 # cohort (every entry whose latest driver row is r5, per the
 # CORRECTNESS_r01..r10 union — VERDICT r10 item 2's list).
 # Then 17 r6-vintage fillers chosen for family spread (B3 ×7, B5 ×4,

@@ -416,67 +416,69 @@ def q120(spark, sf_dir):
 
 @query("q121_ngram_jaccard_exact", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
 def q121(spark, sf_dir):
-    """Exact n-gram Jaccard dedup via PREFIX-FILTERED inverted-index
-    candidate generation (the set-similarity-join prefix principle —
-    public algorithm family: Chaudhuri et al. ICDE'06, Bayardo et al.
-    WWW'07 "all-pairs", Xiao et al. PPJoin):
+    """Exact n-gram Jaccard dedup via inverted-index OVERLAP COUNTING —
+    the group-count spelling of the exact set-similarity join:
 
-    explode shingles → per-doc prefix in a canonical rarest-first global
-    order → join on PREFIX shingle → length filter → distinct pairs →
-    exact verify.
+    explode shingles → hash → distinct → self-join on shingle →
+    groupBy(pair) count = |A∩B| → join sizes → jac = o/(|A|+|B|−o).
 
-    Completeness (why indexing only the prefix loses nothing): order all
-    shingles totally by (global document frequency, shingle). jac(A,B) ≥
-    t forces overlap |A∩B| ≥ t·max(|A|,|B|) ≥ ⌈t·|X|⌉ for each doc X of
-    the pair, and any ⌈t·|X|⌉-subset of X must intersect X's first
-    |X| − ⌈t·|X|⌉ + 1 shingles in the total order — so both prefixes
-    contain a COMMON shingle and the prefix self-join emits the pair.
-    The length filter (min size ≥ t · max size, implied by jac ≥ t)
-    prunes survivors cheaply before the distinct.
+    jac is computed CLOSED-FORM from the overlap count and the two set
+    sizes — no per-pair set materialization at any point. The previous
+    candidates-then-verify spelling re-joined every candidate pair to
+    both docs' shingle-set ARRAYS (~2 KB each side); at ×1000 (5M docs)
+    this corpus's 31-word shared vocabulary yields ~4×10⁸ candidate
+    pairs (measured 4.3×10⁷ at ×100), so the verify join alone moved
+    O(800 GB) — two scale probes died on shuffle-spill disk exhaustion
+    before any single stage finished. Here the widest structure is the
+    pair-overlap aggregation: 16-byte (id_a, id_b) rows with map-side
+    partial counts, one shuffle, linear in Σ_s df(s)².
 
-    Why it matters at scale: the full inverted-index join's candidate
-    volume is Σ_s df(s)² — on collision-heavy corpora (this one shares
-    a 31-word vocabulary, avg trigram df ≈ 8 per 5k-doc block) the
-    un-prefixed spelling measured >50 GB of shuffle spill at ×1000 (5M
-    docs), past the probe box's disk envelope. The t=0.5 prefix keeps
-    ~s/2+1 of s shingles per doc and rarest-first ordering biases the
-    indexed occurrences toward low-df shingles, cutting candidate
-    volume ~4× with zero recall loss (the oracle is the exact pair
-    list; equality is pinned at every gate SF). All added stages are
-    linear: one agg on shingle (df), one agg + window on doc_id
-    (sizes/prefix ranks), same-key shuffles that AQE/ReusedExchange
-    co-plan."""
-    from pyspark.sql import Window
+    Completeness is structural (any pair with jac > 0 shares a shingle
+    and is counted); precision is exact (o and sizes are exact, the
+    single final IEEE division matches the oracle's to the 6-dp round).
+    Shingles ride as xxhash64 — a collision MERGES two shingles and
+    could only create a tiny jac overestimate in theory, but sets are
+    per-doc distinct'd pre-hash and 5M docs × 48 shingles is ~2³⁸
+    birthday-paired vs 2⁶⁴ hash space (collision odds ~1e-8, none at
+    any gate SF — oracle equality pinned at sf0.001/0.01/0.1).
 
+    Scale notes: the sizes side (one row per doc) broadcasts under a
+    row-count gate; past it, the plan falls back to two shuffle joins —
+    at 100 TB the overlap agg dominates either way. The sublinear path
+    for such corpora remains q111/q120 (LSH candidates); this entry is
+    the exact-arm baseline and its cost is honestly Σ df², which this
+    adversarially collision-heavy synthetic corpus maximizes."""
     T = 0.5
     docs = t(spark, sf_dir, "documents")
-    inv = D.shingles_exploded(docs, "doc_id").withColumnRenamed("shingle", "s").distinct()
-    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    dfreq = inv.groupBy("s").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "s")
-    prefix = (
-        inv.join(dfreq, "s")
-        .join(sizes, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.col("sz") - F.ceil(F.col("sz") * F.lit(T)) + 1)
-        .select("doc_id", "s", "sz")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        # length filter: jac ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|)
-        .filter(F.col("a.sz") >= F.col("b.sz") * F.lit(T))
-        .filter(F.col("b.sz") >= F.col("a.sz") * F.lit(T))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    inv = (
+        D.shingles_exploded(docs, "doc_id")
+        .select("doc_id", F.xxhash64("shingle").alias("s"))
         .distinct()
-        # NO barrier here, unlike q111: the candidate set is still large
-        # relative to LSH buckets and materializing it costs more than
-        # ReusedExchange's replay (measured 26s+ with a localCheckpoint
-        # vs 9.6s without, sf0.1, pre-prefix)
     )
-    verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
+    sizes = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # one row per doc: broadcast below ~20M docs (~300 MB), else let the
+    # planner shuffle-join — the gate keeps the broadcast from becoming
+    # the scale-killer on a corpus with billions of docs
+    bcast = docs.count() <= 20_000_000
+    a, b = inv.alias("a"), inv.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("o"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("szb"))
+    if bcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
-        verified.withColumn("jac", F.round("jac", 6))
+        overlap.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jac",
+            F.round(F.col("o") / (F.col("sza") + F.col("szb") - F.col("o")), 6),
+        )
         .filter(F.col("jac") >= T)
         .select("id_a", "id_b", "jac")
         .orderBy("id_a", "id_b")

@@ -662,16 +662,14 @@ def test_recursive_cte_closure_depth_formula(spark, ks):
     assert got == want
 
 
-def test_q121_prefix_filter_complete_at_threshold_boundary(spark, tmp_path):
-    """The q121 prefix filter (set-similarity prefix lemma) must emit
-    every pair with jac >= 0.5 even at the lemma's worst cases:
-    (a) jac EXACTLY 0.5 with equal sizes (overlap exactly t*max — the
-    minimal-overlap pair the prefix bound is tight for);
-    (b) unequal sizes exactly at the length-filter boundary
+def test_q121_exact_join_complete_at_threshold_boundary(spark, tmp_path):
+    """q121's overlap-count exact join must emit every pair with
+    jac >= 0.5 and nothing below, including at the boundaries:
+    (a) jac EXACTLY 0.5 with equal sizes (minimal overlap at t);
+    (b) unequal sizes at the size-ratio edge
     (|B| = 2|A| with every A-shingle shared gives jac = |A|/|B| = 0.5);
-    (c) a just-below-threshold pair that must NOT appear (precision is
-    exact regardless — verification rejects it even if the prefix join
-    proposes it)."""
+    (c) a just-below-threshold pair that must NOT appear (the
+    closed-form o/(sza+szb-o) filter rejects it exactly)."""
     import os
 
     from s4_spark.queries.registry import REGISTRY
