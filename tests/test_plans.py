@@ -1652,3 +1652,20 @@ def test_unix_socket_stream_drain_is_partition_parallel(spark, tmp_path):
     assert all(parts == math.ceil(rows / 2) for rows, parts in seen), seen
     # and fan-out was actually observed (≥2 partitions in some batch)
     assert any(parts >= 2 for _, parts in seen), seen
+
+
+def test_q121_overlap_count_plan_has_no_set_materialization(spark):
+    """q121's width fix (round 11): exact jaccard must come from the
+    overlap COUNT aggregation, never from re-joining per-pair shingle-set
+    arrays (the shape that moved O(800 GB) at x1000 and died on spill).
+    Pins: (a) no collect_set / array build anywhere in the plan; (b) the
+    pair-overlap aggregation does a map-side partial combine (partial
+    HashAggregate BELOW its shuffle); (c) at gate SF the per-doc sizes
+    join is broadcast, not shuffled."""
+    p = plan(spark, "q121_ngram_jaccard_exact")
+    assert "collect_set" not in p, p
+    assert "collect_list" not in p, p
+    # partial-then-final agg pattern around an exchange: formatted plans
+    # print partial aggs as HashAggregate with "partial_count"
+    assert "partial_count" in p, p
+    assert "BroadcastHashJoin" in p, p
