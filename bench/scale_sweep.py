@@ -146,8 +146,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failed: list[str] = []
+    flaky: list[str] = []
     for name in names:
+        # ADVICE r11: a failure must not discard an earlier successful
+        # timing — the entry is FAILED only if every run failed; an
+        # entry with both a success and a failure keeps its min-of-N
+        # sample and is flagged in `flaky` for follow-up.
         best = None
+        run_failures = 0
         for _ in range(max(1, args.runs)):
             spark.catalog.clearCache()
             t0 = time.time()
@@ -158,15 +164,20 @@ def main() -> None:
                 sec = time.time() - t0
                 best = sec if best is None else min(best, sec)
             except Exception:
-                best = None
-                break
+                run_failures += 1
+                print(
+                    f"RUN-FAIL {name} after {round(time.time() - t0, 2)}s",
+                    file=sys.stderr,
+                )
+                traceback.print_exc()
         if best is not None:
             timings[name] = round(best, 2)
+            if run_failures:
+                flaky.append(name)
             print(f"{name}: {timings[name]}s", file=sys.stderr)
         else:
             failed.append(name)
-            print(f"FAIL {name} after {round(time.time() - t0, 2)}s", file=sys.stderr)
-            traceback.print_exc()
+            print(f"FAIL {name} (all {max(1, args.runs)} runs)", file=sys.stderr)
 
     out = {
         "sf_dir": args.sf_dir,
@@ -179,6 +190,9 @@ def main() -> None:
         "n": len(timings),
         "attempted": len(names),
         "failed": failed,
+        # entries that kept a successful min-of-N timing but had at
+        # least one failed run (ADVICE r11: distinct from `failed`)
+        "flaky": flaky,
         "total_sec": round(sum(timings.values()), 1),
         "outliers": sorted(
             (n for n, s in timings.items() if s > args.outlier_sec),

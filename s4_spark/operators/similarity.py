@@ -71,6 +71,16 @@ ALLPAIRS_DISPATCH_ROWS = 1_000
 ALLPAIRS_BROADCAST_ROWS = 1_000_000
 
 
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's metadata size estimate for ``df`` (for a file source:
+    file bytes × spark.sql.sources.fileCompressionFactor) — pure plan
+    stats, NO job. The cheap-gate primitive (ADVICE r11): dispatch /
+    broadcast decisions that only need order-of-magnitude input size
+    should read this instead of running an eager count() inside query
+    construction (which lands in every timed bench/sweep region)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
 def _exceeds_rows(df: DataFrame, n: int) -> bool:
     """True iff ``df`` has more than ``n`` rows, ruling out small inputs
     for free first: Catalyst's sizeInBytes estimate (pure metadata, no

@@ -26,92 +26,88 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-11 rotation (saturation steady state, standing rule "window
+# Round-12 rotation (saturation steady state, standing rule "window
 # priority = code changed since last driver row, then staleness" —
-# VERDICT r8 item 1, applied per VERDICT r10 item 2). Leads: the 5
-# entries whose implementation changed THIS round — q107/q108 (the
-# unix-socket executor read now asserts full-slice length and fails the
-# task on persistent truncation instead of silently dropping records,
-# ADVICE r10), q241 (rigs.run_to_parquet sink rebuilt batchId-keyed
-# idempotent, ADVICE r10), q252 (unconditional hour-scale drain guard +
-# the same idempotent sink inline, ADVICE r10), and q121 (rebuilt as
-# the inverted-index OVERLAP-COUNT exact join — jac closed-form from
-# o/(|A|+|B|−o), no per-pair set materialization — after the old
-# candidates-then-verify spelling moved O(800 GB) of shingle arrays at
-# ×1000 and died on spill disk; pinned by a threshold-boundary test).
-# Then the ENTIRE 25-entry r5-vintage
-# cohort (every entry whose latest driver row is r5, per the
-# CORRECTNESS_r01..r10 union — VERDICT r10 item 2's list).
-# Then 17 r6-vintage fillers chosen for family spread (B3 ×7, B5 ×4,
-# B8 ×3, B10 ×1, B11 ×2), plus three canaries for families with no
-# r5/r6 survivors (B2: q010 r8, B6: q062 r8, B7: q070 r7). After this
-# window lands, the registry's latest-row floor rises to r6.
+# VERDICT r8 item 1, applied per VERDICT r11 item 2). Leads: the 6
+# entries whose implementation changed THIS round — q121 (Σdf²-measured
+# scale dispatch to the LSH-verified arm + metadata-only broadcast
+# gate, VERDICT r11 item 5 / ADVICE r11), q211/q213 (per-element Python
+# loops vectorized to numpy inside the same mapInPandas iterators,
+# VERDICT r11 item 4; q198 windowed too — its mapInPandas shares the
+# reviewed shape even though its per-frame sha256 loop was already not
+# per-element), and q241/q252 (rigs.read_batched_parquet now reads only
+# COMMITTED b{N} dirs, never a leftover .tmp from a mid-commit stop —
+# ADVICE r11). Then the ENTIRE 23-entry r6-vintage cohort (every entry
+# whose latest driver row is r6, per the CORRECTNESS_r01..r11 union —
+# VERDICT r11 item 2's floor cohort). Then 18 of the 29 once-verified
+# r7 entries, chosen for family spread (B5: q259; B8: q265/q267/q276/
+# q277/q278/q280; B10: q262/q264/q275; the rest by name order), plus
+# three canaries for families with no r6/r7-stale survivors (B2: q013
+# r8, B6: q060 r9, B7: q071 r8). After this window lands, the
+# registry's latest-row floor rises to r7.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
-# round's window when never-verified entries outnumber the 50 slots;
-# empty (nothing is never-verified) — new entries added this round
-# displace fillers as they land.
+# round's window when NEVER-VERIFIED entries outnumber the 50 slots;
+# empty (nothing is never-verified — saturation steady state). The
+# round-13 staleness frontier, for the record: the 11 once-verified r7
+# entries that did not fit this round's slots — q266, q268, q269, q270,
+# q271, q272, q273, q274, q279, q281, q282 — then the r8 cohort.
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- implementation changed this round (round 11) ----
-    "q107_unix_socket_source",
-    "q108_unix_socket_listen_stream",
-    "q241_transform_with_map_state_timers",
-    "q252_state_ttl_eviction",
+    # ---- implementation changed this round (round 12) ----
     "q121_ngram_jaccard_exact",
-    # ---- the full r5-vintage cohort (latest driver row = r5) ----
-    "q041_pivot",
-    "q042_unpivot",
-    "q048_recursive_cte",
-    "q049_pipe_sql",
-    "q169_source_cap",
-    "q175_repeated_ngram_spans",
-    "q176_training_shard_export",
-    "q177_vocab_induction_oov",
-    "q178_train_val_test_split",
-    "q179_dedup_within_watermark",
-    "q180_bm25_retrieval",
-    "q181_incremental_shard_refresh",
-    "q183_epoch_shuffle",
-    "q184_file_provenance",
-    "q186_bpe_merge_learn",
-    "q187_bpe_apply_compression",
-    "q188_lm_familiarity_filter",
-    "q189_dataset_card_profile",
-    "q190_fuzzy_decontamination",
-    "q191_token_budget_prefix_cut",
-    "q195_cdc_apply",
-    "q203_snapshot_index_dedup",
-    "q206_quality_classifier_filter",
-    "q207_trigram_novelty",
-    "q209_streaming_index_maintenance",
-    # ---- r6-vintage fillers (staleness next; family spread) ----
-    # B3-joins
-    "q217_point_in_time_join",
-    "q218_asof_join_tolerance",
-    "q223_tpch_q18_shape",
-    "q236_tpch_q17_shape",
-    "q237_tpch_q20_shape",
-    "q239_tpch_q22_shape",
-    "q254_tpch_q4_shape",
-    # B5-windows
-    "q219_windowed_funnel",
-    "q222_event_transitions",
-    "q229_event_streaks",
-    "q231_cusum_changepoint",
-    # B8-functions
-    "q244_sql_scripting",
-    "q249_try_functions",
-    "q250_collated_strings",
-    # B10-udfs
-    "q245_polymorphic_udtf",
-    # B11-llm
+    "q198_video_frame_sampling",
     "q211_audio_segment_plumbing",
     "q213_image_resize_features",
-    # ---- canaries (B2/B6/B7 have no r5/r6 survivors) ----
-    "q010_projection",
-    "q062_per_group_topk",
-    "q070_union",
+    "q241_transform_with_map_state_timers",
+    "q252_state_ttl_eviction",
+    # ---- the full r6-vintage cohort (latest driver row = r6) ----
+    "q094_watermark_late_drop",
+    "q165_stream_stream_outer_join",
+    "q174_transform_with_state",
+    "q210_balanced_write",
+    "q212_packed_loss_masks",
+    "q214_manifest_time_travel",
+    "q215_per_group_regression",
+    "q220_cohort_retention",
+    "q221_domain_quality_propagation",
+    "q225_rank_blend_quality",
+    "q227_rfm_segmentation",
+    "q228_weighted_sample",
+    "q230_winsorized_stats",
+    "q233_training_pipeline_e2e",
+    "q234_streaming_funnel",
+    "q235_streaming_funnel_reordered",
+    "q238_funnel_state_introspection",
+    "q240_transform_with_list_state",
+    "q247_transform_with_initial_state",
+    "q248_streaming_progress_metrics",
+    "q251_rocksdb_changelog_restart",
+    "q255_tpch_q13_shape",
+    "q256_tpch_q19_shape",
+    # ---- stalest r7 (once-verified; family spread first) ----
+    "q008_console_sink",
+    "q162_kmeans_ivf_fit",
+    "q253_chi2_token_association",
+    "q257_approx_top_k_sketch",
+    "q258_chained_streaming_aggs",
+    "q259_ewma_smoothing",
+    "q260_aqe_skew_join",
+    "q261_tpch_q15_shape",
+    "q262_grouped_applyInArrow",
+    "q263_bucket_pruning",
+    "q264_iter_pandas_udf",
+    "q265_parameterized_sql",
+    "q267_convert_timezone",
+    "q275_pandas_api_on_spark",
+    "q276_sql_ergonomics",
+    "q277_recursive_cte",
+    "q278_sql_udf",
+    "q280_xml_roundtrip",
+    # ---- canaries (B2/B6/B7 have no r6/r7-stale survivors) ----
+    "q013_null_predicates",
+    "q060_global_sort",
+    "q071_intersect",
 )
 
 

@@ -414,6 +414,26 @@ def q120(spark, sf_dir):
     return _q120_verified_pairs(spark, docs, cands)
 
 
+#: q121 scale dispatch (VERDICT r11 item 5). The exact arm's cost is
+#: Σ_s df(s)² — honest but unbounded under adversarial vocabulary
+#: concentration, which corpus SIZE alone cannot see. So past a cheap
+#: metadata size gate the entry MEASURES Σdf² with one linear
+#: aggregation over the inverted index (O(|inv|), tiny next to the
+#: O(Σdf²) join it guards) and falls back to the LSH-verified arm when
+#: the exact arm would blow up. Calibration (2026-08-16, DuckDB on the
+#: salted probe dirs): Σdf² = 2.79e7 / 2.79e8 / 2.79e9 at ×10/×100/×1000
+#: — LINEAR per decade, because make_scaled_sf's injective per-copy
+#: vocab rename holds per-shingle df constant — and the ×1000 exact arm
+#: ran 187.7 s; the 2e10 ceiling is ~7× that measurement (≈ 20-25 min
+#: extrapolated), past which only the LSH arm is defensible.
+Q121_MEASURE_GATE_BYTES = 8 * 1024 * 1024  # all driver SFs + ×10 skip free
+Q121_EXACT_MAX_SUM_DF2 = 20_000_000_000
+#: sizes side is 16 B/doc; a docs scan under this estimate implies a
+#: comfortably broadcastable sizes frame (~100 B/doc on disk → ≤ ~20M
+#: docs ≈ 300 MB broadcast, the same ceiling the old count() gate set)
+Q121_BCAST_MAX_BYTES = 2 * 1024**3
+
+
 @query("q121_ngram_jaccard_exact", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
 def q121(spark, sf_dir):
     """Exact n-gram Jaccard dedup via inverted-index OVERLAP COUNTING —
@@ -442,12 +462,23 @@ def q121(spark, sf_dir):
     birthday-paired vs 2⁶⁴ hash space (collision odds ~1e-8, none at
     any gate SF — oracle equality pinned at sf0.001/0.01/0.1).
 
+    Scale dispatch (VERDICT r11 item 5, q120's dual-regime pattern):
+    past Q121_MEASURE_GATE_BYTES of input (pure plan-stats metadata, no
+    job — every driver SF and the ×10 sweep skip it free) the entry
+    measures Σdf² with one linear aggregation and, above
+    Q121_EXACT_MAX_SUM_DF2, dispatches the candidate stage to
+    MinHash-LSH (q120's above-gate arm: 32×3 banding tuned for this
+    0.5 threshold, exact verification downstream) — identical rows up
+    to the documented P(miss | jac=0.5) ≈ 1.4% banding floor, measured
+    98.55% recall on constructed boundary pairs (r11 planted cert).
+    Below the ceiling the exact arm runs as declared; the ×1000 salted
+    probe measures Σdf² = 2.79e9 and stays exact (187.7 s, r11).
+
     Scale notes: the sizes side (one row per doc) broadcasts under a
-    row-count gate; past it, the plan falls back to two shuffle joins —
-    at 100 TB the overlap agg dominates either way. The sublinear path
-    for such corpora remains q111/q120 (LSH candidates); this entry is
-    the exact-arm baseline and its cost is honestly Σ df², which this
-    adversarially collision-heavy synthetic corpus maximizes."""
+    metadata size gate (ADVICE r11: the old count() gate was an eager
+    full scan inside every timed construction); past it, the plan falls
+    back to two shuffle joins — at 100 TB the overlap agg dominates
+    either way."""
     T = 0.5
     docs = t(spark, sf_dir, "documents")
     inv = (
@@ -455,11 +486,22 @@ def q121(spark, sf_dir):
         .select("doc_id", F.xxhash64("shingle").alias("s"))
         .distinct()
     )
+    docs_bytes = S.plan_size_bytes(docs)
+    if docs_bytes > Q121_MEASURE_GATE_BYTES:
+        # the measurement and the final plan both consume inv — pay the
+        # explode+hash+distinct shuffle once (16 B/row checkpoint, ~4.5 GB
+        # at the ×1000 probe), not twice
+        inv = inv.localCheckpoint(eager=True)
+        sum_df2 = (
+            inv.groupBy("s")
+            .agg(F.count("*").alias("d"))
+            .agg(F.sum(F.col("d") * F.col("d")).alias("sum_df2"))
+            .collect()[0]["sum_df2"]
+        ) or 0
+        if sum_df2 > Q121_EXACT_MAX_SUM_DF2:
+            return _q120_verified_pairs(spark, docs, _q120_minhash_candidates(docs))
     sizes = inv.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # one row per doc: broadcast below ~20M docs (~300 MB), else let the
-    # planner shuffle-join — the gate keeps the broadcast from becoming
-    # the scale-killer on a corpus with billions of docs
-    bcast = docs.count() <= 20_000_000
+    bcast = docs_bytes <= Q121_BCAST_MAX_BYTES
     a, b = inv.alias("a"), inv.alias("b")
     overlap = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -1341,25 +1383,46 @@ def q211(spark, sf_dir):
     )
 
     def segment(batches):
+        import numpy as np
+
         for pdf in batches:
-            out = []
+            frames = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if len(payload) < _SEG_SIZE:
                     continue
                 n_segs = (len(payload) - _SEG_SIZE) // _SEG_STRIDE + 1
-                for j in range(n_segs):
-                    chunk = payload[j * _SEG_STRIDE : j * _SEG_STRIDE + _SEG_SIZE]
-                    energy = sum(ord(c) % 16 for c in chunk)
-                    out.append(
-                        (
-                            int(doc_id),
-                            j,
-                            energy,
-                            int(energy >= _SEG_ENERGY_MIN),
-                        )
+                # exact codepoints (utf-32-le == ord per char), then the
+                # overlapping-window energies via one prefix-sum: window
+                # j covers [j*stride, j*stride+size), so its sum is
+                # cs[start+size] - cs[start] — no per-character Python
+                # loop (VERDICT r11 item 4).
+                cp = np.frombuffer(
+                    payload.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                cs = np.concatenate(([0], np.cumsum(cp % 16)))
+                starts = np.arange(n_segs, dtype=np.int64) * _SEG_STRIDE
+                energy = cs[starts + _SEG_SIZE] - cs[starts]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.full(n_segs, int(doc_id), dtype=np.int64),
+                            "seg_idx": np.arange(n_segs, dtype=np.int64),
+                            "energy": energy,
+                            "kept": (energy >= _SEG_ENERGY_MIN).astype(np.int64),
+                        }
                     )
-            yield pd.DataFrame(
-                out, columns=["doc_id", "seg_idx", "energy", "kept"]
+                )
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(dtype="int64"),
+                        "seg_idx": pd.Series(dtype="int64"),
+                        "energy": pd.Series(dtype="int64"),
+                        "kept": pd.Series(dtype="int64"),
+                    }
+                )
             )
 
     return docs.mapInPandas(
@@ -1421,19 +1484,29 @@ def q213(spark, sf_dir):
     )
 
     def resize_features(batches):
+        import numpy as np
+
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w = 32
-                in_h = len(payload) // w
+                # exact codepoints, vectorized: utf-32-le is one uint32
+                # per character (== ord()), so the whole raster becomes
+                # a numpy grid and the resize is a strided slice — no
+                # per-pixel Python loop (VERDICT r11 item 4; the loop
+                # was 256 interpreter ops/KB of payload).
+                cp = np.frombuffer(
+                    payload.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                in_h = cp.size // w
                 out_h, out_w = in_h // 2, w // 2  # stride-2 both axes
-                pixel_sum = 0
-                row_weighted = 0
-                for r in range(out_h):
-                    for c in range(out_w):
-                        v = ord(payload[(2 * r) * w + 2 * c])
-                        pixel_sum += v
-                        row_weighted += (r + 1) * v
+                sub = cp[: in_h * w].reshape(in_h, w)[
+                    : 2 * out_h : 2, : 2 * out_w : 2
+                ]
+                pixel_sum = int(sub.sum())
+                row_weighted = int(
+                    ((np.arange(out_h, dtype=np.int64) + 1)[:, None] * sub).sum()
+                )
                 out.append(
                     (int(doc_id), in_h, out_h, out_w, pixel_sum, row_weighted)
                 )

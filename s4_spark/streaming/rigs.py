@@ -111,7 +111,17 @@ def idempotent_batch_sink(out: str):
     no-op (dir exists), a retry after a partial write overwrites the
     .tmp and renames cleanly, and the batch plan executes exactly once
     (empty batches land an empty-but-valid parquet dir; the pinned
-    read-back schema absorbs them)."""
+    read-back schema absorbs them).
+
+    LOCAL-FILESYSTEM ONLY (ADVICE r11): the commit protocol runs
+    ``os.path.exists`` / ``os.replace`` on the DRIVER's POSIX view of
+    ``out`` while ``batch_df.write`` goes through the Hadoop FS layer —
+    the two coincide (and the rename is atomic) only for driver-local
+    paths, which is what every rig here uses. A cluster deployment on
+    an object store or HDFS must route the exists/rename through the
+    Hadoop FileSystem API instead (object-store renames are also
+    non-atomic, so there the b{N} marker should be a zero-byte commit
+    file, not a directory rename)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         bdir = os.path.join(out, f"b{batch_id}")
@@ -126,13 +136,25 @@ def idempotent_batch_sink(out: str):
 
 def read_batched_parquet(spark: SparkSession, out: str, schema) -> DataFrame:
     """Read back everything an :func:`idempotent_batch_sink` landed.
-    recursiveFileLookup walks the b{N} dirs WITHOUT treating them as
-    partition columns; the explicit schema keeps a zero-emission run an
-    empty frame rather than UNABLE_TO_INFER_SCHEMA."""
+
+    Only COMMITTED batch dirs (``b{N}``, post-rename) are read: a query
+    stopped between the parquet job commit and the ``os.replace`` —
+    reachable via q252's deliberate mid-cleanup ``q.stop()`` — leaves a
+    ``b{N}.tmp`` behind, and the previous recursiveFileLookup over the
+    whole sink dir surfaced those uncommitted rows (ADVICE r11). The
+    explicit schema keeps a zero-emission run an empty frame rather
+    than UNABLE_TO_INFER_SCHEMA."""
+    committed = sorted(
+        os.path.join(out, d)
+        for d in (os.listdir(out) if os.path.isdir(out) else [])
+        if d.startswith("b") and not d.endswith(".tmp")
+    )
+    if not committed:
+        return spark.createDataFrame([], schema)
     return (
         spark.read.schema(schema)
         .option("recursiveFileLookup", "true")
-        .parquet(out)
+        .parquet(*committed)
     )
 
 

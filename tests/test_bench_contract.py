@@ -1,0 +1,101 @@
+"""bench.py stdout-line contract (VERDICT r11 item 1).
+
+The round driver captures only a 2,000-char tail of bench.py's stdout;
+round 11's line grew to ~4 KB (the full idle per-query series was
+embedded) and arrived truncated, so BENCH_r11.json recorded
+``parsed: null``. These tests pin the emission contract: the line must
+stay under 1,800 chars even with worst-case numeric widths, and must
+carry the fields the driver and BASELINE.md consumers rely on — live
+total, live per-query maps, idle_value, idle_git_sha.
+
+No SparkSession needed: bench.build_payload/emit_line are pure.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _worst_case_payload():
+    # Every continuity key (36 queries + stream_ingest_1m) and every
+    # extended key at a pessimistic 5-digit-seconds width; idle scalars
+    # present. This is strictly wider than any plausible sf0.1 run.
+    results = {name: 99999.999 for name in bench.HEADLINE}
+    results["stream_ingest_1m"] = 99999.999
+    extended = {name: 99999.999 for name in bench.EXTENDED}
+    idle = {"value": 99999.999, "git_sha": "0123456789ab"}
+    return bench.build_payload(
+        round(sum(results.values()), 3),
+        results,
+        extended,
+        "0.1",
+        "4.1.2",
+        idle,
+    )
+
+
+def test_line_fits_driver_tail_capture():
+    line = bench.emit_line(_worst_case_payload())
+    assert len(line) < 1800, (
+        f"bench stdout line is {len(line)} chars; the driver tail capture "
+        "is 2,000 — keep headroom (full idle series belongs in "
+        "bench/idle-sf*.json, never on stdout)"
+    )
+    # and it must be a single line
+    assert "\n" not in line
+
+
+def test_line_round_trips_with_required_fields():
+    payload = _worst_case_payload()
+    parsed = json.loads(bench.emit_line(payload))
+    for field in (
+        "metric",
+        "value",
+        "unit",
+        "queries",
+        "queries_extended",
+        "extended_total",
+        "sf",
+        "idle_value",
+        "idle_git_sha",
+    ):
+        assert field in parsed, field
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    # continuity invariant: value == sum(queries.values())
+    assert parsed["value"] == pytest.approx(sum(parsed["queries"].values()))
+    # the full idle series must NOT be embedded (that is what overflowed)
+    assert "idle" not in parsed
+    assert isinstance(parsed["idle_value"], float)
+
+
+def test_idle_scalars_omitted_when_no_recording():
+    payload = bench.build_payload(1.0, {"q001_parquet_scan": 1.0}, {}, "0.1", "4.1.2", None)
+    parsed = json.loads(bench.emit_line(payload))
+    assert "idle_value" not in parsed
+    assert "idle" not in parsed
+
+
+def test_recorded_idle_file_matches_emitted_scalars():
+    """The checked-in idle recording must itself be consistent with what
+    the emission path would surface from it."""
+    idle_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench",
+        "idle-sf0.1.json",
+    )
+    if not os.path.exists(idle_path):
+        pytest.skip("no idle recording present")
+    with open(idle_path) as f:
+        idle = json.load(f)
+    payload = bench.build_payload(30.0, {"q001_parquet_scan": 30.0}, {}, "0.1", "4.1.2", idle)
+    assert payload["idle_value"] == idle["value"]
+    assert payload["idle_git_sha"] == idle["git_sha"]
+    # the recording keeps the full series for triage
+    assert set(idle["queries"]) == set(bench.HEADLINE) | {"stream_ingest_1m"}

@@ -1669,3 +1669,40 @@ def test_q121_overlap_count_plan_has_no_set_materialization(spark):
     # print partial aggs as HashAggregate with "partial_count"
     assert "partial_count" in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_q121_gates_are_metadata_only_at_driver_sfs(spark):
+    """ADVICE r11: q121's construction must not run an eager count()/
+    measurement job at any driver gate SF — the plan-stats size estimate
+    of every testdata documents table sits under the measure gate, so
+    both the Σdf² measurement and the broadcast decision are free."""
+    from s4_spark.operators import similarity as S
+    from s4_spark.queries import llm as L
+
+    for sf in ("/root/testdata/sf0.001", SF_DIR, "/root/testdata/sf0.1"):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        est = S.plan_size_bytes(docs)
+        assert 0 < est <= L.Q121_MEASURE_GATE_BYTES, (sf, est)
+        assert est <= L.Q121_BCAST_MAX_BYTES, (sf, est)
+
+
+def test_q121_dispatches_above_df2_ceiling(spark, monkeypatch):
+    """VERDICT r11 item 5: forcing the measure gate and the Σdf² ceiling
+    under the sf0.01 corpus must route q121 through the LSH-verified arm
+    (q120's above-gate candidate stage + the shared exact verification)
+    and return the exact arm's rows — this corpus has no pairs in the
+    banding's probabilistic miss band (nothing below jac = 0.8), and the
+    minhash seeds are fixed, so equality is deterministic here."""
+    from s4_spark.queries import llm as L
+
+    want = [tuple(r) for r in L.q121(spark, SF_DIR).collect()]
+    monkeypatch.setattr(L, "Q121_MEASURE_GATE_BYTES", 0)
+    monkeypatch.setattr(L, "Q121_EXACT_MAX_SUM_DF2", 0)
+    got = [tuple(r) for r in L.q121(spark, SF_DIR).collect()]
+    assert got == want and len(got) > 0
+
+    # and with only the measure gate forced (ceiling untouched), the
+    # measured Σdf² of 500 docs stays under 2e10 → exact arm unchanged
+    monkeypatch.setattr(L, "Q121_EXACT_MAX_SUM_DF2", 20_000_000_000)
+    got_exact = [tuple(r) for r in L.q121(spark, SF_DIR).collect()]
+    assert got_exact == want

@@ -593,3 +593,15 @@ def test_idempotent_batch_sink_retry_and_partial_write(spark, tmp_path):
     got = read_batched_parquet(spark, out, df.schema)
     assert got.count() == 10
     assert sorted(r.id for r in got.collect()) == sorted(list(range(5)) * 2)
+
+    # (e) ADVICE r11: an UNCOMMITTED leftover .tmp (query stopped between
+    # the parquet job commit and the os.replace — q252's deliberate
+    # q.stop() path) must NOT surface rows in the read-back
+    df.limit(3).write.parquet(os.path.join(out, "b2.tmp"))
+    assert read_batched_parquet(spark, out, df.schema).count() == 10
+
+    # (f) nonexistent sink dir reads back empty, same as a bare one
+    assert (
+        read_batched_parquet(spark, str(tmp_path / "never"), df.schema).count()
+        == 0
+    )
