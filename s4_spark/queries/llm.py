@@ -1385,44 +1385,51 @@ def q211(spark, sf_dir):
     def segment(batches):
         import numpy as np
 
+        empty = {
+            "doc_id": pd.Series(dtype="int64"),
+            "seg_idx": pd.Series(dtype="int64"),
+            "energy": pd.Series(dtype="int64"),
+            "kept": pd.Series(dtype="int64"),
+        }
         for pdf in batches:
-            frames = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if len(payload) < _SEG_SIZE:
-                    continue
-                n_segs = (len(payload) - _SEG_SIZE) // _SEG_STRIDE + 1
-                # exact codepoints (utf-32-le == ord per char), then the
-                # overlapping-window energies via one prefix-sum: window
-                # j covers [j*stride, j*stride+size), so its sum is
-                # cs[start+size] - cs[start] — no per-character Python
-                # loop (VERDICT r11 item 4).
-                cp = np.frombuffer(
-                    payload.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                cs = np.concatenate(([0], np.cumsum(cp % 16)))
-                starts = np.arange(n_segs, dtype=np.int64) * _SEG_STRIDE
-                energy = cs[starts + _SEG_SIZE] - cs[starts]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "doc_id": np.full(n_segs, int(doc_id), dtype=np.int64),
-                            "seg_idx": np.arange(n_segs, dtype=np.int64),
-                            "energy": energy,
-                            "kept": (energy >= _SEG_ENERGY_MIN).astype(np.int64),
-                        }
-                    )
-                )
-            yield (
-                pd.concat(frames, ignore_index=True)
-                if frames
-                else pd.DataFrame(
-                    {
-                        "doc_id": pd.Series(dtype="int64"),
-                        "seg_idx": pd.Series(dtype="int64"),
-                        "energy": pd.Series(dtype="int64"),
-                        "kept": pd.Series(dtype="int64"),
-                    }
-                )
+            # WHOLE-BATCH vectorization (VERDICT r11 item 4): every
+            # payload of the Arrow batch is concatenated into ONE
+            # codepoint array (utf-32-le == exact ord() per char), one
+            # prefix-sum serves every window of every doc — window j of
+            # doc d covers [off_d + j*stride, +size), so its energy is
+            # cs[start+size] - cs[start]. No per-character loop, no
+            # per-doc numpy/DataFrame overhead (the per-doc spelling
+            # measured SLOWER than the original loop on short docs —
+            # allocation overhead, not arithmetic, was the cost).
+            keep = [p for p in pdf["payload"] if len(p) >= _SEG_SIZE]
+            kept_ids = [
+                int(i)
+                for i, p in zip(pdf["doc_id"], pdf["payload"])
+                if len(p) >= _SEG_SIZE
+            ]
+            if not keep:
+                yield pd.DataFrame(empty)
+                continue
+            cp = np.frombuffer(
+                "".join(keep).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(cp % 16)))
+            lens = np.fromiter((len(p) for p in keep), dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            n_segs = (lens - _SEG_SIZE) // _SEG_STRIDE + 1
+            doc_of_seg = np.repeat(np.arange(lens.size), n_segs)
+            seg_idx = np.arange(int(n_segs.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_segs)))[:-1], n_segs
+            )
+            starts = offs[doc_of_seg] + seg_idx * _SEG_STRIDE
+            energy = cs[starts + _SEG_SIZE] - cs[starts]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(kept_ids, dtype=np.int64)[doc_of_seg],
+                    "seg_idx": seg_idx,
+                    "energy": energy,
+                    "kept": (energy >= _SEG_ENERGY_MIN).astype(np.int64),
+                }
             )
 
     return docs.mapInPandas(
