@@ -507,7 +507,7 @@ def q140(spark, sf_dir):
 Q141_GATE_ROWS = 20_000
 
 
-def _q141_candidate_top10(e, n_rows, *, fixed_seed_ids):
+def _q141_candidate_top10(e, n_rows, *, fixed_seed_ids, force_gate=False):
     """Cluster-pruned candidate global top-10 for a corpus (slice) of
     ``n_rows`` vectors. In the gate regime this is the round-7 plan
     verbatim; above it, k = √N cells keep per-cell work bounded (work
@@ -562,7 +562,16 @@ def _q141_candidate_top10(e, n_rows, *, fixed_seed_ids):
 
     import math
 
-    gate = n_rows <= Q141_GATE_ROWS
+    # force_gate pins the 16-cell gate mechanism regardless of n_rows:
+    # the recall-certification arm samples ceil(N/GATE) hash buckets,
+    # whose bucket-0 size is binomial around GATE — at the ×1000 probe
+    # it landed at 20,241 (> 20,000), silently flipping the cert run
+    # into the √N-cell regime (142 cells), whose recall on near-uniform
+    # vectors is NOT the contract being certified (measured recall_ok
+    # false at ×1000, round 12). The cert's documented intent is "a
+    # gate-shaped candidate run on the subsample"; the caller now says
+    # so explicitly instead of depending on sampling variance.
+    gate = force_gate or n_rows <= Q141_GATE_ROWS
     k_cells = 16 if gate else max(16, math.isqrt(n_rows))
     # branch on the regime itself, not k_cells == 16 (a proxy that
     # inverts for gates below 257, where isqrt(n_rows) <= 16 on a
@@ -654,7 +663,12 @@ def q141(spark, sf_dir):
     bucket 0): the exact reference and a gate-shaped candidate run both
     execute on the subsample, where all-pairs is the kernel's
     comfortable regime, while the operator's own full-corpus candidate
-    stage still runs at scale and feeds n_pairs. At or below
+    stage still runs at scale and feeds n_pairs. The cert run pins its
+    regime with force_gate=True (round-12 fix): bucket-0 size is
+    binomial around 20k, and at the ×1000 probe it drew 20,241 —
+    crossing the gate by sampling variance silently re-pointed the
+    certification at the √N-cell mechanism (recall_ok false at 2M
+    vectors; re-measured true after the pin). At or below
     Q141_GATE_ROWS (every driver-gate SF and the ×10 probe) bucket
     count is 1, the subsample IS the corpus, and the whole entry is the
     round-7 formulation value-for-value."""
@@ -673,7 +687,7 @@ def q141(spark, sf_dir):
         )
         n_cert = cert_corpus.count()
         cert_approx = _q141_candidate_top10(
-            cert_corpus, n_cert, fixed_seed_ids=False
+            cert_corpus, n_cert, fixed_seed_ids=False, force_gate=True
         )
     exact10 = S.allpairs_topk_cosine(cert_corpus, k=10, known_rows=n_cert)
     hits = cert_approx.select("id_a", "id_b").intersect(

@@ -268,6 +268,35 @@ def test_q141_scaled_path_runs_and_certifies(spark, monkeypatch):
     assert isinstance(r.recall_ok, bool)
 
 
+def test_q141_cert_arm_forces_gate_regime(spark, monkeypatch):
+    """Round-12 ×1000 finding: the cert subsample's bucket-0 size is
+    binomial around Q141_GATE_ROWS (drew 20,241 > 20,000 at 2M vectors),
+    and crossing the gate by sampling variance silently re-pointed the
+    certification at the √N-cell mechanism — recall_ok false on a
+    corpus whose contract was green at every smaller scale. The cert
+    call now pins force_gate=True; this test drives the helper both
+    ways on the sf0.01 corpus (500 vectors) with an n_rows ABOVE the
+    gate and asserts the seed count the assignment receives: 16 (gate
+    mechanism) under force_gate, isqrt(n_rows) otherwise."""
+    from s4_spark.operators import similarity as S
+    from s4_spark.queries import training as T
+    from s4_spark.queries.helpers import t as load
+
+    seen = []
+    orig = S.ivf_assign_batched
+
+    def spy(*args, **kwargs):
+        cents = kwargs.get("cents", args[3] if len(args) > 3 else None)
+        seen.append(len(cents))
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(T.S, "ivf_assign_batched", spy)
+    e = load(spark, SF_DIR, "embeddings")
+    T._q141_candidate_top10(e, 25_000, fixed_seed_ids=False, force_gate=True).collect()
+    T._q141_candidate_top10(e, 25_000, fixed_seed_ids=False).collect()
+    assert seen == [16, 158], seen  # isqrt(25000) == 158
+
+
 def test_time_rollup_single_scan_expand(spark):
     """q144: the 4-level rollup reads events ONCE and multiplies rows via
     Expand (map-side combined) — never one scan per grouping level."""
