@@ -526,10 +526,25 @@ def q249(spark, sf_dir):
     oracle spells the same semantics in DuckDB (NULLIF guard,
     TRY_CAST, a CASE for the always-overflowing add). Complements
     q082's plain math battery: same expressions, the failure-path
-    contract."""
+    contract.
+
+    Scale shape (round-12): the top-200 is taken BEFORE the try_*
+    projection. The ordering key (o_orderkey) needs none of the
+    computed columns, but projecting first evaluated the battery on
+    every input row inside TakeOrderedAndProject — and try_* failure
+    paths are exception-backed (~9 µs/row measured), so the ×10 probe
+    paid 13.4 s to compute 1.5M try_casts and keep 200. Narrow
+    TakeOrdered first, battery on 200 rows after: 0.2 s at ×10,
+    identical rows. At 100 TB that is the difference between a
+    metadata-cheap top-k and a full-corpus exception storm."""
     o = t(spark, sf_dir, "orders")
+    top = (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
     return (
-        o.select(
+        top.select(
             "o_orderkey",
             F.try_divide(
                 F.col("o_totalprice"), (F.col("o_orderkey") % 3).cast("double")
@@ -543,7 +558,6 @@ def q249(spark, sf_dir):
             ).alias("overflow_add"),
         )
         .orderBy("o_orderkey")
-        .limit(200)
     )
 
 

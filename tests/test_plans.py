@@ -297,6 +297,24 @@ def test_q141_cert_arm_forces_gate_regime(spark, monkeypatch):
     assert seen == [16, 158], seen  # isqrt(25000) == 158
 
 
+def test_q249_battery_evaluated_after_topk(spark):
+    """Round-12: q249's try_* battery is exception-backed (~9 µs/row
+    measured) and its ordering key needs none of the computed columns,
+    so the top-200 must be taken on the NARROW frame and the battery
+    evaluated on 200 rows — projecting first paid 13.4 s at ×10 to
+    compute 1.5M try_casts and keep 200 (0.23 s after). Pin: the
+    TakeOrderedAndProject node's input carries no computed column."""
+    import re
+
+    p = plan(spark, "q249_try_functions")
+    # the detail block for TakeOrderedAndProject lists its Input;
+    # computed columns must not be in it
+    m = re.search(r"\(\d+\) TakeOrderedAndProject\nInput \[\d+\]: \[([^\]]*)\]", p)
+    assert m, p
+    assert "safe_div" not in m.group(1), m.group(1)
+    assert "o_orderkey" in m.group(1), m.group(1)
+
+
 def test_time_rollup_single_scan_expand(spark):
     """q144: the 4-level rollup reads events ONCE and multiplies rows via
     Expand (map-side combined) — never one scan per grouping level."""
