@@ -48,9 +48,14 @@ from s4_spark.queries import (  # noqa: F401,E402
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when NEVER-VERIFIED entries outnumber the 50 slots;
 # empty (nothing is never-verified — saturation steady state). The
-# round-13 staleness frontier, for the record: the 11 once-verified r7
-# entries that did not fit this round's slots — q266, q268, q269, q270,
-# q271, q272, q273, q274, q279, q281, q282 — then the r8 cohort.
+# round-13 rotation, per the standing priority rule (changed-code
+# first, then staleness): LEAD with the 4 entries whose implementation
+# changed AFTER this round's driver window was frozen — q141 (cert
+# force_gate pin), q249 (battery above top-k), q168 (subsampled exact
+# reference), q192 (fused counts + bracket materialization) — then the
+# 11 once-verified r7 entries that did not fit this round's slots
+# (q266, q268, q269, q270, q271, q272, q273, q274, q279, q281, q282),
+# then the r8 cohort.
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
