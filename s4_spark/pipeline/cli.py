@@ -25,6 +25,15 @@ import sys
 from pyspark.sql import functions as F
 
 
+def apply_region(spark, region: str | None) -> None:
+    """--region / S4_REGION passthrough (/root/reference/main.go:30-34,
+    62-72). Set on the LIVE hadoopConfiguration: getOrCreate may hand
+    back an existing session, where a builder conf would be silently
+    ignored — the runtime Hadoop conf is what S3A actually reads."""
+    if region:
+        spark._jsc.hadoopConfiguration().set("fs.s3a.endpoint.region", region)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="s4-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -37,6 +46,11 @@ def main(argv: list[str] | None = None) -> int:
                      help="sink dir or s3a:// URI")
     run.add_argument("--checkpoint", default=os.environ.get("S4_BUFFER_PATH"),
                      help="checkpoint dir (the durable-buffer analog)")
+    run.add_argument("--region", default=os.environ.get("S4_REGION"),
+                     help="object-store region -> fs.s3a.endpoint.region "
+                          "(reference: --region / S4_REGION, "
+                          "main.go:30-34,62-72 — required there; here "
+                          "required only for an s3a:// --output)")
     run.add_argument("--flush", default=os.environ.get("S4_FLUSH_TIME", "5 minutes"))
     run.add_argument("--type", dest="rtype",
                      default=os.environ.get("S4_RIVER_TYPE", "line"),
@@ -106,6 +120,9 @@ def main(argv: list[str] | None = None) -> int:
         if not getattr(args, req):
             # ErrOptionRequired analog (main.go:19,62-72)
             p.error(f"--{req} is required (or set the matching S4_* env var)")
+    if args.output.startswith("s3a://") and not args.region:
+        p.error("--region is required for an s3a:// output (or set S4_REGION)")
+    apply_region(spark, args.region)
 
     cfg = S4Config(
         input_path=args.input,

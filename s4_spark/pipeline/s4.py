@@ -48,6 +48,7 @@ class S4Config:
     # "listen" (A23 server — bind + fan-in of N producer connections)
     max_files_per_trigger: int | None = None  # 100 TB listing control
     event_time_col: str | None = None  # partition by this instead of arrival time
+    single_object_per_flush: bool = False  # A13/A18 literal batch-shape parity
 
 
 def read_records(spark: SparkSession, cfg: S4Config) -> DataFrame:
@@ -123,6 +124,52 @@ def build_pipeline(spark: SparkSession, cfg: S4Config) -> DataFrame:
     return records
 
 
+def single_object_batch_sink(cfg: S4Config):
+    """SURVEY §4.3 compat mode for the reference's literal
+    one-object-per-flush batch shape (river/jsonr.go:70-78 drains the
+    whole buffer into ONE body per ticker fire; lake/lake.go:65-90 PUTs
+    it as one S3 object). The default lake sink is semantically
+    equivalent — one file-SET per epoch — but writes N part-files;
+    here each trigger lands exactly one gzip'd text object per
+    partition dir, named ``b{batchId}.txt.gz``.
+
+    Mechanics: ``coalesce(1)`` collapses the batch to one task (the
+    compat mode trades away write parallelism by definition — that is
+    the reference's shape; don't enable it for throughput), the task
+    writes a staged ``year=/month=/day=`` tree, and the driver moves
+    each staged part-file to ``<out>/<partition>/b{batchId}.txt.gz``
+    through the Hadoop FileSystem API. The batchId-keyed fixed name
+    makes a retried batch overwrite its own object rather than
+    duplicate it — idempotent like rigs.idempotent_batch_sink, and
+    scheme-agnostic the same way."""
+    from s4_spark.streaming.rigs import hadoop_fs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fs, Path = hadoop_fs(spark, cfg.output_path)
+        staged = f"{cfg.output_path}/_staging_b{batch_id}"
+        (
+            batch_df.coalesce(1)
+            .write.mode("overwrite")
+            .partitionBy("year", "month", "day")
+            .option("compression", "gzip")
+            .text(staged)
+        )
+        for st in fs.globStatus(Path(f"{staged}/year=*/month=*/day=*/part-*")):
+            part = st.getPath()
+            day = part.getParent()
+            rel = f"{day.getParent().getParent().getName()}/{day.getParent().getName()}/{day.getName()}"
+            dest_dir = Path(f"{cfg.output_path}/{rel}")
+            fs.mkdirs(dest_dir)
+            dest = Path(f"{cfg.output_path}/{rel}/b{batch_id}.txt.gz")
+            if fs.exists(dest):
+                fs.delete(dest, False)
+            fs.rename(part, dest)
+        fs.delete(Path(staged), True)
+
+    return sink
+
+
 def start(spark: SparkSession, cfg: S4Config) -> StreamingQuery:
     """Wire source → validation → sink and start the query (the analog of
     `s4 client|server` wiring in /root/reference/main.go:106-140)."""
@@ -134,12 +181,15 @@ def start(spark: SparkSession, cfg: S4Config) -> StreamingQuery:
         # text sink: exactly one data column ("value") + partition keys —
         # one gzip'd line-file set per epoch, the A13/A18 batch shape
         df = df.select("value", "year", "month", "day")
-        writer = (
-            df.writeStream.format("text")
-            .option("path", cfg.output_path)
-            .option("compression", "gzip")
-            .partitionBy("year", "month", "day")
-        )
+        if cfg.single_object_per_flush:
+            writer = df.writeStream.foreachBatch(single_object_batch_sink(cfg))
+        else:
+            writer = (
+                df.writeStream.format("text")
+                .option("path", cfg.output_path)
+                .option("compression", "gzip")
+                .partitionBy("year", "month", "day")
+            )
     writer = writer.option("checkpointLocation", cfg.checkpoint_path)
     if cfg.available_now:
         writer = writer.trigger(availableNow=True)

@@ -892,49 +892,56 @@ def q168(spark, sf_dir):
     sound at the contract: sampling rank error ~1/√n_cert plus the
     sketch's 0.01% both sit two orders under the 1% value bound on this
     price distribution. Below the gate the reference is the full corpus
-    — value-identical to the pre-dispatch entry at every gate SF."""
+    and the plan keeps the pre-dispatch SINGLE aggregation (one lineitem
+    scan — Catalyst won't fuse two different groupBys); only the gated
+    regime splits into a full-corpus prof and a subsampled cert joined
+    on l_returnflag. Size-derived bucket counts pass hex_digits=12
+    (q216's precedent): with the default 6-digit 16.7M key space,
+    buckets at the 100 TB design point (~3M) would be ~18% of the space
+    — modulo bias inflates bucket 0, and past ~0.5 PB the space
+    saturates so the cert sample grows linearly again."""
     from s4_spark.operators import corpus as C
     from s4_spark.operators.similarity import plan_size_bytes
 
     li = t(spark, sf_dir, "lineitem")
     size = plan_size_bytes(li)
+    ap_expr = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
+    ).alias("ap")
+    x50_expr = F.percentile("l_extendedprice", F.lit(0.5)).alias("x50")
+    x99_expr = F.percentile("l_extendedprice", F.lit(0.99)).alias("x99")
     if size > Q168_CERT_GATE_BYTES:
         buckets = -(-size // Q168_CERT_TARGET_BYTES)  # ceil
         cert_src = li.filter(
             C.hash_bucket(
-                F.concat_ws("-", "l_orderkey", "l_linenumber"), buckets
+                F.concat_ws("-", "l_orderkey", "l_linenumber"),
+                buckets,
+                hex_digits=12,
             )
             == 0
         )
+        prof = li.groupBy("l_returnflag").agg(
+            ap_expr, F.count("*").alias("n")
+        )
+        cert = cert_src.groupBy("l_returnflag").agg(x50_expr, x99_expr)
+        # inner join: a group absent from the cert sample drops its row
+        # and the oracle compare fails LOUDLY — only reachable on a
+        # degenerate (sub-sample-sized) group, which the full-corpus
+        # regime below the gate handles anyway
+        joined = prof.join(cert, "l_returnflag")
     else:
-        cert_src = li
-    prof = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)"
-        ).alias("ap"),
-        F.count("*").alias("n"),
-    )
-    cert = cert_src.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("x50"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("x99"),
-    )
+        joined = li.groupBy("l_returnflag").agg(
+            ap_expr, F.count("*").alias("n"), x50_expr, x99_expr
+        )
     rel_ok = lambda est, exact: (  # noqa: E731
         F.abs(est - exact) / F.abs(exact) < F.lit(0.01)
     )
-    # inner join: a group absent from the cert sample drops its row and
-    # the oracle compare fails LOUDLY — only reachable on a degenerate
-    # (sub-sample-sized) group, which the full-corpus reference regime
-    # below the gate handles anyway
-    return (
-        prof.join(cert, "l_returnflag")
-        .select(
-            "l_returnflag",
-            rel_ok(F.element_at("ap", 1), F.col("x50")).alias("p50_ok"),
-            rel_ok(F.element_at("ap", 2), F.col("x99")).alias("p99_ok"),
-            "n",
-        )
-        .orderBy("l_returnflag")
-    )
+    return joined.select(
+        "l_returnflag",
+        rel_ok(F.element_at("ap", 1), F.col("x50")).alias("p50_ok"),
+        rel_ok(F.element_at("ap", 2), F.col("x99")).alias("p99_ok"),
+        "n",
+    ).orderBy("l_returnflag")
 
 
 _Q172_SQL = """

@@ -286,7 +286,7 @@ def test_q141_cert_arm_forces_gate_regime(spark, monkeypatch):
     orig = S.ivf_assign_batched
 
     def spy(*args, **kwargs):
-        cents = kwargs.get("cents", args[3] if len(args) > 3 else None)
+        cents = kwargs.get("centroids", args[3] if len(args) > 3 else None)
         seen.append(len(cents))
         return orig(*args, **kwargs)
 
