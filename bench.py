@@ -118,6 +118,48 @@ def bench_stream_ingest(spark, n: int) -> float:
     return time.time() - t0
 
 
+def box_fingerprint() -> dict:
+    """Box condition at recording time (the shape bench/scale_sweep.py
+    established; that instrument now imports this). VERDICT r12 item 7:
+    the idle series
+    has been recorded under three different box conditions in three
+    rounds; stamping load / free-mem / page-cache / concurrent-runtime
+    counts into bench/idle-sf{sf}.json makes cross-round drift
+    attributable from the recorded JSON alone."""
+    fp: dict = {}
+    try:
+        fp["load1"] = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
+    try:
+        mem = {}
+        with open("/proc/meminfo") as f:
+            for ln in f:
+                k, v = ln.split(":", 1)
+                if k in ("MemFree", "Cached"):
+                    mem[k] = int(v.strip().split()[0]) // 1024
+        fp["mem_free_mb"] = mem.get("MemFree")
+        fp["page_cache_mb"] = mem.get("Cached")
+    except OSError:
+        pass
+    try:
+        me = os.getpid()
+        n = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as f:
+                    if f.read().strip().startswith(("python", "java")):
+                        n += 1
+            except OSError:
+                pass
+        fp["other_python_java_procs"] = n
+    except OSError:
+        pass
+    return fp
+
+
 def build_payload(
     total: float,
     results: dict,
@@ -242,6 +284,9 @@ def main() -> None:
                     "runs": runs,
                     "git_sha": sha,
                     "recorded": time.strftime("%Y-%m-%d"),
+                    # box condition the series was measured under —
+                    # NOT echoed on stdout (2,000-char tail budget)
+                    "box": box_fingerprint(),
                 },
                 f,
                 indent=1,

@@ -108,39 +108,9 @@ def main() -> None:
             sys.exit(f"--only names not in the registry: {sorted(unknown)}")
         names = [n for n in names if n in keep]
 
-    def box_fingerprint() -> dict:
-        fp: dict = {}
-        try:
-            fp["load1"] = round(os.getloadavg()[0], 1)
-        except OSError:
-            pass
-        try:
-            mem = {}
-            with open("/proc/meminfo") as f:
-                for ln in f:
-                    k, v = ln.split(":", 1)
-                    if k in ("MemFree", "Cached"):
-                        mem[k] = int(v.strip().split()[0]) // 1024
-            fp["mem_free_mb"] = mem.get("MemFree")
-            fp["page_cache_mb"] = mem.get("Cached")
-        except OSError:
-            pass
-        try:
-            me = os.getpid()
-            n = 0
-            for pid in os.listdir("/proc"):
-                if not pid.isdigit() or int(pid) == me:
-                    continue
-                try:
-                    with open(f"/proc/{pid}/comm") as f:
-                        if f.read().strip().startswith(("python", "java")):
-                            n += 1
-                except OSError:
-                    pass
-            fp["other_python_java_procs"] = n
-        except OSError:
-            pass
-        return fp
+    # box fingerprint shared with the idle-series recorder (bench.py at
+    # the repo root wins the `bench` name over this namespace dir)
+    from bench import box_fingerprint
 
     box = box_fingerprint()
 

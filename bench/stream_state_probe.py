@@ -44,6 +44,9 @@ DEFAULT_ENTRIES = [
     "q252_state_ttl_eviction",
     "q258_chained_streaming_aggs",
     "q269_join_then_window_chain",
+    # r13: the last streaming-state entry with no x1000 row (q251/q258
+    # gained theirs in r10; VERDICT r12 item 6)
+    "q273_multi_watermark_policy",
 ]
 
 

@@ -26,93 +26,95 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-12 rotation (saturation steady state, standing rule "window
+# Round-13 rotation (saturation steady state, standing rule "window
 # priority = code changed since last driver row, then staleness" —
-# VERDICT r8 item 1, applied per VERDICT r11 item 2). Leads: the 6
-# entries whose implementation changed THIS round — q121 (Σdf²-measured
-# scale dispatch to the LSH-verified arm + metadata-only broadcast
-# gate, VERDICT r11 item 5 / ADVICE r11), q211/q213 (per-element Python
-# loops vectorized to numpy inside the same mapInPandas iterators,
-# VERDICT r11 item 4; q198 windowed too — its mapInPandas shares the
-# reviewed shape even though its per-frame sha256 loop was already not
-# per-element), and q241/q252 (rigs.read_batched_parquet now reads only
-# COMMITTED b{N} dirs, never a leftover .tmp from a mid-commit stop —
-# ADVICE r11). Then the ENTIRE 23-entry r6-vintage cohort (every entry
-# whose latest driver row is r6, per the CORRECTNESS_r01..r11 union —
-# VERDICT r11 item 2's floor cohort). Then 18 of the 29 once-verified
-# r7 entries, chosen for family spread (B5: q259; B8: q265/q267/q276/
-# q277/q278/q280; B10: q262/q264/q275; the rest by name order), plus
-# three canaries for families with no r6/r7-stale survivors (B2: q013
-# r8, B6: q060 r9, B7: q071 r8). After this window lands, the
-# registry's latest-row floor rises to r7.
+# VERDICT r8 item 1). Leads: the 4 entries whose implementation changed
+# AFTER the r12 window froze — q141 (cert force_gate pin), q249
+# (battery above top-k), q168 (subsampled exact reference), q192
+# (fused counts + bracket materialization) — plus q168 changed again
+# this round (hex_digits=12 cert bucketing, single-scan ungated shape,
+# ADVICE r12) and q241/q252, whose rig-sink commit protocol moved from
+# a POSIX directory rename to a Hadoop-FS zero-byte commit marker
+# (VERDICT r12 item 2). Then the FULL 28-entry r7-vintage cohort (the
+# staleness floor per the CORRECTNESS_r01..r12 union; the r12 note
+# undercounted it as 11 — the other 17 were r7 too). Then 16 of the
+# 42-entry r8 cohort, family spread first (B5: q050; B8: q080; B9:
+# q091/q093; B10: q100/q103; B11: q117/q122/q129; B2: q012/q016; B3:
+# q022/q046; B4: q031/q036 — q002/q016 dropped for the B6/B7
+# canaries q061 (r10) and q072 (r9), the stalest in their families).
+# After this window lands, the registry's latest-row floor rises to r8
+# except the 15 r8 entries deferred to r14.
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when NEVER-VERIFIED entries outnumber the 50 slots;
 # empty (nothing is never-verified — saturation steady state). The
-# round-13 rotation, per the standing priority rule (changed-code
-# first, then staleness): LEAD with the 4 entries whose implementation
-# changed AFTER this round's driver window was frozen — q141 (cert
-# force_gate pin), q249 (battery above top-k), q168 (subsampled exact
-# reference), q192 (fused counts + bracket materialization) — then the
-# 11 once-verified r7 entries that did not fit this round's slots
-# (q266, q268, q269, q270, q271, q272, q273, q274, q279, q281, q282),
-# then the r8 cohort.
+# round-14 rotation, per the standing priority rule: lead with any
+# entry whose code changes after this round's window freezes, then the
+# 26 remaining r8-cohort entries (q003, q004, q006, q007, q009, q014,
+# q019, q023, q024, q025, q029, q032, q034, q035, q039, q043, q044,
+# q047, q152, q153, q154, q161, q164, q242, q243, q246), then the r9
+# cohort (46 entries) by family spread.
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- implementation changed this round (round 12) ----
-    "q121_ngram_jaccard_exact",
-    "q198_video_frame_sampling",
-    "q211_audio_segment_plumbing",
-    "q213_image_resize_features",
+    # ---- implementation changed after the r12 window froze (4) or in
+    # round 13 itself (q168 again — hex_digits + single-scan ungated
+    # shape; q241/q252 — the rig sink's commit protocol moved from a
+    # POSIX rename to a Hadoop-FS zero-byte marker) ----
+    "q141_semantic_dedup_clustered",
+    "q249_try_functions",
+    "q168_approx_quantile_profile",
+    "q192_exact_median_twophase",
     "q241_transform_with_map_state_timers",
     "q252_state_ttl_eviction",
-    # ---- the full r6-vintage cohort (latest driver row = r6) ----
-    "q094_watermark_late_drop",
-    "q165_stream_stream_outer_join",
-    "q174_transform_with_state",
-    "q210_balanced_write",
-    "q212_packed_loss_masks",
-    "q214_manifest_time_travel",
-    "q215_per_group_regression",
-    "q220_cohort_retention",
-    "q221_domain_quality_propagation",
-    "q225_rank_blend_quality",
-    "q227_rfm_segmentation",
-    "q228_weighted_sample",
-    "q230_winsorized_stats",
-    "q233_training_pipeline_e2e",
-    "q234_streaming_funnel",
-    "q235_streaming_funnel_reordered",
-    "q238_funnel_state_introspection",
-    "q240_transform_with_list_state",
-    "q247_transform_with_initial_state",
-    "q248_streaming_progress_metrics",
-    "q251_rocksdb_changelog_restart",
-    "q255_tpch_q13_shape",
-    "q256_tpch_q19_shape",
-    # ---- stalest r7 (once-verified; family spread first) ----
-    "q008_console_sink",
-    "q162_kmeans_ivf_fit",
-    "q253_chi2_token_association",
-    "q257_approx_top_k_sketch",
-    "q258_chained_streaming_aggs",
-    "q259_ewma_smoothing",
-    "q260_aqe_skew_join",
-    "q261_tpch_q15_shape",
-    "q262_grouped_applyInArrow",
-    "q263_bucket_pruning",
-    "q264_iter_pandas_udf",
-    "q265_parameterized_sql",
-    "q267_convert_timezone",
-    "q275_pandas_api_on_spark",
-    "q276_sql_ergonomics",
-    "q277_recursive_cte",
-    "q278_sql_udf",
-    "q280_xml_roundtrip",
-    # ---- canaries (B2/B6/B7 have no r6/r7-stale survivors) ----
-    "q013_null_predicates",
-    "q060_global_sort",
-    "q071_intersect",
+    # ---- the FULL r7-vintage cohort (latest driver row = r7; 28
+    # entries per the CORRECTNESS_r01..r12 union — after this window
+    # lands the registry's staleness floor rises to r8) ----
+    "q005_partitioned_parquet_sink",
+    "q020_inner_join_tpch_q3",
+    "q028_asof_join",
+    "q030_hash_agg_tpch_q1",
+    "q054_range_frame",
+    "q090_s4_pipeline_parity",
+    "q095_streaming_dedup",
+    "q101_pandas_udf",
+    "q111_minhash_lsh_neardup",
+    "q112_cosine_topk_bruteforce",
+    "q115_token_df_topk",
+    "q130_corpus_prep",
+    "q134_sequence_packing",
+    "q147_hll_sketch_rollup",
+    "q148_dedup_cluster_cc",
+    "q166_tpch_q5_shape",
+    "q182_global_row_number",
+    "q266_listagg",
+    "q268_stream_to_table",
+    "q269_join_then_window_chain",
+    "q270_aqe_join_strategy_switch",
+    "q271_column_defaults",
+    "q272_null_safe_join",
+    "q273_multi_watermark_policy",
+    "q274_columnar_cache_reuse",
+    "q279_runtime_bloom_filter_join",
+    "q281_tpch_q7_shape",
+    "q282_tpch_q8_shape",
+    # ---- 16 of the 42-entry r8 cohort, family spread first ----
+    "q050_ranking",
+    "q080_string_functions",
+    "q091_tumbling_window",
+    "q093_session_window",
+    "q100_python_udf",
+    "q103_grouped_map_applyInPandas",
+    "q117_embedding_normalize",
+    "q122_embedding_neardup_pairs",
+    "q129_cosine_topk_blocked",
+    "q012_in_predicate",
+    "q022_left_outer_join",
+    "q046_salted_join",
+    "q031_count_distinct",
+    "q036_filtered_agg",
+    # ---- canaries (B6/B7 have no r7/r8-stale entries) ----
+    "q061_topk",
+    "q072_except",
 )
 
 

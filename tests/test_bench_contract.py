@@ -99,3 +99,20 @@ def test_recorded_idle_file_matches_emitted_scalars():
     assert payload["idle_git_sha"] == idle["git_sha"]
     # the recording keeps the full series for triage
     assert set(idle["queries"]) == set(bench.HEADLINE) | {"stream_ingest_1m"}
+
+
+def test_box_fingerprint_keys():
+    """VERDICT r12 item 7: the idle series must carry a box-condition
+    fingerprint so cross-round drift is attributable from the recorded
+    JSON alone. bench.main() stamps box_fingerprint() into
+    bench/idle-sf{sf}.json under "box"; pin the keys here (and that
+    scale_sweep shares the implementation rather than forking it)."""
+    fp = bench.box_fingerprint()
+    assert {"load1", "mem_free_mb", "page_cache_mb",
+            "other_python_java_procs"} <= set(fp)
+    assert all(v is not None for v in fp.values()), fp
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench", "scale_sweep.py")).read()
+    assert "from bench import box_fingerprint" in src
+    assert '"box": box_fingerprint()' in open(os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "bench.py")).read()
