@@ -1803,47 +1803,64 @@ def q251(spark, sf_dir):
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true",
+    # Restored in the finally: this conf leaked at session scope and an
+    # r13 x1000 probe measured the blast radius — a q258 run AFTER q251
+    # in one session took 188 s vs 23 s solo (changelog mode defers
+    # snapshot work to the shared background maintenance thread, and
+    # q251's 1.5M-row complete-mode stores keep it busy long after this
+    # entry returns). providerClass above is left set deliberately: it
+    # matches get_spark()'s default and exists for vanilla sessions.
+    _CHANGELOG_CONF = (
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     )
-    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    landing = scratch(f"q251_landing_{os.path.basename(sf_dir)}")
-    ckpt = scratch(f"q251_ckpt_{os.path.basename(sf_dir)}")
-    os.makedirs(landing, exist_ok=True)
+    saved = spark.conf.get(_CHANGELOG_CONF, None)
+    spark.conf.set(_CHANGELOG_CONF, "true")
+    try:
+        ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        landing = scratch(f"q251_landing_{os.path.basename(sf_dir)}")
+        ckpt = scratch(f"q251_ckpt_{os.path.basename(sf_dir)}")
+        os.makedirs(landing, exist_ok=True)
 
-    def drop_phase(pred, fname):
-        stage = scratch(f"q251_stage_{fname}")
-        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(
-            p for p in os.listdir(stage)
-            if p.startswith("part-") and p.endswith(".parquet")
-        )
-        os.replace(os.path.join(stage, part), os.path.join(landing, fname))
+        def drop_phase(pred, fname):
+            stage = scratch(f"q251_stage_{fname}")
+            ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                p for p in os.listdir(stage)
+                if p.startswith("part-") and p.endswith(".parquet")
+            )
+            os.replace(os.path.join(stage, part), os.path.join(landing, fname))
 
-    def run(name):
-        agg = (
-            spark.readStream.schema(ev.schema)
-            .parquet(landing)
-            .groupBy("user_id")
-            .agg(F.count("*").alias("n_events"), dsum("value").alias("value_sum"))
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.awaitTermination()
+        def run(name):
+            agg = (
+                spark.readStream.schema(ev.schema)
+                .parquet(landing)
+                .groupBy("user_id")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    dsum("value").alias("value_sum"),
+                )
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
 
-    drop_phase(F.col("event_id") % 2 == 0, "phase1.parquet")
-    run(f"s4_mem_q251a_{os.getpid()}")
-    drop_phase(F.col("event_id") % 2 != 0, "phase2.parquet")
-    final = f"s4_mem_q251b_{os.getpid()}"
-    run(final)
-    return spark.table(final).orderBy("user_id")
+        drop_phase(F.col("event_id") % 2 == 0, "phase1.parquet")
+        run(f"s4_mem_q251a_{os.getpid()}")
+        drop_phase(F.col("event_id") % 2 != 0, "phase2.parquet")
+        final = f"s4_mem_q251b_{os.getpid()}"
+        run(final)
+        return spark.table(final).orderBy("user_id")
+    finally:
+        if saved is None:
+            spark.conf.unset(_CHANGELOG_CONF)
+        else:
+            spark.conf.set(_CHANGELOG_CONF, saved)
 
 
 def q251_checkpoint_dir(sf_dir: str) -> str:

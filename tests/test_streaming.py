@@ -531,6 +531,24 @@ def test_q251_changelog_files_written_and_state_recovered(spark, duck):
     assert changelogs, "no .changelog files — changelog checkpointing not exercised"
 
 
+def test_q251_restores_changelog_conf(spark):
+    """r13 x1000 probe find: q251 left changelogCheckpointing enabled at
+    SESSION scope, and a q258 run later in the same session measured
+    188 s vs 23 s solo (every subsequent streaming query silently ran
+    in changelog mode). The entry must restore the conf on exit —
+    collect() the previous test's rig already ran; here just assert the
+    session is clean after a fresh invocation."""
+    from s4_spark.queries import REGISTRY
+    from tests.conftest import SMOKE_SF_DIR
+
+    conf = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    before = spark.conf.get(conf, None)
+    REGISTRY["q251_rocksdb_changelog_restart"].fn(spark, SMOKE_SF_DIR).collect()
+    assert spark.conf.get(conf, None) == before, (
+        "q251 leaked the changelog conf into the session"
+    )
+
+
 def test_q252_ttl_actually_evicts(spark):
     """The TTL proof, stated as an inequality: phase-2 counts must
     equal the phase-2-only aggregate — strictly LESS than the
