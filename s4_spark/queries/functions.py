@@ -819,12 +819,20 @@ def q277(spark, sf_dir):
         t(spark, sf_dir, "customer").agg(F.count("*"), F.max("c_custkey")).first()
     )
     bound = int(n) * (int(mx).bit_length() + 1)
-    saved = spark.conf.get("spark.sql.cteRecursionRowLimit")
+    # get(conf, None) is None when the conf was never explicitly set;
+    # restoring via set() in that case would leave an explicitly-set
+    # session conf behind (the session-leak contract
+    # bench/session_leak_audit.py enforces — its first sweep caught
+    # exactly this line), so unset instead
+    saved = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(bound, 1_000_000)))
     try:
         return _q277_frame(spark, sf_dir).localCheckpoint(eager=True)
     finally:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", saved)
+        if saved is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", saved)
 
 
 def _q277_frame(spark, sf_dir):

@@ -1764,10 +1764,12 @@ def q279(spark, sf_dir):
     certifies the rewrite is pure optimization."""
     saved = {}
     for k, v in _Q279_BLOOM_CONFS.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
+        # get(k, None) is None when the conf is not EXPLICITLY set —
+        # get(k) would fetch the registered default and the finally
+        # would then pin that default as an explicit session conf
+        # (the restore-to-default leak bench/session_leak_audit.py
+        # caught here and at q277/q275 in its first sweep)
+        saved[k] = spark.conf.get(k, None)
         spark.conf.set(k, v)
     try:
         return _q279_frame(spark, sf_dir).localCheckpoint(eager=True)

@@ -467,11 +467,22 @@ def q275(spark, sf_dir):
     result is float-exact cross-engine."""
     import pyspark.pandas as ps
 
-    with ps.option_context("compute.default_index_type", "distributed"):
-        po = t(spark, sf_dir, "orders").pandas_api()
-        pc = t(spark, sf_dir, "customer").pandas_api()
-        m = po.merge(pc, left_on="o_custkey", right_on="c_custkey")
-        g = m.groupby("c_mktsegment", as_index=False).agg(
-            n=("o_orderkey", "count"), max_price=("o_totalprice", "max")
-        )
-        return g.to_spark().orderBy("c_mktsegment")
+    # ps.option_context restores by explicitly SETTING the previous
+    # value, which pins the library default as a session conf after
+    # this entry returns (restore-to-default leak; caught by
+    # bench/session_leak_audit.py). Remember whether it was set and
+    # unset afterwards — the plan is already built by then.
+    _IDX_CONF = "pandas_on_Spark.compute.default_index_type"
+    was_set = spark.conf.get(_IDX_CONF, None)
+    try:
+        with ps.option_context("compute.default_index_type", "distributed"):
+            po = t(spark, sf_dir, "orders").pandas_api()
+            pc = t(spark, sf_dir, "customer").pandas_api()
+            m = po.merge(pc, left_on="o_custkey", right_on="c_custkey")
+            g = m.groupby("c_mktsegment", as_index=False).agg(
+                n=("o_orderkey", "count"), max_price=("o_totalprice", "max")
+            )
+            return g.to_spark().orderBy("c_mktsegment")
+    finally:
+        if was_set is None:
+            spark.conf.unset(_IDX_CONF)
