@@ -209,6 +209,11 @@ def emit_line(payload: dict) -> str:
 
 
 def main() -> None:
+    # Fingerprint BEFORE the session spins up: captured at write time it
+    # would measure the bench's own 32-thread JVM + python workers
+    # (observed: load1 3.1, 17 runtime procs on an otherwise idle box),
+    # not the box condition the series was recorded under.
+    box = box_fingerprint()
     spark = get_spark(app_name="s4_bench", cpus=CPUS)
     # warm up JVM / codegen so query 1 isn't charged for session startup
     spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
@@ -284,9 +289,9 @@ def main() -> None:
                     "runs": runs,
                     "git_sha": sha,
                     "recorded": time.strftime("%Y-%m-%d"),
-                    # box condition the series was measured under —
+                    # box condition at run START (pre-session) —
                     # NOT echoed on stdout (2,000-char tail budget)
-                    "box": box_fingerprint(),
+                    "box": box,
                 },
                 f,
                 indent=1,

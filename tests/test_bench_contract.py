@@ -114,5 +114,10 @@ def test_box_fingerprint_keys():
     src = open(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench", "scale_sweep.py")).read()
     assert "from bench import box_fingerprint" in src
-    assert '"box": box_fingerprint()' in open(os.path.join(os.path.dirname(
+    src_bench = open(os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "bench.py")).read()
+    # captured pre-session (box_fingerprint() before get_spark in main),
+    # stamped into the idle write as "box"
+    assert '"box": box,' in src_bench
+    assert src_bench.index("box = box_fingerprint()") < src_bench.index(
+        'get_spark(app_name="s4_bench"')
