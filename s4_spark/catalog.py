@@ -140,7 +140,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for the SQL entry points."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views for the SQL entry points.
+
+    ``tables`` narrows registration to what the caller's SQL actually
+    references: each registration is a driver-side parquet footer read
+    plus an analyzer round (~0.1 s), so the old register-all-10 default
+    charged every SQL query ~1.2 s of driver time for views it never
+    named (measured r13; guide §1.2 — don't compute things you throw
+    away). Full registration remains the default for ad-hoc callers.
+    """
+    for name in tables:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -135,7 +135,21 @@ def lsh_candidate_pairs(
     rows: int = 4,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
-    candidate pair. Returns distinct (id_a, id_b) with id_a < id_b."""
+    candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The signature input is barriered (lazy localCheckpoint) before the
+    band self-join: without it the self-join's LOGICAL plan embeds the
+    96-expression minhash aggregate twice, and Catalyst optimization of
+    that doubled tree is pure driver time — measured r13 at ~1.7 s per
+    query build (q111/q130/q148) against ~0.9 s with the barrier, with
+    execution unchanged-or-better (the two join sides read one
+    materialized signature table instead of relying on ReusedExchange
+    to dedup two identical subplans). At scale the materialized state
+    is the signature table itself — num_hashes longs per doc, the
+    lightweight proxy the banding shuffle already carries (guide §2.3:
+    shuffle keys/metadata, not payloads), so the barrier adds no new
+    asymptotic cost."""
+    df = df.localCheckpoint(eager=False)
     bd = banded_signatures(df, id_col, sig_col, bands, rows)
     a = bd.alias("a")
     b = bd.alias("b")
@@ -386,10 +400,13 @@ def connected_components(
     min-aggregate — node-count-sized tables, never corpus-sized. Each
     round is barriered with a lineage cut (iterative plans MUST cut
     lineage: round N's plan would otherwise embed rounds 1..N-1) and the
-    convergence check is a driver-side count action — the standard
-    pattern for fixpoint algorithms on DataFrames (GraphX/GraphFrames do
-    the same under the hood; at 1000-executor scale the same code runs
-    with the labels table hash-partitioned on node).
+    convergence check is a driver-side aggregate action per round — the
+    standard fixpoint pattern (GraphX/GraphFrames do the same under the
+    hood; at 1000-executor scale the same code runs with the labels
+    table hash-partitioned on node). Since r13 the check is an exact
+    decimal sum over the round's labels instead of a join against the
+    previous round's — one aggregate versus one shuffle join per round;
+    see the loop comment for the monotonicity argument.
 
     ``reliable=True`` swaps the per-round ``localCheckpoint`` for a
     reliable ``checkpoint`` to the configured checkpoint dir —
@@ -411,13 +428,38 @@ def connected_components(
         .withColumn("label", F.col("node")),
         reliable,
     )
+    # Convergence is checked via the exact label-sum invariant: labels
+    # only ever DECREASE (each round takes a min over the previous
+    # round's labels), so the per-round sum is strictly monotone until
+    # the fixpoint and "sum unchanged" ⟺ "no label changed". The sum is
+    # one partial+final aggregate over the round's already-materialized
+    # labels RDD — the previous shape joined new labels against old
+    # labels and counted diffs, an extra node-count-sized shuffle join
+    # EVERY round (measured r13: ~0.2-0.3 s/round at sf0.1, and at
+    # scale a whole extra shuffle per round). decimal(38,0) keeps the
+    # sum exact at any node-id magnitude (a long overflows past ~9.2e18
+    # total; 1e11 docs with 1e11-scale ids would wrap silently).
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()[0]
     changed = -1  # sentinel: no iteration ran (max_iters <= 0)
     for it in range(max_iters):
-        nbr = (
-            edges.alias("e")
-            .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
-            .select(F.col("e.id_a").alias("node"), F.col("l.label").alias("label"))
-        )
+        if it == 0:
+            # Round 1 shortcut: labels are the identity (label == node),
+            # so the neighbor-propagation join edges⋈labels on id_b
+            # would return exactly (id_a, id_b) — the edge list itself.
+            # Skip the join and feed edges directly.
+            nbr = edges.select(
+                F.col("id_a").alias("node"), F.col("id_b").alias("label")
+            )
+        else:
+            nbr = (
+                edges.alias("e")
+                .join(labels.alias("l"), F.col("e.id_b") == F.col("l.node"))
+                .select(
+                    F.col("e.id_a").alias("node"), F.col("l.label").alias("label")
+                )
+            )
         stages = [labels, nbr]
         if it >= 2:
             # Pointer doubling: every label is itself a node id (labels
@@ -444,19 +486,18 @@ def connected_components(
             merged.groupBy("node").agg(F.min("label").alias("label")),
             reliable,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+        changed = 0 if new_sum == prev_sum else 1
         labels = new_labels
+        prev_sum = new_sum
         if changed == 0:
             return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iters={max_iters} "
         f"rounds ("
-        + (f"{changed} labels still changing" if changed >= 0 else "no rounds ran")
+        + ("label sum still decreasing" if changed > 0 else "no rounds ran")
         + f"); pointer doubling engages from round 3, so this means component "
         f"diameter exceeds ~2^{max(max_iters - 2, 0)} — raise max_iters"
     )

@@ -145,13 +145,23 @@ def brute_force_topk(
             "cos",
             "rank",
         )
-    joined = candidates.crossJoin(F.broadcast(queries)).filter(
-        F.col(q_id) != F.col(c_id)
-    )
+    # r13 (guide §1.2 per-task work): the norms are per-VECTOR values,
+    # so compute them once per side BEFORE the crossJoin instead of
+    # re-folding both inside every pair's cosine — 1 interpreted
+    # aggregate fold per pair instead of 3 (HOF folds never enter
+    # whole-stage codegen). Bit-identical: each norm is the same
+    # sequential fold over the same vector, and cos = dot / (qn * cn)
+    # evaluates the identical doubles in the identical order.
+    qn = queries.withColumn("__qn", l2_norm(F.col(q_vec)))
+    cn = candidates.withColumn("__cn", l2_norm(F.col(c_vec)))
+    joined = cn.crossJoin(F.broadcast(qn)).filter(F.col(q_id) != F.col(c_id))
     scored = joined.select(
         q_id,
         c_id,
-        F.round(cosine(F.col(q_vec), F.col(c_vec)), round_dp).alias("cos"),
+        F.round(
+            dot(F.col(q_vec), F.col(c_vec)) / (F.col("__qn") * F.col("__cn")),
+            round_dp,
+        ).alias("cos"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cos").desc(), F.col(c_id))
     return (

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.streaming import StreamingQuery
 
 # Mirrors river.Config (/root/reference/river/river.go:22-27) +
@@ -92,11 +93,18 @@ def validate_json(records: DataFrame, cfg: S4Config) -> DataFrame:
 
     Always validates against map<string,string>: a struct schema would
     NOT work — PERMISSIVE from_json yields a null-FIELD row (not a null
-    struct) for malformed input, silently keeping bad records."""
+    struct) for malformed input, silently keeping bad records.
+
+    The parsed map is KEPT (``__parsed``) so the partitioning stage can
+    extract the event-time field from it instead of running a second
+    full ``from_json`` over every record (r13, guide §4: JSON parse is
+    the pipeline's dominant per-row CPU; one parse, not two). Sinks
+    select the payload columns explicitly, so the helper column never
+    reaches storage."""
     parsed = records.withColumn(
         "__parsed", F.from_json("value", "map<string,string>")
     )
-    return parsed.filter(F.col("__parsed").isNotNull()).drop("__parsed")
+    return parsed.filter(F.col("__parsed").isNotNull())
 
 
 def with_time_partitions(df: DataFrame, cfg: S4Config) -> DataFrame:
@@ -107,7 +115,23 @@ def with_time_partitions(df: DataFrame, cfg: S4Config) -> DataFrame:
     if cfg.event_time_col:
         if not cfg.json_schema:
             raise ValueError("event_time_col requires json_schema")
-        ts = F.from_json("value", cfg.json_schema)[cfg.event_time_col]
+        if "__parsed" in df.columns:
+            # one-parse path: the validation stage already parsed the
+            # record into a string map; a typed extraction of the one
+            # needed field replaces a second full-schema from_json per
+            # record. try_element_at + try_cast mirror from_json's
+            # null-on-missing / null-on-unparseable semantics exactly
+            # (a plain [] access or cast would THROW under ANSI mode
+            # where from_json yields NULL).
+            field_type = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromDDL(cfg.json_schema).fields
+            }[cfg.event_time_col]
+            ts = F.try_element_at(
+                F.col("__parsed"), F.lit(cfg.event_time_col)
+            ).try_cast(field_type)
+        else:
+            ts = F.from_json("value", cfg.json_schema)[cfg.event_time_col]
     else:
         ts = F.current_timestamp()
     return (
@@ -175,7 +199,8 @@ def start(spark: SparkSession, cfg: S4Config) -> StreamingQuery:
     `s4 client|server` wiring in /root/reference/main.go:106-140)."""
     df = build_pipeline(spark, cfg)
     if cfg.sink == "console":
-        writer = df.writeStream.format("console")
+        # the validation helper column must not reach the console
+        writer = df.drop("__parsed").writeStream.format("console")
     else:
         df = with_time_partitions(df, cfg)
         # text sink: exactly one data column ("value") + partition keys —

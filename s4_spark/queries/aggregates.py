@@ -131,7 +131,7 @@ def q032(spark, sf_dir):
 )
 def q033(spark, sf_dir):
     """GROUP BY GROUPING SETS with GROUPING() markers (expand + single agg)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -425,7 +425,7 @@ def q048(spark, sf_dir):
     recursively, each month counting its orders via a correlated scalar
     subquery. Iterative SQL the reference's pipeline (and pre-4.0 Spark)
     could not express at all."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         WITH RECURSIVE series(m) AS (
@@ -454,7 +454,7 @@ def q049(spark, sf_dir):
     step, so the textual order matches the dataflow order. Compiles to the
     identical logical plan as the nested-SQL spelling (same partial+final
     hash aggregate); the oracle is that spelling."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem",))
     return spark.sql(
         """
         FROM lineitem
@@ -504,7 +504,7 @@ def q144(spark, sf_dir):
     finest (hour) level with q091's windowed agg and derives coarser
     levels by re-aggregating hour rows — a cascade over materialized
     aggregates, |hours| rows of state rather than a second scan."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("events",))
     return spark.sql(
         _Q144_SQL.format(
             s="CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)"
@@ -557,27 +557,82 @@ def q145(spark, sf_dir):
     users who completed it IN ORDER (each step strictly after the user's
     previous step's first completion) plus the mean inter-step delay.
 
-    Step timestamps are per-user min-aggregates; each stage is one
-    user-keyed join + agg, so 3 steps = 3 user-keyed shuffles of
-    per-user rows (events are filtered by type BEFORE the join — the
-    scan prunes, the join sees only the step's events). At 100 TB:
-    pre-partition events by user_id (bucketing) and every stage
-    co-locates; per-user event counts bound the state, no window over
-    the whole stream. Gap math is integer microseconds end-to-end
-    (timestampdiff / epoch_us), exact in both engines — float epoch
-    seconds would diverge at the 6th decimal. timestampdiff is used
-    (not unix_micros) because it accepts both TIMESTAMP and
-    TIMESTAMP_NTZ inputs — NTZ-safe whatever the generator stores."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        _Q145_SQL.format(
-            gap12="timestampdiff(MICROSECOND, s1.t1, s2.t2)",
-            gap23="timestampdiff(MICROSECOND, s2.t2, s3.t3)",
-            avg12="CAST(SUM(CAST(gap_us AS DECIMAL(30,6))) AS DOUBLE)"
-                  " / COUNT(gap_us)",
-            avg23="CAST(SUM(CAST(gap_us AS DECIMAL(30,6))) AS DOUBLE)"
-                  " / COUNT(gap_us)",
+    Single-scan shape (r13, guide §1.2/§2.4): ONE pass over the
+    type-filtered events and ONE user-keyed shuffle compute all three
+    step timestamps — the first-view min folds map-side, the click and
+    purchase timestamps ride along as per-user sorted arrays (bounded
+    by per-user event counts, the same state bound the old per-step
+    join cascade relied on), and t2/t3 are array_min over a filtered
+    array in a projection. The previous formulation scanned events
+    THREE times and ran a user-keyed join + agg per step — 6 shuffles
+    and 3 corpus scans — plus six scalar subqueries to assemble the
+    3-row result (54 Exchange nodes, 62 jobs at sf0.1; now ~4 jobs).
+    Gap math is integer microseconds end-to-end (timestampdiff),
+    exact in both engines, and the average reproduces the oracle's
+    decimal-sum/count/1e6 evaluation order digit for digit.
+    At 100 TB: one shuffle of (user, ts, type) for funnel-typed events
+    versus three scans + per-step shuffles of the same events — both
+    bounded by per-user activity, but one pass instead of three."""
+    td = F.expr  # timestampdiff is NTZ-safe whatever the generator stores
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_type")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("buys"),
+    )
+    stepped = per_user.withColumn(
+        "t2", F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
+    ).withColumn(
+        "t3", F.array_min(F.filter("buys", lambda b: b > F.col("t2")))
+    )
+    one = stepped.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.sum(
+            td("timestampdiff(MICROSECOND, t1, t2)").cast("decimal(30,6)")
+        ).alias("s12"),
+        F.sum(
+            td("timestampdiff(MICROSECOND, t2, t3)").cast("decimal(30,6)")
+        ).alias("s23"),
+    )
+    avg12 = F.round(F.col("s12").cast("double") / F.col("n2") / F.lit(1e6), 6)
+    avg23 = F.round(F.col("s23").cast("double") / F.col("n3") / F.lit(1e6), 6)
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("step"),
+                        F.lit("view").alias("name"),
+                        F.col("n1").alias("n_users"),
+                        F.lit(None).cast("double").alias("avg_gap_sec"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("step"),
+                        F.lit("click").alias("name"),
+                        F.col("n2").alias("n_users"),
+                        avg12.alias("avg_gap_sec"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("step"),
+                        F.lit("purchase").alias("name"),
+                        F.col("n3").alias("n_users"),
+                        avg23.alias("avg_gap_sec"),
+                    ),
+                )
+            ).alias("r")
         )
+        .select("r.*")
+        .orderBy("step")
     )
 
 
@@ -610,15 +665,34 @@ def q146(spark, sf_dir):
     counted in each subsequent week they return — the triangle matrix
     behind every retention dashboard.
 
-    Shape: one distinct over (user, week) — volume bounded by
-    users x weeks, NOT events — then a user-keyed self-join against the
-    per-user min (broadcastable: one row per user) and a small-key agg.
-    At 100 TB the distinct is the only event-volume shuffle and it
-    partial-aggregates; everything downstream is user-count-sized.
-    Week truncation is Monday-based in both engines."""
-    register_views(spark, sf_dir)
-    return spark.sql(
-        _Q146_SQL.format(diffdays="datediff(a.week, c.cohort_week)")
+    Shape (r13, guide §2.4): ONE user-keyed shuffle computes the whole
+    matrix — collect_set(week) per user partial-aggregates map-side
+    (volume bounded by users x weeks, NOT events), the cohort week is
+    array_min over the set (no self-join against a per-user-min table),
+    and after exploding the per-user distinct weeks every (user, week)
+    appears exactly once, so the per-cell count(DISTINCT user) the old
+    shape paid a second expand-shuffle for is a plain count(*). The
+    previous formulation: distinct shuffle + per-user-min agg +
+    user-keyed self-join + count-distinct agg (12 Exchanges, 35 jobs;
+    now 2 exchanges). At 100 TB the one event-volume shuffle
+    partial-aggregates identically; everything downstream is
+    user-count-sized either way. Week truncation is Monday-based in
+    both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    )
+    per_user = ev.groupBy("user_id").agg(F.collect_set("week").alias("weeks"))
+    ret = per_user.select(
+        F.array_min("weeks").alias("cohort_week"),
+        F.explode("weeks").alias("week"),
+    )
+    return (
+        ret.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
     )
 
 
@@ -647,9 +721,19 @@ def q147(spark, sf_dir):
     estimate against exact distinct counts at the declared 5% bound."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
-    per_lang = toks.groupBy("lang").agg(
+    # r13 (guide §2.3/§2.4): dedup to distinct (lang, tok) pairs FIRST —
+    # one partial-aggregated event-volume shuffle that BOTH downstream
+    # aggregates share (the pair-distinct exchange is identical in the
+    # per-lang and global subtrees, so ReusedExchange runs the explode
+    # once). HLL estimates are multiplicity-insensitive, so sketching
+    # the distinct pairs yields bit-identical estimates; the per-lang
+    # exact count becomes a plain count(*) and the old second full
+    # explode scan for the global exact count collapses to a
+    # count(DISTINCT tok) over the (already distinct) pairs.
+    pairs = toks.distinct()
+    per_lang = pairs.groupBy("lang").agg(
         F.hll_sketch_agg("tok").alias("sk"),
-        F.countDistinct("tok").alias("exact"),
+        F.count("*").alias("exact"),
     )
     lang_rows = per_lang.select(
         "lang",
@@ -661,7 +745,7 @@ def q147(spark, sf_dir):
             < F.lit(0.05)
         ).alias("within_5pct"),
     )
-    global_exact = toks.agg(F.countDistinct("tok").alias("exact"))
+    global_exact = pairs.agg(F.countDistinct("tok").alias("exact"))
     global_row = (
         per_lang.agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
@@ -968,7 +1052,7 @@ def q172(spark, sf_dir):
     analog of the sketch-profiling path (q168/q147). user_id is shifted
     +1 because the bitmap position functions are 1-based (value 0 would
     silently vanish — measured)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("events",))
     return spark.sql(
         """
         WITH partials AS (
@@ -1560,7 +1644,7 @@ def q266(spark, sf_dir):
     custkey filter pushed to the scan."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer",))
     return spark.sql(
         """
         SELECT c_nationkey,

@@ -635,7 +635,7 @@ def q265(spark, sf_dir):
     registered snapshot of the orders table."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderstatus, count(*) AS n,
@@ -755,7 +755,7 @@ def q276(spark, sf_dir):
     Spark and DuckDB, hash-identical results."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(_Q276_SQL)
 
 
@@ -840,7 +840,7 @@ def _q277_frame(spark, sf_dir):
     tests/test_plans.py::test_q277_recursive_cte_union_loop)."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer",))
     return spark.sql(_Q277_SPARK_SQL)
 
 
@@ -882,7 +882,7 @@ def q278(spark, sf_dir):
     the point: the UDF is sugar with zero semantic distance."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("lineitem",))
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE, d DOUBLE) "
         "RETURNS DOUBLE RETURN p * (1 - d)"

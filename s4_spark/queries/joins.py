@@ -317,7 +317,7 @@ def q043(spark, sf_dir):
     job, no join, no per-row re-evaluation."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderstatus, count(*) AS n
@@ -344,7 +344,7 @@ def q044(spark, sf_dir):
     COUNT(*)-over-empty-group = 0 edge case."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(
         """
         SELECT c_mktsegment, count(*) AS n
@@ -460,7 +460,7 @@ def q047(spark, sf_dir):
     so it scales exactly like q062's explicit window formulation."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "orders"))
     return spark.sql(
         """
         SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
@@ -564,7 +564,7 @@ def q166(spark, sf_dir):
     (q045's layout applied to the fact tables)."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("customer", "orders", "lineitem", "supplier", "nation", "region"))
     return spark.sql(
         """
         SELECT n.n_name,

@@ -1310,7 +1310,7 @@ def q271(spark, sf_dir):
     discipline as the other table entries."""
     from s4_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     name = f"orders_defaults_{tag}"
     path = os.path.join(scratch_root(), f"defaults_{tag}")

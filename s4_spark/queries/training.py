@@ -304,23 +304,41 @@ def q137(spark, sf_dir):
     The check sums the integer codes and counts saturated lanes per
     label — integer-exact, so any single-element mismatch flips the hash.
 
-    Per-vector reductions (code sum, saturated-lane count) fold INSIDE
-    the row via higher-order aggregate/filter — no explode, so the
-    aggregation input stays N rows, not 64N (the exploded form was also
-    bimodally slow under bench memory pressure: 1.3s vs occasional 7s)."""
+    Zero higher-order functions (r13, guide §1.2 per-task work): the
+    prior shape folded per-vector sums via interpreted HOF lambdas
+    (transform/aggregate/filter never enter whole-stage codegen;
+    ~640k lambda invocations ≈ 0.6 s of the query's 0.67 s at sf0.1).
+    Now max|x| is greatest(array_max, -array_min) — pure codegen —
+    and a posexplode streams elements through codegen floor/compare
+    straight into the label aggregate, which partial-aggregates
+    map-side to |labels| rows before the only shuffle. The explode
+    never materializes (rows stream through the pipeline), so the
+    memory-pressure mode the earlier exploded form hit (which re-grouped
+    by vector) does not apply. Bit-exact: float→double casts are
+    value-preserving, so the scale and every floor(x/scale + 0.5)
+    match the per-vector HOF formulation digit for digit."""
     e = t(spark, sf_dir, "embeddings")
-    q = e.select("label", C.quantize_embedding(F.col("embedding")).alias("qv"))
-    per_vec = q.select(
-        "label",
-        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sq"),
-        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).alias("nsat"),
+    mx = F.greatest(F.array_max("embedding"), -F.array_min("embedding")).cast(
+        "double"
     )
+    ex = e.select(
+        "label",
+        mx.alias("mx"),
+        F.explode("embedding").alias("x"),
+    )
+    qcode = F.when(
+        F.col("mx") > 0,
+        F.floor(F.col("x").cast("double") / (F.col("mx") / 127) + 0.5).cast("int"),
+    ).otherwise(F.lit(0))
+    qq = ex.select("label", qcode.alias("q"))
     return (
-        per_vec.groupBy("label")
+        qq.groupBy("label")
         .agg(
-            F.count("*").alias("n_vecs"),
-            F.sum("sq").alias("sum_q"),
-            F.sum("nsat").cast("long").alias("n_saturated"),
+            (F.count("*") / 64).cast("long").alias("n_vecs"),
+            F.sum("q").alias("sum_q"),
+            F.sum(F.when(F.abs("q") == 127, 1).otherwise(0))
+            .cast("long")
+            .alias("n_saturated"),
         )
         .orderBy("label")
     )
@@ -453,25 +471,44 @@ def q140(spark, sf_dir):
     Both features are ratios of exact integer counts — one division per
     doc, bit-identical across engines — and the per-language averages go
     through the decimal-exact sum (helpers.davg), so the hash match is
-    exact with no tolerance row. Scale shape: two explode+groupBy chains
-    (map-side combined) re-joined on doc_id; everything whole-stage
-    codegen, no Python."""
+    exact with no tolerance row. Scale shape (r13, guide §2.3/§2.4):
+    token and trigram rows UNION into one tagged gram stream, so ONE
+    (doc, tag, gram) count aggregate and ONE doc-keyed rollup replace
+    the old two independent explode+groupBy chains (which shuffled the
+    same doc-keyed volume twice and re-joined) — same shuffled bytes,
+    half the shuffle rounds, one fewer corpus scan; everything
+    whole-stage codegen, no Python. Docs too short for a trigram have
+    no tag=1 rows (NULL n_tri after the rollup) and are filtered out,
+    matching the old inner join against the trigram chain."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    per_tok = (
-        toks.groupBy("doc_id", "w")
+    toks = d.select(
+        "doc_id",
+        F.lit(0).alias("tag"),
+        F.explode(F.split("text", " ")).alias("g"),
+    )
+    tri = D.shingles_exploded(d, "doc_id", n=3).select(
+        "doc_id", F.lit(1).alias("tag"), F.col("shingle").alias("g")
+    )
+    per_doc = (
+        toks.unionByName(tri)
+        .groupBy("doc_id", "tag", "g")
         .count()
         .groupBy("doc_id")
-        .agg(F.max("count").alias("max_c"), F.sum("count").cast("long").alias("n_tokens"))
-    )
-    tri = D.shingles_exploded(d, "doc_id", n=3)
-    per_tri = tri.groupBy("doc_id").agg(
-        F.count("*").alias("n_tri"), F.countDistinct("shingle").alias("n_tri_distinct")
+        .agg(
+            F.max(F.when(F.col("tag") == 0, F.col("count"))).alias("max_c"),
+            F.sum(F.when(F.col("tag") == 0, F.col("count")))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.when(F.col("tag") == 1, F.col("count")))
+            .cast("long")
+            .alias("n_tri"),
+            F.count(F.when(F.col("tag") == 1, F.lit(1))).alias("n_tri_distinct"),
+        )
     )
     feats = (
         d.select("doc_id", "lang")
-        .join(per_tok, "doc_id")
-        .join(per_tri, "doc_id")
+        .join(per_doc, "doc_id")
+        .filter(F.col("n_tri").isNotNull())
         .select(
             "lang",
             (F.col("max_c").cast("double") / F.col("n_tokens")).alias("top_token_frac"),
