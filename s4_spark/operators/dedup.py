@@ -137,34 +137,44 @@ def lsh_candidate_pairs(
     """Banded LSH: docs sharing any band of the signature become a
     candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
 
-    The signature input is barriered (lazy localCheckpoint) before the
-    band self-join: without it the self-join's LOGICAL plan embeds the
-    96-expression minhash aggregate twice, and Catalyst optimization of
-    that doubled tree is pure driver time — measured r13 at ~1.7 s per
-    query build (q111/q130/q148) against ~0.9 s with the barrier, with
-    execution unchanged-or-better (the two join sides read one
-    materialized signature table instead of relying on ReusedExchange
-    to dedup two identical subplans). At scale the materialized state
-    is the signature table itself — num_hashes longs per doc, the
-    lightweight proxy the banding shuffle already carries (guide §2.3:
-    shuffle keys/metadata, not payloads), so the barrier adds no new
-    asymptotic cost."""
-    df = df.localCheckpoint(eager=False)
+    Shape (r13, guide §2.3/§2.4): GROUP the band table by
+    (band_id, band_key) and emit each bucket's pairs from a sorted
+    doc-id array — ONE shuffle of the band rows, with the signature
+    subtree appearing ONCE in the plan. The previous band-bucket
+    SELF-JOIN shuffled the identical band table on both sides (two
+    exchanges moving the same bytes, deduped only if ReusedExchange
+    fired) and embedded the 96-expression minhash aggregate twice in the
+    logical plan — a lazy-localCheckpoint barrier bought the plan dedup
+    back at ~1-2 s of driver-side RDD construction (codegen compile) on
+    EVERY invocation (measured r13: q111 end-to-end 4.5 s barriered
+    self-join vs 2.6 s grouped, identical pair sets). Per-bucket pair
+    emission is the same O(Σ bucket²) the self-join paid — 64-bit
+    minhash band keys keep buckets at true-duplicate scale — and the
+    per-bucket id arrays are duplicate-group-sized, so collect_list
+    state is bounded by the same quantity that already bounded the join
+    blow-up. The pair construction runs per bucket over those tiny
+    arrays (interpreted HOF cost is negligible at that size); ids are
+    sorted so emitted pairs satisfy id_a < id_b deterministically."""
     bd = banded_signatures(df, id_col, sig_col, bands, rows)
-    a = bd.alias("a")
-    b = bd.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    grp = (
+        bd.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") > 1)
     )
+    pairs = grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ids",
+                    lambda x, i: F.transform(
+                        F.slice("__ids", i + F.lit(2), F.size("__ids")),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("__p")
+    )
+    return pairs.select("__p.id_a", "__p.id_b").distinct()
 
 
 def lsh_candidate_pairs_between(
@@ -416,17 +426,27 @@ def connected_components(
     """
     from s4_spark.operators.lineage import cut_lineage
 
-    edges = cut_lineage(
+    def cut(df: DataFrame) -> DataFrame:
+        # Lineage cut per round. Non-reliable runs use a LAZY
+        # localCheckpoint: the convergence-sum action that immediately
+        # follows each cut materializes the checkpoint INSIDE its own
+        # job, so a round costs one Spark job instead of two (eager cut
+        # job + sum job — measured r13, q148 68 → ~40 jobs). Reliable
+        # runs keep the eager reliable checkpoint (cut_lineage): its
+        # fault-tolerance contract is the point there, not latency.
+        if reliable:
+            return cut_lineage(df, True)
+        return df.localCheckpoint(eager=False)
+
+    edges = cut(
         pairs.select("id_a", "id_b").union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        ),
-        reliable,
+        )
     )
-    labels = cut_lineage(
+    labels = cut(
         edges.select(F.col("id_a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node")),
-        reliable,
+        .withColumn("label", F.col("node"))
     )
     # Convergence is checked via the exact label-sum invariant: labels
     # only ever DECREASE (each round takes a min over the previous
@@ -482,10 +502,7 @@ def connected_components(
         merged = stages[0]
         for s in stages[1:]:
             merged = merged.union(s)
-        new_labels = cut_lineage(
-            merged.groupBy("node").agg(F.min("label").alias("label")),
-            reliable,
-        )
+        new_labels = cut(merged.groupBy("node").agg(F.min("label").alias("label")))
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()[0]

@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s4_spark.catalog import register_views
-from s4_spark.queries.helpers import davg, dsum, sql_davg, sql_dsum, t
+from s4_spark.queries.helpers import davg, dsum, sql_davg, sql_dsum, t, ts
 from s4_spark.queries.registry import query
 
 
@@ -50,7 +50,7 @@ def q030(spark, sf_dir):
     (/root/reference/river/jsonr.go:81-86); this is the §2-B capability
     surface exercised through Catalyst (pushdown + partial agg for free).
     """
-    li = t(spark, sf_dir, "lineitem")
+    li = ts(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s4_spark.catalog import table
+from s4_spark.catalog import SPREAD_KEYS, spread_scan, table
 
 # 4 fractional digits is enough for the 2-decimal TPC-H-ish money/discount
 # columns and the events.value payloads; 38-18 integer digits of headroom.
@@ -57,3 +57,17 @@ def csum(col: str | Column) -> Column:
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return table(spark, sf_dir, name)
+
+
+def ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``t`` + ``catalog.spread_scan``: the table with map-side
+    parallelism restored over an under-split (single-row-group) file
+    (guide §2.5), hash-spread on the table's natural key. Identity
+    above the size gate, so production plans are untouched. Use ONLY
+    under partition-count-independent computation — per-row functions
+    and orderless/exact aggregates — never under sampling, rand(), or
+    monotonically_increasing_id — and only where the map-side work
+    above the scan is heavy enough to beat the exchange's fixed cost
+    (measure: the r13 A/B rejected it on more call sites than it
+    accepted)."""
+    return spread_scan(table(spark, sf_dir, name), SPREAD_KEYS[name])

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from s4_spark.operators import dedup as D
 from s4_spark.operators import similarity as S
 from s4_spark.operators import text as X
-from s4_spark.queries.helpers import t
+from s4_spark.queries.helpers import t, ts
 from s4_spark.queries.registry import query
 
 # DuckDB mirror of with_shingles(n=3) + exact Jaccard ≥ threshold pairs.
@@ -83,25 +83,18 @@ def q111(spark, sf_dir):
     Declared recall: P(miss | jac=0.8) = (1-0.8⁴)²⁴ ≈ 3e-6; every
     emitted pair is exact-verified, so precision is 1 by construction.
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = ts(spark, sf_dir, "documents")
     ex = D.shingles_exploded(docs, "doc_id")
     sig = D.with_minhash_signature(ex, "doc_id")
-    # ONE barrier, placed at the narrowest point: the candidate pair set
-    # is doc-count-bounded and tiny (LSH emits true-duplicate-scale
-    # buckets), yet the verify plan references it twice (id extraction +
-    # final join) — without a barrier the whole signature+band pipeline
-    # executes twice. The signature table needs NO barrier of its own:
-    # both sides of the band self-join shuffle the identical subplan on
-    # the identical keys, so Spark's ReusedExchange runs the explode+agg
-    # once (plan-audited in tests). Each localCheckpoint also costs a
-    # full plan compile at construction time (~2s cold), so fewer
-    # barriers is also a latency win. At 100 TB the same shape holds:
-    # candidates ≪ corpus, so materializing them is strictly cheaper
-    # than re-deriving, and the exchange reuse keeps the corpus-sized
-    # explode single-pass.
-    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
-        eager=False
-    )
+    # NO barrier anywhere (r13): the verify plan references the
+    # candidate table twice (id extraction + final join), but both
+    # references are the identical subtree, so ReusedExchange runs the
+    # candidate pipeline once — and a lazy localCheckpoint here costs a
+    # full plan-to-RDD compile (~1-2 s of driver time) on EVERY
+    # invocation, which dominated this query's bench cost (measured
+    # r13: 4.5 s barriered vs 2.6 s bare, identical rows). At 100 TB
+    # the same reuse keeps the corpus-sized explode single-pass.
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     return (
         verified.withColumn("jac", F.round("jac", 6))
@@ -379,9 +372,10 @@ def _q120_minhash_candidates(docs):
     downstream, so precision stays 1 regardless."""
     ex = D.shingles_exploded(docs, "doc_id")
     sig = D.with_minhash_signature(ex, "doc_id")
-    return D.lsh_candidate_pairs(sig, "doc_id", bands=32, rows=3).localCheckpoint(
-        eager=False
-    )
+    # no barrier: ReusedExchange dedups the double-referenced candidate
+    # subtree, and a lazy localCheckpoint costs a plan-to-RDD compile at
+    # construction (r13, same measurement as q111)
+    return D.lsh_candidate_pairs(sig, "doc_id", bands=32, rows=3)
 
 
 @query("q120_simhash_neardup", oracle=_DUCK_JACCARD_PAIRS, section="B11-llm")
@@ -480,7 +474,7 @@ def q121(spark, sf_dir):
     back to two shuffle joins — at 100 TB the overlap agg dominates
     either way."""
     T = 0.5
-    docs = t(spark, sf_dir, "documents")
+    docs = ts(spark, sf_dir, "documents")
     inv = (
         D.shingles_exploded(docs, "doc_id")
         .select("doc_id", F.xxhash64("shingle").alias("s"))
@@ -685,7 +679,7 @@ def q125(spark, sf_dir):
 def q126(spark, sf_dir):
     """Deterministic rolling-hash document fingerprint (h = h*31 + c mod
     2³¹) — engine-independent content addressing for incremental dedup."""
-    d = t(spark, sf_dir, "documents")
+    d = ts(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id", X.rolling_hash_fingerprint(F.col("text")).alias("fp")
@@ -930,10 +924,9 @@ def q130(spark, sf_dir):
         d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
     sig = D.with_minhash_signature(D.shingles_exploded(kept, "doc_id"), "doc_id")
-    # single barrier on the tiny candidate table — same argument as q111
-    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
-        eager=False
-    )
+    # no barrier: ReusedExchange dedups the twice-referenced candidate
+    # subtree — same argument as q111 (r13)
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
     removed = (
         D.verify_pairs_jaccard(cands, kept, "doc_id")
         .filter(F.col("jac") >= 0.5)
@@ -986,12 +979,10 @@ def q148(spark, sf_dir):
     (operators/dedup.connected_components); the oracle computes the same
     components with a recursive-CTE transitive closure over the exact
     Jaccard pair set."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ts(spark, sf_dir, "documents")
     ex = D.shingles_exploded(docs, "doc_id")
     sig = D.with_minhash_signature(ex, "doc_id")
-    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4).localCheckpoint(
-        eager=False
-    )
+    cands = D.lsh_candidate_pairs(sig, "doc_id", bands=24, rows=4)
     pairs = (
         D.verify_pairs_jaccard(cands, docs, "doc_id")
         .filter(F.col("jac") >= 0.5)
@@ -1218,7 +1209,7 @@ def q193(spark, sf_dir):
     preserves the same superset guarantee in O(1/θ) memory. The integer
     threshold compare (c·100 ≥ n) keeps the contract float-free; `frac`
     is one final exact-integer division."""
-    toks = t(spark, sf_dir, "documents").select(
+    toks = ts(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("w")
     )
     n = toks.count()

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from s4_spark.operators import corpus as C
 from s4_spark.operators import dedup as D
 from s4_spark.operators import similarity as S
-from s4_spark.queries.helpers import davg, sql_davg, t
+from s4_spark.queries.helpers import davg, sql_davg, t, ts
 from s4_spark.queries.registry import query
 from s4_spark.scratch import scratch_root
 
@@ -209,7 +209,7 @@ def q135(spark, sf_dir):
     no PII, so both engines deterministically inject synthetic emails/URLs
     into a doc_id-keyed subset, then redact and count — checking the regex
     surface itself, not the injection."""
-    d = t(spark, sf_dir, "documents")
+    d = ts(spark, sf_dir, "documents")
     text2 = F.concat(
         F.col("text"),
         F.when(
@@ -480,7 +480,7 @@ def q140(spark, sf_dir):
     whole-stage codegen, no Python. Docs too short for a trigram have
     no tag=1 rows (NULL n_tri after the rollup) and are filtered out,
     matching the old inner join against the trigram chain."""
-    d = t(spark, sf_dir, "documents")
+    d = ts(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.lit(0).alias("tag"),
@@ -2180,16 +2180,17 @@ def q190(spark, sf_dir):
     streams through the probe without a corpus-wide shuffle; the
     verify stage touches candidates only (q111's semi-join prefilter).
     The shuffle never carries shingles, only 96-int signatures."""
-    docs = t(spark, sf_dir, "documents")
+    docs = ts(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     sig_e = D.with_minhash_signature(D.shingles_exploded(ev, "doc_id"), "doc_id")
     sig_c = D.with_minhash_signature(
         D.shingles_exploded(corpus, "doc_id"), "doc_id"
     )
-    cands = D.lsh_candidate_pairs_between(
-        sig_e, sig_c, "doc_id"
-    ).localCheckpoint(eager=False)
+    # no barrier: ReusedExchange dedups the double-referenced candidate
+    # subtree and the lazy localCheckpoint cost a plan-to-RDD compile at
+    # build (r13, same measurement as q111)
+    cands = D.lsh_candidate_pairs_between(sig_e, sig_c, "doc_id")
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     contaminated = (
         verified.filter(F.col("jac") >= 0.8)
@@ -2458,8 +2459,9 @@ def q203(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
+        # no barrier: ReusedExchange dedups the double-referenced
+        # candidate subtree (r13, same measurement as q111)
         .distinct()
-        .localCheckpoint(eager=False)
     )
     verified = D.verify_pairs_jaccard(cands, docs, "doc_id")
     dups = (
@@ -2896,7 +2898,7 @@ def q216(spark, sf_dir):
     → ~256-doc pools) and pay the proportional pool cost."""
     docs = t(spark, sf_dir, "documents")
     sig = D.with_minhash_signature(D.shingles_exploded(docs, "doc_id"), "doc_id")
-    cands = D.lsh_candidate_pairs(sig, "doc_id").localCheckpoint(eager=False)
+    cands = D.lsh_candidate_pairs(sig, "doc_id")
     verified = (
         D.verify_pairs_jaccard(cands, docs, "doc_id")
         .filter(F.col("jac") >= 0.8)

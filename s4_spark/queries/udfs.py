@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from s4_spark.queries.helpers import t
+from s4_spark.queries.helpers import t, ts
 from s4_spark.queries.registry import query
 
 

@@ -169,12 +169,17 @@ def test_hash_sampling_is_narrow(spark):
 
 
 def test_chunking_has_no_shuffle_before_agg(spark):
-    """q131: chunking is explode+slice (narrow); the only exchange in the
-    plan is the final per-lang aggregation's."""
+    """q131: chunking is explode+slice (narrow); the only exchanges over
+    CHUNK rows are the final per-lang aggregation's partial→final pair
+    (+ sort). A single round-robin spread exchange over pre-chunk DOC
+    rows is allowed: catalog.spread_scan restores map-side parallelism
+    over the single-row-group driver files (r13, guide §2.5) and is the
+    identity above its size gate, so it never appears at scale."""
     p = plan(spark, "q131_doc_chunking")
     tree = p.split("(1) Scan", 1)[0]
-    # exactly one shuffle exchange pair (partial->final agg) + one for sort
-    assert tree.count("Exchange") <= 2, tree
+    # the spread exchange carries RoundRobinPartitioning — count it from
+    # the detail section (the numbered tree omits partitioning info)
+    assert tree.count("Exchange") <= 2 + min(p.count("RoundRobinPartitioning"), 1), p
     assert "Generate" in tree, tree
 
 
