@@ -80,6 +80,44 @@ def test_minhash_signature_deterministic_and_injective_on_equal_sets(spark, docs
             assert all(0 <= v for v in a)
 
 
+@given(docs=st.lists(st.text(alphabet="abc xyz", min_size=12, max_size=60),
+                     min_size=2, max_size=12))
+@SETTINGS
+def test_lsh_candidate_pairs_equal_band_self_join(spark, docs):
+    """The r13 bucket-grouped pair emission produces EXACTLY the pair set
+    of the reference band-table self-join it replaced, with the declared
+    (id_a < id_b, distinct) normalization — for any doc multiset,
+    including duplicate texts (multi-element buckets) and empty-shingle
+    docs (no bands)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    ex = D.shingles_exploded(df, "doc_id", n=2)
+    sig = D.with_minhash_signature(ex, "doc_id", num_hashes=8)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=2).collect()
+    }
+    bd = D.banded_signatures(sig, "doc_id", bands=4, rows=2)
+    a, b = bd.alias("a"), bd.alias("b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert all(x < y for x, y in got)
+
+
 @given(pairs=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
                       min_size=1, max_size=30))
 @SETTINGS
