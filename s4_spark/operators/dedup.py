@@ -243,9 +243,12 @@ def verify_pairs_jaccard(
     faster than an InMemoryRelation barrier, which blocks AQE's view of
     the whole plan. Id extraction is a single explode so the pair plan
     appears only twice, not three times."""
-    ids = pairs.select(
-        F.explode(F.array("id_a", "id_b")).alias(id_col)
-    ).distinct()
+    # no .distinct() on the exploded ids: LEFT SEMI join semantics dedup
+    # the build side for free (the broadcast hash relation keys on the
+    # id), so the old distinct paid a whole extra exchange + AQE stage
+    # per invocation for nothing (guide §2.4, "a distinct on data that
+    # is already unique" — here, unique-ness is simply not needed)
+    ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     involved = docs.join(ids, id_col, "left_semi")
     sets = shingle_sets(involved, id_col, text_col, n)
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
@@ -438,15 +441,24 @@ def connected_components(
             return cut_lineage(df, True)
         return df.localCheckpoint(eager=False)
 
+    # Symmetrize with ONE reference to ``pairs`` (posexplode of the two
+    # orientations) instead of a self-union: the union form embedded the
+    # caller's whole candidate-generation plan TWICE in the cut's
+    # subtree, and the lineage cut compiles its plan to an RDD on the
+    # driver — for q148 that doubled 80-node LSH plan was a measured
+    # ~1-2 s of per-call driver compile (the same pathology the r13
+    # band-self-join removal fixed), vs a single explode over the pairs.
     edges = cut(
-        pairs.select("id_a", "id_b").union(
-            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-        )
-    )
-    labels = cut(
-        edges.select(F.col("id_a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a"), F.col("id_b")),
+                    F.struct(
+                        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.id_a", "__e.id_b")
     )
     # Convergence is checked via the exact label-sum invariant: labels
     # only ever DECREASE (each round takes a min over the previous
@@ -459,19 +471,31 @@ def connected_components(
     # scale a whole extra shuffle per round). decimal(38,0) keeps the
     # sum exact at any node-id magnitude (a long overflows past ~9.2e18
     # total; 1e11 docs with 1e11-scale ids would wrap silently).
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).first()[0]
+    #
+    # The identity labels (node, node) are never materialized as their
+    # own relation: round 1 folds them into its min-aggregate directly
+    # (node set == distinct id_a of the symmetrized edges, so unioning
+    # (id_a, id_a) rows IS the identity relation pre-distinct — the
+    # groupBy dedups), and the initial label sum — sum over distinct
+    # nodes of node — is read off round 1's OUTPUT as sum(node) in the
+    # same aggregate action that yields round 1's sum(label). One
+    # distinct aggregate, one checkpoint, and one driver action fewer
+    # per call than the r12 shape (measured: each action is a
+    # ~0.15-0.3 s job at sf0.1, and at scale a full node-keyed pass).
+    prev_sum = None  # filled from round 1's sum(node)
+    labels = None
     changed = -1  # sentinel: no iteration ran (max_iters <= 0)
     for it in range(max_iters):
         if it == 0:
             # Round 1 shortcut: labels are the identity (label == node),
             # so the neighbor-propagation join edges⋈labels on id_b
             # would return exactly (id_a, id_b) — the edge list itself.
-            # Skip the join and feed edges directly.
-            nbr = edges.select(
-                F.col("id_a").alias("node"), F.col("id_b").alias("label")
-            )
+            # Skip the join and feed edges directly; the identity rows
+            # ride along as (id_a, id_a).
+            stages = [
+                edges.select(F.col("id_a").alias("node"), F.col("id_a").alias("label")),
+                edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("label")),
+            ]
         else:
             nbr = (
                 edges.alias("e")
@@ -480,7 +504,7 @@ def connected_components(
                     F.col("e.id_a").alias("node"), F.col("l.label").alias("label")
                 )
             )
-        stages = [labels, nbr]
+            stages = [labels, nbr]
         if it >= 2:
             # Pointer doubling: every label is itself a node id (labels
             # start as node ids and only ever take mins over other
@@ -503,9 +527,18 @@ def connected_components(
         for s in stages[1:]:
             merged = merged.union(s)
         new_labels = cut(merged.groupBy("node").agg(F.min("label").alias("label")))
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first()[0]
+        if it == 0:
+            # One action yields BOTH sums: sum(node) over round 1's
+            # output equals the initial identity-label sum (same node
+            # set), so the pre-loop action the r12 shape paid is free.
+            prev_sum, new_sum = new_labels.agg(
+                F.sum(F.col("node").cast("decimal(38,0)")).alias("s0"),
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            ).first()
+        else:
+            new_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()[0]
         changed = 0 if new_sum == prev_sum else 1
         labels = new_labels
         prev_sum = new_sum

@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s4_spark.catalog import register_views
-from s4_spark.queries.helpers import davg, dsum, sql_davg, sql_dsum, t, ts
+from s4_spark.queries.helpers import ordered_small, davg, dsum, sql_davg, sql_dsum, t, ts
 from s4_spark.queries.registry import query
 
 
@@ -66,7 +66,9 @@ def q030(spark, sf_dir):
             davg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded result (|returnflag| x |linestatus| groups) — see
+        # helpers.ordered_small for why this beats a range-sort here
+        .transform(ordered_small, "l_returnflag", "l_linestatus")
     )
 
 
@@ -84,7 +86,8 @@ def q031(spark, sf_dir):
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n"))
-        .orderBy("o_orderstatus")
+        # bounded result (one row per order status)
+        .transform(ordered_small, "o_orderstatus")
     )
 
 
@@ -632,7 +635,8 @@ def q145(spark, sf_dir):
             ).alias("r")
         )
         .select("r.*")
-        .orderBy("step")
+        # bounded result (one row per funnel step)
+        .transform(ordered_small, "step")
     )
 
 
@@ -692,7 +696,8 @@ def q146(spark, sf_dir):
             (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
         )
         .agg(F.count("*").alias("n_active"))
-        .orderBy("cohort_week", "week_offset")
+        # bounded result (weeks x offsets — calendar-sized)
+        .transform(ordered_small, "cohort_week", "week_offset")
     )
 
 
@@ -759,7 +764,8 @@ def q147(spark, sf_dir):
             ).alias("within_5pct"),
         )
     )
-    return lang_rows.unionByName(global_row).orderBy("lang")
+    # bounded result (one row per language + one global row)
+    return ordered_small(lang_rows.unionByName(global_row), "lang")
 
 
 _Q160_SQL = """
@@ -1611,7 +1617,8 @@ def q257(spark, sf_dir):
     return (
         merged.select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("tok"), F.col("e.count").alias("est_count"))
-        .orderBy("tok")
+        # bounded result (sketch top-k list)
+        .transform(ordered_small, "tok")
     )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from s4_spark.operators.asof import asof_join
-from s4_spark.queries.helpers import dsum, sql_dsum, t
+from s4_spark.queries.helpers import ordered_small, dsum, sql_dsum, t
 from s4_spark.queries.registry import query
 
 
@@ -74,7 +74,8 @@ def q021(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.count("*").alias("n"))
-        .orderBy("r_name")
+        # bounded result (5 regions)
+        .transform(ordered_small, "r_name")
     )
 
 
@@ -1862,7 +1863,8 @@ def q281(spark, sf_dir):
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.count("*").alias("n"), dsum("volume").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        # bounded result (nation pairs x years)
+        .transform(ordered_small, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -1963,5 +1965,6 @@ def q282(spark, sf_dir):
             ).alias("mkt_share"),
             F.count("*").alias("n"),
         )
-        .orderBy("o_year")
+        # bounded result (one row per order year)
+        .transform(ordered_small, "o_year")
     )

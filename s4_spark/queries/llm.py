@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from s4_spark.operators import dedup as D
 from s4_spark.operators import similarity as S
 from s4_spark.operators import text as X
-from s4_spark.queries.helpers import t, ts
+from s4_spark.queries.helpers import ordered_small, t, ts
 from s4_spark.queries.registry import query
 
 # DuckDB mirror of with_shingles(n=3) + exact Jaccard ≥ threshold pairs.
@@ -133,7 +133,8 @@ def q112(spark, sf_dir):
     return (
         S.brute_force_topk(queries, cands, k=5)
         .select("q_id", "c_id", "cos", "rank")
-        .orderBy("q_id", "rank")
+        # bounded result (10 queries x k)
+        .transform(ordered_small, "q_id", "rank")
     )
 
 
@@ -860,7 +861,8 @@ def q129(spark, sf_dir):
     return (
         S.block_topk_cosine(cands, qvecs, k=5)
         .select("q_id", "c_id", "cos", "rank")
-        .orderBy("q_id", "rank")
+        # bounded result (10 queries x k)
+        .transform(ordered_small, "q_id", "rank")
     )
 
 
@@ -937,7 +939,8 @@ def q130(spark, sf_dir):
     return (
         final.groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("long").alias("sum_tokens"))
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 

@@ -19,7 +19,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import csum, dsum, sql_dsum, t
+from s4_spark.queries.helpers import csum, dsum, ordered_small, sql_dsum, t
 from s4_spark.queries.registry import query
 from s4_spark.scratch import scratch_root
 
@@ -1218,7 +1218,8 @@ def q246(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
     )
-    return run_to_memory(df, mode="complete", tag="q246").orderBy("lang")
+    # bounded result (one row per language)
+    return ordered_small(run_to_memory(df, mode="complete", tag="q246"), "lang")
 
 
 @query(

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from s4_spark.operators import corpus as C
 from s4_spark.operators import dedup as D
 from s4_spark.operators import similarity as S
-from s4_spark.queries.helpers import davg, sql_davg, t, ts
+from s4_spark.queries.helpers import ordered_small, davg, sql_davg, t, ts
 from s4_spark.queries.registry import query
 from s4_spark.scratch import scratch_root
 
@@ -59,7 +59,8 @@ def q131(spark, sf_dir):
             .cast("long")
             .alias("n_full_chunks"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -91,7 +92,8 @@ def q132(spark, sf_dir):
     return (
         totals.join(kcounts, "lang", "left")
         .select("lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -340,7 +342,8 @@ def q137(spark, sf_dir):
             .cast("long")
             .alias("n_saturated"),
         )
-        .orderBy("label")
+        # bounded result (one row per quantization label)
+        .transform(ordered_small, "label")
     )
 
 
@@ -426,7 +429,8 @@ def q139(spark, sf_dir):
                 F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*"), 6
             ).alias("contamination_rate"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -529,7 +533,8 @@ def q140(spark, sf_dir):
             F.round(davg("dup_tri_frac"), 6).alias("avg_dup_tri_frac"),
             F.sum(flagged).cast("long").alias("n_flagged"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -815,7 +820,8 @@ def q143(spark, sf_dir):
             .cast("long")
             .alias("kept_tokens"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -870,7 +876,8 @@ def q150(spark, sf_dir):
             "permille",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -936,7 +943,8 @@ def q151(spark, sf_dir):
     return (
         j.groupBy("lang", "change")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang", "change")
+        # bounded result (languages x change kinds)
+        .transform(ordered_small, "lang", "change")
     )
 
 

@@ -1790,3 +1790,48 @@ def test_q121_dispatches_above_df2_ceiling(spark, monkeypatch):
     monkeypatch.setattr(L, "Q121_EXACT_MAX_SUM_DF2", 20_000_000_000)
     got_exact = [tuple(r) for r in L.q121(spark, SF_DIR).collect()]
     assert got_exact == want
+
+
+def test_ordered_small_no_range_exchange_identical_rows(spark):
+    """helpers.ordered_small (r13): bounded-result queries order their
+    output with a single-partition sort — the plan must carry NO
+    rangepartitioning exchange (and therefore no range-sampling job),
+    and the rows must be byte-identical to the global orderBy on the
+    same keys. Checked on q030 (the TPC-H Q1 shape) as the
+    representative converted entry."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["q030_hash_agg_tpch_q1"].fn(spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" not in p, p
+    assert "Coalesce" in p and "Sort" in p, p
+
+    got = [tuple(r) for r in df.collect()]
+    want = [
+        tuple(r)
+        for r in df.orderBy("l_returnflag", "l_linestatus").collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_connected_components_first_round_folds_identity_and_sums(spark):
+    """connected_components (r13): the identity labels are folded into
+    round 1 (no separate distinct-nodes aggregate, no pre-loop action),
+    and convergence still detects the exact fixpoint — a graph whose
+    round-1 propagation is already final must converge with labels
+    identical to the union-find ground truth, including isolated-pair
+    and duplicate-edge inputs."""
+    from pyspark.sql import functions as F
+
+    from s4_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 1), (1, 2), (5, 6), (10, 11), (11, 12)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r.node, r.label) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (5, 5), (6, 5), (10, 10), (11, 10), (12, 10)
+    }
