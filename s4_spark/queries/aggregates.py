@@ -508,10 +508,24 @@ def q144(spark, sf_dir):
     levels by re-aggregating hour rows — a cascade over materialized
     aggregates, |hours| rows of state rather than a second scan."""
     register_views(spark, sf_dir, tables=("events",))
-    return spark.sql(
+    # bounded result (ROLLUP over event types x calendar buckets): the
+    # SQL's ORDER BY is applied as a single-partition sort on top of
+    # the aggregate instead of a range-partitioned global sort — same
+    # keys, same NULLS FIRST placement, identical row order (see
+    # helpers.ordered_small)
+    agg = spark.sql(
         _Q144_SQL.format(
             s="CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)"
-        )
+        ).split("ORDER BY")[0]
+    )
+    return ordered_small(
+        agg,
+        "g_t",
+        "g_d",
+        "g_h",
+        F.col("event_type").asc_nulls_first(),
+        F.col("day").asc_nulls_first(),
+        F.col("hour").asc_nulls_first(),
     )
 
 

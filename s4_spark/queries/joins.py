@@ -566,21 +566,27 @@ def q166(spark, sf_dir):
     from s4_spark.catalog import register_views
 
     register_views(spark, sf_dir, tables=("customer", "orders", "lineitem", "supplier", "nation", "region"))
-    return spark.sql(
-        """
-        SELECT n.n_name,
-               round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                                  AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue
-        FROM customer c
-        JOIN orders o    ON c.c_custkey = o.o_custkey
-        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
-        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
-                        AND c.c_nationkey = s.s_nationkey
-        JOIN nation n    ON s.s_nationkey = n.n_nationkey
-        JOIN region r    ON n.n_regionkey = r.r_regionkey
-        WHERE r.r_name = 'ASIA'
-        GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
-        """
+    # bounded result (one row per ASIA nation); the SQL's ORDER BY is
+    # applied as a single-partition sort on top (helpers.ordered_small)
+    return ordered_small(
+        spark.sql(
+            """
+            SELECT n.n_name,
+                   round(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                      AS DECIMAL(30,6))) AS DOUBLE), 6) AS revenue
+            FROM customer c
+            JOIN orders o    ON c.c_custkey = o.o_custkey
+            JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                            AND c.c_nationkey = s.s_nationkey
+            JOIN nation n    ON s.s_nationkey = n.n_nationkey
+            JOIN region r    ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+            """
+        ),
+        F.col("revenue").desc(),
+        "n_name",
     )
 
 

@@ -1201,7 +1201,9 @@ def q246(spark, sf_dir):
     sources.register(spark)
     spool = scratch(f"q246_spool_{os.path.basename(sf_dir)}")
     os.makedirs(spool, exist_ok=True)
-    langs = [r[0] for r in t(spark, sf_dir, "documents").select("lang").collect()]
+    # toPandas rides the session Arrow transfer path (guide §6) -
+    # cheaper than row-pickled collect() for this driver fixture
+    langs = t(spark, sf_dir, "documents").select("lang").toPandas()["lang"].tolist()
     n_chunks = 8
     per = (len(langs) + n_chunks - 1) // n_chunks
     for i in range(n_chunks):

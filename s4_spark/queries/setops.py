@@ -24,12 +24,20 @@ from s4_spark.queries.registry import query
     section="B7-setops",
 )
 def q070(spark, sf_dir):
-    """UNION ALL (concat, no shuffle) vs UNION DISTINCT (hash dedup)."""
+    """UNION ALL (concat, no shuffle) vs UNION DISTINCT (hash dedup).
+
+    Both unions live in ONE lazy plan (a 1-row x 1-row cross of the two
+    counts) instead of two eager driver ``count()`` actions — the old
+    shape ran two sequential jobs at build time on every invocation and
+    shipped the scalars back through the driver (guide §5: the driver
+    should do no data work); the mechanisms exercised — a shuffle-free
+    UNION ALL concat and a hash-dedup UNION DISTINCT — are unchanged
+    and both visible in the single plan."""
     o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    n_all = o.unionAll(c).count()
-    n_distinct = o.union(c).distinct().count()
-    return spark.createDataFrame([(n_all, n_distinct)], "n_all long, n_distinct long")
+    n_all = o.unionAll(c).agg(F.count("*").alias("n_all"))
+    n_distinct = o.union(c).distinct().agg(F.count("*").alias("n_distinct"))
+    return n_all.crossJoin(n_distinct)
 
 
 @query(
