@@ -411,7 +411,10 @@ def q139(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
     bench = d.filter(F.col("doc_id") % 97 == 0)
-    bench_grams = D.shingles_exploded(bench, "doc_id", n=5).select("shingle").distinct()
+    # no .distinct() before the broadcast LEFT SEMI probe: the broadcast
+    # hash relation dedups its keys, so the distinct paid an exchange +
+    # AQE stage for nothing (guide §2.4; same fix as verify_pairs_jaccard)
+    bench_grams = D.shingles_exploded(bench, "doc_id", n=5).select("shingle")
     hit_ids = (
         D.shingles_exploded(train, "doc_id", n=5)
         .join(F.broadcast(bench_grams), "shingle", "left_semi")
