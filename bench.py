@@ -215,8 +215,17 @@ def main() -> None:
     # not the box condition the series was recorded under.
     box = box_fingerprint()
     spark = get_spark(app_name="s4_bench", cpus=CPUS)
-    # warm up JVM / codegen so query 1 isn't charged for session startup
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # Warm up JVM / codegen so query 1 isn't charged for session startup.
+    # A bare count() is NOT enough: with parquet.aggregatePushdown on it
+    # is answered from row-group metadata, so the vectorized parquet
+    # reader, WholeStageCodegen and the noop v2 write path all stay cold
+    # and their first JIT/classload lands on the first timed query —
+    # measured at CPUS=8 (fewer C2 compiler threads) as q001 2.94 s
+    # min-of-2 vs 0.63 s steady-state, a 4.6x phantom "scaling" artifact
+    # on the lower-core PERF run (r13 opt session; guide §1.4).
+    warm = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    warm.count()
+    warm.write.mode("overwrite").format("noop").save()
 
     # min of N runs: single-shot numbers at this scale carry 10-20%
     # machine-load noise plus first-run codegen compilation; the min is
