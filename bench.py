@@ -199,6 +199,28 @@ def build_payload(
         # bench/idle-sf{sf}.json.
         payload["idle_value"] = idle.get("value")
         payload["idle_git_sha"] = idle.get("git_sha")
+        # Contamination self-evidence (VERDICT r13 item 4): a host stall
+        # spanning one query's runs stamps a multi-x ratio onto it that
+        # min-of-N cannot suppress, and r13's triage needed THREE
+        # artifacts to clear 10 phantom regressions. Surface the
+        # live-vs-idle per-query ratio summary in the one-line payload
+        # itself: how many queries ran >2x their recorded idle seconds,
+        # and the single worst offender (name:ratio). Two short scalar
+        # fields — the 2,000-char tail budget is unaffected (length
+        # test pins it).
+        idle_q = dict(idle.get("queries") or {})
+        idle_q.update(idle.get("queries_extended") or {})
+        live_q = dict(results)
+        live_q.update(extended)
+        ratios = {
+            k: live_q[k] / idle_q[k]
+            for k in live_q
+            if idle_q.get(k)
+        }
+        if ratios:
+            worst = max(ratios, key=ratios.get)
+            payload["n_over_2x_idle"] = sum(1 for r in ratios.values() if r > 2)
+            payload["worst_vs_idle"] = f"{worst}:{ratios[worst]:.2f}"
     return payload
 
 
@@ -288,6 +310,23 @@ def main() -> None:
             ).stdout.strip()
         except OSError:
             sha = "unknown"
+        # Recording audit trail (ADVICE r13 item 2): EVERY idle-write
+        # invocation appends its full per-query series here, so the
+        # keep/discard decision of the recording protocol (discard a
+        # recording iff some query runs >2x its value in the majority of
+        # sibling recordings — a host stall, not a plan property) is
+        # reapplicable from the repo alone. The kept recording in
+        # bench/idle-sf{sf}.json is always one unmodified invocation.
+        rec_path = idle_path.replace(".json", "-recordings.jsonl")
+        with open(rec_path, "a") as f:
+            f.write(json.dumps({
+                "git_sha": sha,
+                "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "value": total,
+                "queries": results,
+                "queries_extended": extended,
+                "box": box,
+            }, separators=(",", ":")) + "\n")
         with open(idle_path, "w") as f:
             json.dump(
                 {
@@ -298,6 +337,14 @@ def main() -> None:
                     "runs": runs,
                     "git_sha": sha,
                     "recorded": time.strftime("%Y-%m-%d"),
+                    # the recording protocol's keep/discard rule, stated
+                    # machine-readably next to the kept data (ADVICE r13):
+                    # all candidate invocations live in the sibling
+                    # -recordings.jsonl
+                    "discard_criterion": (
+                        "discard iff any query >2x its median across the "
+                        "sibling recordings in idle-sf{sf}-recordings.jsonl"
+                    ),
                     # box condition at run START (pre-session) —
                     # NOT echoed on stdout (2,000-char tail budget)
                     "box": box,

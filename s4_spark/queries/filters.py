@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import t
+from s4_spark.queries.helpers import ordered_small, t
 from s4_spark.queries.registry import query
 
 
@@ -130,7 +130,8 @@ def q015(spark, sf_dir):
         )
         .groupBy("o_orderstatus", "k")
         .agg(F.count("*").alias("n"))
-        .orderBy("o_orderstatus", "k")
+        # bounded result (status x size-class groups)
+        .transform(ordered_small, "o_orderstatus", "k")
     )
 
 
@@ -148,5 +149,6 @@ def q016(spark, sf_dir):
         t(spark, sf_dir, "lineitem")
         .select("l_returnflag", "l_linestatus")
         .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
+        # bounded result (flag x status distinct pairs)
+        .transform(ordered_small, "l_returnflag", "l_linestatus")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import dsum, t
+from s4_spark.queries.helpers import dsum, ordered_small, t
 from s4_spark.queries.registry import query
 
 
@@ -345,7 +345,8 @@ def q109(spark, sf_dir):
             .alias("sum_k"),
             F.count("*").alias("n"),
         )
-        .orderBy("event_type")
+        # bounded result (one row per event type)
+        .transform(ordered_small, "event_type")
     )
 
 
@@ -390,7 +391,8 @@ def q158(spark, sf_dir):
             F.count("*").alias("n_orders"),
             F.countDistinct("c_tok").alias("n_customers"),
         )
-        .orderBy("nationkey")
+        # bounded result (one row per nation)
+        .transform(ordered_small, "nationkey")
     )
 
 
@@ -449,7 +451,10 @@ def q159(spark, sf_dir):
     nn = ev.filter(F.col("ts").isNull()).agg(
         F.count("*").alias("n_violations")
     ).select(F.lit("events_ts_not_null").alias("check_name"), "n_violations")
-    return fk.unionByName(rng).unionByName(pk).unionByName(nn).orderBy("check_name")
+    # bounded result (one row per declared check)
+    return ordered_small(
+        fk.unionByName(rng).unionByName(pk).unionByName(nn), "check_name"
+    )
 
 
 @query(
@@ -604,7 +609,8 @@ def q250(spark, sf_dir):
             "n",
             "first_variant",
         )
-        .orderBy("p_type_ci")
+        # bounded result (one row per part type)
+        .transform(ordered_small, "p_type_ci")
     )
 
 
@@ -716,7 +722,8 @@ def q267(spark, sf_dir):
         )
         .groupBy("utc_day", "offset_min")
         .agg(F.count("*").alias("n"))
-        .orderBy("utc_day", "offset_min")
+        # bounded result (calendar days x offsets)
+        .transform(ordered_small, "utc_day", "offset_min")
     )
 
 
@@ -963,5 +970,6 @@ def q280(spark, sf_dir):
             F.min("o_orderdate").cast("date").alias("first_day"),
             F.max("o_orderdate").cast("date").alias("last_day"),
         )
-        .orderBy("o_orderstatus")
+        # bounded result (one row per order status)
+        .transform(ordered_small, "o_orderstatus")
     )

@@ -408,7 +408,8 @@ def q045(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
-        .orderBy("o_orderstatus")
+        # bounded result (one row per order status)
+        .transform(ordered_small, "o_orderstatus")
     )
 
 
@@ -437,7 +438,8 @@ def q046(spark, sf_dir):
     return (
         j.groupBy("c_mktsegment")
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
-        .orderBy("c_mktsegment")
+        # bounded result (one row per market segment)
+        .transform(ordered_small, "c_mktsegment")
     )
 
 
@@ -529,7 +531,8 @@ def q161(spark, sf_dir):
         .filter(F.col("dist") <= 3)
         .groupBy("dist")
         .agg(F.count("*").alias("n_pairs"))
-        .orderBy("dist")
+        # bounded result (edit distances 0..3)
+        .transform(ordered_small, "dist")
     )
 
 
@@ -615,7 +618,8 @@ def _q194_join(spark, sf_dir):
             F.count("*").alias("n_items"),
             dsum("l_extendedprice").alias("sum_price"),
         )
-        .orderBy("o_orderpriority")
+        # bounded result (one row per order priority)
+        .transform(ordered_small, "o_orderpriority")
     )
 
 
@@ -1260,7 +1264,8 @@ def q239(spark, sf_dir):
             F.count("*").alias("numcust"),
             dsum("c_acctbal").alias("totacctbal"),
         )
-        .orderBy("c_nationkey")
+        # bounded result (one row per nation)
+        .transform(ordered_small, "c_nationkey")
     )
 
 
@@ -1317,7 +1322,8 @@ def q254(spark, sf_dir):
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        # bounded result (one row per order priority)
+        .transform(ordered_small, "o_orderpriority")
     )
 
 
@@ -1367,7 +1373,10 @@ def q255(spark, sf_dir):
     return (
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+        # bounded result (histogram over distinct per-customer counts)
+        .transform(
+            ordered_small, F.col("custdist").desc(), F.col("c_count").desc()
+        )
     )
 
 
@@ -1535,7 +1544,8 @@ def _q260_join(spark, sf_dir):
         li.join(o, li.skew_key == o.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), dsum("l_quantity").alias("qty_sum"))
-        .orderBy("o_orderpriority")
+        # bounded result (one row per order priority)
+        .transform(ordered_small, "o_orderpriority")
     )
 
 
@@ -1608,7 +1618,8 @@ def _q270_join(spark, sf_dir):
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
-        .orderBy("o_orderstatus")
+        # bounded result (one row per order status)
+        .transform(ordered_small, "o_orderstatus")
     )
 
 

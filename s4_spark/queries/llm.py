@@ -204,7 +204,8 @@ def q114(spark, sf_dir):
             F.count(F.when(F.col("n_chars") == F.length("text"), 1)).alias("n_len_ok"),
             F.sum(F.size(F.split("text", " "))).cast("long").alias("sum_tokens"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -1238,11 +1239,16 @@ def q193(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") * 100 >= F.lit(n))
     )
-    return exact.select(
+    # bounded result (at most 1/theta = 100 heavy hitters by pigeonhole)
+    return ordered_small(
+        exact.select(
+            "w",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(n).cast("double"), 6).alias("frac"),
+        ),
+        F.desc("cnt"),
         "w",
-        "cnt",
-        F.round(F.col("cnt") / F.lit(n).cast("double"), 6).alias("frac"),
-    ).orderBy(F.desc("cnt"), "w")
+    )
 
 
 _FRAME_SIZE, _FRAME_STRIDE = 16, 4

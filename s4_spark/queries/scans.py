@@ -168,7 +168,10 @@ def q005(spark, sf_dir):
     )
     o.write.mode("overwrite").partitionBy("o_year").parquet(path)
     back = spark.read.parquet(path)
-    return back.groupBy("o_year").agg(F.count("*").alias("n")).orderBy("o_year")
+    # bounded result (one row per order year)
+    return ordered_small(
+        back.groupBy("o_year").agg(F.count("*").alias("n")), "o_year"
+    )
 
 
 @query(
@@ -307,7 +310,8 @@ def q019(spark, sf_dir):
             F.min("n_name").alias("first_name"),
             F.sum("n_nationkey").cast("long").alias("sum_key"),
         )
-        .orderBy("n_regionkey")
+        # bounded result (one row per region)
+        .transform(ordered_small, "n_regionkey")
     )
 
 
@@ -342,7 +346,8 @@ def q107(spark, sf_dir):
         df.select(F.col("value").alias("lang"))
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -419,7 +424,8 @@ def q108(spark, sf_dir):
         .select(F.col("value").alias("lang"))
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -589,7 +595,8 @@ def q153(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -639,7 +646,8 @@ def q154(spark, sf_dir):
             F.count("quality").cast("long").alias("n_with_quality"),
             F.sum("quality").cast("long").alias("sum_quality"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -878,7 +886,8 @@ def q200(spark, sf_dir):
         fact.join(hot, "day")
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
-        .orderBy("event_type")
+        # bounded result (one row per event type)
+        .transform(ordered_small, "event_type")
     )
 
 
@@ -963,7 +972,8 @@ def q202(spark, sf_dir):
             .cast("long")
             .alias("can_skip"),
         )
-        .orderBy("zbucket")
+        # bounded result (one row per zone bucket)
+        .transform(ordered_small, "zbucket")
     )
 
 

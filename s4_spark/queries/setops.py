@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import t
+from s4_spark.queries.helpers import ordered_small, t
 from s4_spark.queries.registry import query
 
 
@@ -52,7 +52,8 @@ def q070(spark, sf_dir):
 def q071(spark, sf_dir):
     c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
-    return c.intersect(s).orderBy("k")
+    # bounded result (nation-key intersection)
+    return ordered_small(c.intersect(s), "k")
 
 
 @query(

@@ -14,7 +14,7 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import dsum, sql_dsum, t
+from s4_spark.queries.helpers import dsum, ordered_small, sql_dsum, t
 from s4_spark.queries.registry import query
 from s4_spark.streaming.rigs import (
     events_stream,
@@ -118,7 +118,8 @@ def q091(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(instant_as_utc_ntz("w.start").alias("w_start"), "n", "sum_value")
     )
-    return run_to_memory(agg, mode="complete", tag="q091").orderBy("w_start")
+    # bounded result (calendar-sized window buckets)
+    return ordered_small(run_to_memory(agg, mode="complete", tag="q091"), "w_start")
 
 
 @query(
@@ -143,7 +144,8 @@ def q092(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
         .select(instant_as_utc_ntz("w.start").alias("w_start"), "n", "sum_value")
     )
-    return run_to_memory(agg, mode="complete", tag="q092").orderBy("w_start")
+    # bounded result (calendar-sized window buckets)
+    return ordered_small(run_to_memory(agg, mode="complete", tag="q092"), "w_start")
 
 
 @query(
@@ -257,7 +259,8 @@ def q094(spark, sf_dir):
             .select(instant_as_utc_ntz("w.start").alias("w_start"), "n")
         )
 
-    return two_phase_replay(spark, p1, p2, build, tag="q094").orderBy("w_start")
+    # bounded result (calendar-sized window buckets)
+    return ordered_small(two_phase_replay(spark, p1, p2, build, tag="q094"), "w_start")
 
 
 @query(
@@ -293,7 +296,10 @@ def q096(spark, sf_dir):
     by q099's file sink)."""
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
-    return run_to_memory(agg, mode="complete", tag="q096").orderBy("event_type")
+    # bounded result (one row per event type)
+    return ordered_small(
+        run_to_memory(agg, mode="complete", tag="q096"), "event_type"
+    )
 
 
 @query(
@@ -357,7 +363,8 @@ def q098(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count("*").alias("n_events"))
     )
-    return run_to_memory(joined, mode="complete", tag="q098").orderBy("n_name")
+    # bounded result (one row per nation)
+    return ordered_small(run_to_memory(joined, mode="complete", tag="q098"), "n_name")
 
 
 @query(
@@ -394,7 +401,8 @@ def q099(spark, sf_dir):
     return (
         back.groupBy("event_type")
         .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
-        .orderBy("event_type")
+        # bounded result (one row per event type)
+        .transform(ordered_small, "event_type")
     )
 
 
@@ -484,7 +492,8 @@ def q149(spark, sf_dir):
         .agg(F.count("*").alias("n_new"))
     )
     out = run_to_memory(fresh.select("lang", "n_new"), mode="complete", tag="q149")
-    return out.orderBy("lang")
+    # bounded result (one row per language)
+    return ordered_small(out, "lang")
 
 
 @query(
@@ -612,7 +621,8 @@ def q171(spark, sf_dir):
             F.col("key.event_type").alias("event_type"),
             F.col("value.count").alias("n"),
         )
-        .orderBy("event_type")
+        # bounded result (one state row per event type)
+        .transform(ordered_small, "event_type")
     )
 
 
@@ -995,7 +1005,8 @@ def q234(spark, sf_dir):
         step("t1", "step1_view", None)
         .unionAll(step("t2", "step2_click", "t2"))
         .unionAll(step("t3", "step3_purchase", "t3"))
-        .orderBy("step")
+        # bounded result (one row per funnel step)
+        .transform(ordered_small, "step")
     )
 
 
@@ -1051,7 +1062,8 @@ def _funnel_rollup(final):
         step("t1", "step1_view", None)
         .unionAll(step("t2", "step2_click", "t2"))
         .unionAll(step("t3", "step3_purchase", "t3"))
-        .orderBy("step")
+        # bounded result (one row per funnel step)
+        .transform(ordered_small, "step")
     )
 
 
@@ -2116,7 +2128,8 @@ def q258(spark, sf_dir):
         if p is not None
     ]
     q258.last_state_operator_count = max(counts, default=0)
-    return spark.table(name).orderBy("h_start", "event_type")
+    # bounded result (calendar hours x event types)
+    return ordered_small(spark.table(name), "h_start", "event_type")
 
 
 @query(
@@ -2163,7 +2176,8 @@ def q268(spark, sf_dir):
         spark.table(name)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
-        .orderBy("event_type")
+        # bounded result (one row per event type)
+        .transform(ordered_small, "event_type")
     )
 
 
@@ -2277,7 +2291,8 @@ def q269(spark, sf_dir):
     )
     return (
         out.filter(F.col("h_start") + F.expr("INTERVAL 60 MINUTES") <= horizon)
-        .orderBy("h_start")
+        # bounded result (calendar-sized hour buckets)
+        .transform(ordered_small, "h_start")
     )
 
 
@@ -2361,6 +2376,11 @@ def q273(spark, sf_dir):
             .select(instant_as_utc_ntz("w.start").alias("w_start"), "etype", "n")
         )
 
-    return two_stream_two_phase(
-        spark, clicks, purch, clicks.limit(0), purch.limit(0), build, tag="q273"
-    ).orderBy("w_start", "etype")
+    # bounded result (calendar windows x event types)
+    return ordered_small(
+        two_stream_two_phase(
+            spark, clicks, purch, clicks.limit(0), purch.limit(0), build, tag="q273"
+        ),
+        "w_start",
+        "etype",
+    )

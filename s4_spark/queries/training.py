@@ -136,7 +136,8 @@ def q133(spark, sf_dir):
             F.count("*").alias("n_kept"),
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
         )
-        .orderBy("mixture")
+        # bounded result (two mixture tiers)
+        .transform(ordered_small, "mixture")
     )
 
 
@@ -274,7 +275,8 @@ def q136(spark, sf_dir):
                 F.sum(is_stop).cast("double") / F.count("*"), 6
             ).alias("stop_ratio"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -1103,7 +1105,8 @@ def q157(spark, sf_dir):
             F.sum(F.length("norm")).cast("long").alias("sum_norm_chars"),
             F.min(F.md5("norm")).alias("min_norm_md5"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -1250,7 +1253,8 @@ def q175(spark, sf_dir):
                 "avg_repeat_frac"
             ),
         )
-        .orderBy("source")
+        # bounded result (one row per source)
+        .transform(ordered_small, "source")
     )
 
 
@@ -1323,7 +1327,8 @@ def q176(spark, sf_dir):
             "n_bins",
             "total_tokens",
         )
-        .orderBy("lang", "shard")
+        # bounded result (languages x 4 shards)
+        .transform(ordered_small, "lang", "shard")
     )
 
 
@@ -1376,7 +1381,8 @@ def q177(spark, sf_dir):
                 1 - F.sum(F.coalesce("iv", F.lit(0))) / F.count("*"), 6
             ).alias("oov_rate"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -1431,7 +1437,8 @@ def q178(spark, sf_dir):
             F.countDistinct("lang").alias("n_langs"),
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
         )
-        .orderBy("split")
+        # bounded result (three splits)
+        .transform(ordered_small, "split")
     )
 
 
@@ -1614,7 +1621,8 @@ def q181(spark, sf_dir):
             "n_docs",
             "sum_tokens",
         )
-        .orderBy("lang", "shard")
+        # bounded result (languages x 4 shards)
+        .transform(ordered_small, "lang", "shard")
     )
 
 
@@ -1673,7 +1681,8 @@ def q182(spark, sf_dir):
             F.max("rid").cast("long").alias("max_rid"),
             F.sum("rid").cast("long").alias("sum_rid"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -1725,7 +1734,8 @@ def q183(spark, sf_dir):
             .limit(10)
         )
 
-    return top(1).unionByName(top(2)).orderBy("epoch", "k", "doc_id")
+    # bounded result (two 10-row epoch heads)
+    return ordered_small(top(1).unionByName(top(2)), "epoch", "k", "doc_id")
 
 
 @query(
@@ -1804,7 +1814,8 @@ def q184(spark, sf_dir):
             "files_present",
             "n_provenance_mismatches",
         )
-        .orderBy("lang", "shard")
+        # bounded result (languages x 4 shards)
+        .transform(ordered_small, "lang", "shard")
     )
 
 
@@ -1925,9 +1936,13 @@ def q186(spark, sf_dir):
     _, top = _bpe_substrate(spark, sf_dir)
     merges = learn_merges(top, _BPE_K)
     rows = [(i + 1, l, r, m) for i, (l, r, m) in enumerate(merges)]
-    return spark.createDataFrame(
-        rows, "merge_rank long, lhs string, rhs string, merged string"
-    ).orderBy("merge_rank")
+    # bounded result (k merge rows, driver-built)
+    return ordered_small(
+        spark.createDataFrame(
+            rows, "merge_rank long, lhs string, rhs string, merged string"
+        ),
+        "merge_rank",
+    )
 
 
 @query(
@@ -1980,7 +1995,8 @@ def q187(spark, sf_dir):
                 6,
             ).alias("symbols_per_char"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2096,7 +2112,8 @@ def q188(spark, sf_dir):
                 F.sum("s_num") / F.sum("s_den").cast("double"), 6
             ).alias("familiarity"),
         )
-        .orderBy("source")
+        # bounded result (one row per source)
+        .transform(ordered_small, "source")
     )
 
 
@@ -2144,7 +2161,8 @@ def q189(spark, sf_dir):
             F.sum("n_toks").cast("long").alias("sum_tokens"),
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
-        .orderBy("source", "len_bucket")
+        # bounded result (sources x log2 length buckets)
+        .transform(ordered_small, "source", "len_bucket")
     )
 
 
@@ -2215,7 +2233,8 @@ def q190(spark, sf_dir):
             F.count("*").alias("n_contaminated"),
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2280,7 +2299,8 @@ def q191(spark, sf_dir):
             F.count("*").alias("n_docs_kept"),
             F.sum("n_toks").cast("long").alias("tokens_kept"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2377,7 +2397,8 @@ def q195(spark, sf_dir):
             .cast("long")
             .alias("content_fp"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2487,7 +2508,8 @@ def q203(spark, sf_dir):
             F.count("*").alias("n_new_dups"),
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2564,7 +2586,8 @@ def q206(spark, sf_dir):
             .cast("long")
             .alias("kept_id_sum"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2639,7 +2662,8 @@ def q207(spark, sf_dir):
             .cast("long")
             .alias("n_derivative"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -2808,7 +2832,8 @@ def q215(spark, sf_dir):
             / safe_det,
             6,
         ).alias("intercept"),
-    ).orderBy("lang")
+        # bounded result (one row per language)
+    ).transform(ordered_small, "lang")
 
 
 @query(
@@ -3046,7 +3071,8 @@ def q221(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("keep").cast("long").alias("n_kept"),
         )
-        .orderBy("lang")
+        # bounded result (one row per language)
+        .transform(ordered_small, "lang")
     )
 
 
@@ -3278,7 +3304,8 @@ def q233(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("sum_tokens"),
         )
-        .orderBy("split", "lang")
+        # bounded result (splits x languages)
+        .transform(ordered_small, "split", "lang")
     )
 
 

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from s4_spark.queries.helpers import t, ts
+from s4_spark.queries.helpers import ordered_small, t, ts
 from s4_spark.queries.registry import query
 
 
@@ -117,7 +117,8 @@ def q102(spark, sf_dir):
             min_udaf("o_totalprice").alias("min_price"),
             wmean_udaf("o_totalprice", "o_custkey").alias("wmean"),
         )
-        .orderBy("o_orderstatus")
+        # bounded result (one row per order status)
+        .transform(ordered_small, "o_orderstatus")
     )
 
 
@@ -438,7 +439,8 @@ def q264(spark, sf_dir):
         ev.select("event_type", score("event_type", "v_micro").alias("s"))
         .groupBy("event_type")
         .agg(F.sum("s").cast("long").alias("score_sum"), F.count("*").alias("n"))
-        .orderBy("event_type")
+        # bounded result (one row per event type)
+        .transform(ordered_small, "event_type")
     )
 
 

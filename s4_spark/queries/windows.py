@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from s4_spark.queries.helpers import t
+from s4_spark.queries.helpers import ordered_small, t
 from s4_spark.queries.registry import query
 
 
@@ -478,7 +478,8 @@ def q219(spark, sf_dir):
         step(s1, "step1_view", None)
         .unionAll(step(s2, "step2_click", "t2"))
         .unionAll(step(s3, "step3_purchase", "t3"))
-        .orderBy("step")
+        # bounded result (one row per funnel step)
+        .transform(ordered_small, "step")
     )
 
 
@@ -532,7 +533,8 @@ def q222(spark, sf_dir):
             F.col("n").cast("double")
             / F.sum("n").over(W.partitionBy("prev_type"))
         ).alias("p"),
-    ).orderBy("prev_type", "next_type")
+        # bounded result (event-type x event-type transition matrix)
+    ).transform(ordered_small, "prev_type", "next_type")
 
 
 @query(

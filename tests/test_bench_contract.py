@@ -29,7 +29,15 @@ def _worst_case_payload():
     results = {name: 99999.999 for name in bench.HEADLINE}
     results["stream_ingest_1m"] = 99999.999
     extended = {name: 99999.999 for name in bench.EXTENDED}
-    idle = {"value": 99999.999, "git_sha": "0123456789ab"}
+    # idle series present WITH per-query maps, so the contamination
+    # summary fields (n_over_2x_idle / worst_vs_idle) are emitted at
+    # their widest plausible size
+    idle = {
+        "value": 99999.999,
+        "git_sha": "0123456789ab",
+        "queries": {k: 0.001 for k in results},
+        "queries_extended": {k: 0.001 for k in extended},
+    }
     return bench.build_payload(
         round(sum(results.values()), 3),
         results,
@@ -73,6 +81,23 @@ def test_line_round_trips_with_required_fields():
     # the full idle series must NOT be embedded (that is what overflowed)
     assert "idle" not in parsed
     assert isinstance(parsed["idle_value"], float)
+
+
+def test_contamination_summary_fields():
+    """VERDICT r13 item 4: a host stall must be visible from the emitted
+    line alone — n_over_2x_idle counts queries running >2x their recorded
+    idle seconds, worst_vs_idle names the worst offender."""
+    parsed = json.loads(bench.emit_line(_worst_case_payload()))
+    n_keys = len(parsed["queries"]) + len(parsed["queries_extended"])
+    assert parsed["n_over_2x_idle"] == n_keys  # every key is 10^8x idle here
+    name, ratio = parsed["worst_vs_idle"].rsplit(":", 1)
+    assert name in parsed["queries"] or name in parsed["queries_extended"]
+    assert float(ratio) > 2
+    # absent when the idle recording carries no per-query series
+    bare_idle = {"value": 1.0, "git_sha": "abc"}
+    p2 = bench.build_payload(1.0, {"q001_parquet_scan": 1.0}, {}, "0.1",
+                             "4.1.2", bare_idle)
+    assert "n_over_2x_idle" not in p2 and "worst_vs_idle" not in p2
 
 
 def test_idle_scalars_omitted_when_no_recording():
