@@ -26,95 +26,88 @@ from s4_spark.queries import (  # noqa: F401,E402
 # outputs hashable scalars (the driver's pandas hash cannot sort/hash
 # array, map, or binary cells) — and the reorder below puts it first.
 # tests/test_driver_window.py enforces all three properties.
-# Round-13 rotation (saturation steady state, standing rule "window
+# Round-14 rotation (saturation steady state, standing rule "window
 # priority = code changed since last driver row, then staleness" —
-# VERDICT r8 item 1). Leads: the 4 entries whose implementation changed
-# AFTER the r12 window froze — q141 (cert force_gate pin), q249
-# (battery above top-k), q168 (subsampled exact reference), q192
-# (fused counts + bracket materialization) — plus q168 changed again
-# this round (hex_digits=12 cert bucketing, single-scan ungated shape,
-# ADVICE r12) and q241/q252, whose rig-sink commit protocol moved from
-# a POSIX directory rename to a Hadoop-FS zero-byte commit marker
-# (VERDICT r12 item 2). Then the FULL 28-entry r7-vintage cohort (the
-# staleness floor per the CORRECTNESS_r01..r12 union; the r12 note
-# undercounted it as 11 — the other 17 were r7 too). Then 16 of the
-# 42-entry r8 cohort, family spread first (B5: q050; B8: q080; B9:
-# q091/q093; B10: q100/q103; B11: q117/q122/q129; B2: q012/q016; B3:
-# q022/q046; B4: q031/q036 — q002/q016 dropped for the B6/B7
-# canaries q061 (r10) and q072 (r9), the stalest in their families).
-# After this window lands, the registry's latest-row floor rises to r8
-# except the 15 r8 entries deferred to r14.
+# VERDICT r8 item 1). Leads: the 13 entries whose RESULT-PRODUCING code
+# was restructured in the r14 optimization round — q145 (whale-safe
+# window funnel), q144 (NOSORT constant split), the seven
+# verify_pairs_jaccard callers q111/q121/q130/q148/q190/q203/q216
+# (lazy candidate cut + hot-bucket guard), the replay-rig consumers
+# q094/q165/q273 (rig-scoped shuffle partitions), and q246 (Arrow-batch
+# source reads). The ~88 bounded-sort sweep conversions are covered by
+# the full-registry pytest oracle (the r13-verified invariant for
+# outside-window rewrites); the leads are the entries whose PLAN
+# restructuring goes beyond the machine-checked ordered_small pattern.
+# Then the FULL remaining r8-vintage cohort (27 entries after q246
+# moved into the leads; latest driver row = r8 per the
+# CORRECTNESS_r01..r13 union — after this window lands the staleness
+# floor rises to r9). Then 10 r9-cohort entries by family spread,
+# preferring sweep-converted ones (q015/q037/q096/q102), plus the
+# stalest B6/B7 canaries (q060 r12, q071 r12 — q071 is also a sweep
+# conversion).
 # NEXT_WINDOW_QUEUE pins entries that should rotate into the NEXT
 # round's window when NEVER-VERIFIED entries outnumber the 50 slots;
 # empty (nothing is never-verified — saturation steady state). The
-# round-14 rotation, per the standing priority rule: lead with any
+# round-15 rotation, per the standing priority rule: lead with any
 # entry whose code changes after this round's window freezes, then the
-# 26 remaining r8-cohort entries (q003, q004, q006, q007, q009, q014,
-# q019, q023, q024, q025, q029, q032, q034, q035, q039, q043, q044,
-# q047, q152, q153, q154, q161, q164, q242, q243, q246), then the r9
-# cohort (46 entries) by family spread.
+# remaining r9 cohort by family spread.
 NEXT_WINDOW_QUEUE: tuple = ()
 
 DRIVER_WINDOW = (
-    # ---- implementation changed after the r12 window froze (4) or in
-    # round 13 itself (q168 again — hex_digits + single-scan ungated
-    # shape; q241/q252 — the rig sink's commit protocol moved from a
-    # POSIX rename to a Hadoop-FS zero-byte marker) ----
-    "q141_semantic_dedup_clustered",
-    "q249_try_functions",
-    "q168_approx_quantile_profile",
-    "q192_exact_median_twophase",
-    "q241_transform_with_map_state_timers",
-    "q252_state_ttl_eviction",
-    # ---- the FULL r7-vintage cohort (latest driver row = r7; 28
-    # entries per the CORRECTNESS_r01..r12 union — after this window
-    # lands the registry's staleness floor rises to r8) ----
-    "q005_partitioned_parquet_sink",
-    "q020_inner_join_tpch_q3",
-    "q028_asof_join",
-    "q030_hash_agg_tpch_q1",
-    "q054_range_frame",
-    "q090_s4_pipeline_parity",
-    "q095_streaming_dedup",
-    "q101_pandas_udf",
+    # ---- implementation restructured in round 14 (13) ----
+    "q145_funnel",
+    "q144_time_rollup",
     "q111_minhash_lsh_neardup",
-    "q112_cosine_topk_bruteforce",
-    "q115_token_df_topk",
+    "q121_ngram_jaccard_exact",
     "q130_corpus_prep",
-    "q134_sequence_packing",
-    "q147_hll_sketch_rollup",
     "q148_dedup_cluster_cc",
-    "q166_tpch_q5_shape",
-    "q182_global_row_number",
-    "q266_listagg",
-    "q268_stream_to_table",
-    "q269_join_then_window_chain",
-    "q270_aqe_join_strategy_switch",
-    "q271_column_defaults",
-    "q272_null_safe_join",
+    "q190_fuzzy_decontamination",
+    "q203_snapshot_index_dedup",
+    "q216_contrastive_pair_mining",
+    "q094_watermark_late_drop",
+    "q165_stream_stream_outer_join",
     "q273_multi_watermark_policy",
-    "q274_columnar_cache_reuse",
-    "q279_runtime_bloom_filter_join",
-    "q281_tpch_q7_shape",
-    "q282_tpch_q8_shape",
-    # ---- 16 of the 42-entry r8 cohort, family spread first ----
-    "q050_ranking",
-    "q080_string_functions",
-    "q091_tumbling_window",
-    "q093_session_window",
-    "q100_python_udf",
-    "q103_grouped_map_applyInPandas",
-    "q117_embedding_normalize",
-    "q122_embedding_neardup_pairs",
-    "q129_cosine_topk_blocked",
-    "q012_in_predicate",
-    "q022_left_outer_join",
-    "q046_salted_join",
-    "q031_count_distinct",
-    "q036_filtered_agg",
-    # ---- canaries (B6/B7 have no r7/r8-stale entries) ----
-    "q061_topk",
-    "q072_except",
+    "q246_offset_managed_stream_source",
+    # ---- the FULL remaining r8-vintage cohort (27) ----
+    "q002_csv_roundtrip",
+    "q003_jsonl_roundtrip",
+    "q004_text_scan",
+    "q006_gzip_text_sink",
+    "q007_streaming_file_source",
+    "q009_orc_roundtrip",
+    "q014_like_regex",
+    "q016_distinct",
+    "q019_xml_roundtrip",
+    "q023_full_outer_join",
+    "q024_left_semi_join",
+    "q025_left_anti_join",
+    "q029_cross_join",
+    "q032_approx_count_distinct",
+    "q034_rollup",
+    "q035_cube",
+    "q039_stats_agg",
+    "q043_scalar_subquery",
+    "q044_correlated_subquery",
+    "q047_lateral_join",
+    "q152_zorder_layout",
+    "q153_small_file_compaction",
+    "q154_schema_evolution",
+    "q161_fuzzy_join_blocked",
+    "q164_permissive_corrupt_records",
+    "q242_python_datasource_sink",
+    "q243_python_datasource_stream_sink",
+    # ---- r9 cohort by family spread (8), sweep-converted first ----
+    "q015_case_when",
+    "q037_collect_set_sorted",
+    "q051_ntile_percent_rank",
+    "q081_datetime_functions",
+    "q087_hash_functions",
+    "q096_output_modes",
+    "q102_grouped_agg_pandas_udf",
+    "q104_udtf_split_to_rows",
+    # ---- canaries (B6/B7 have no r8/r9-stale entries; both r12) ----
+    "q060_global_sort",
+    "q071_intersect",
 )
 
 

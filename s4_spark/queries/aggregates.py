@@ -553,6 +553,54 @@ def q144(spark, sf_dir):
     )
 
 
+def funnel_step_times(ev):
+    """Per-user (t1, t2, t3) funnel step instants over (user_id, ts,
+    event_type) rows: t1 = first view, t2 = first click strictly after
+    t1, t3 = first purchase strictly after t2.
+
+    Whale-user-safe shape (r14, VERDICT r13 item 3 / guide §5): the r13
+    form collect_list'ed every funnel-typed click and purchase timestamp
+    of a user into ONE aggregation buffer — bounded by per-user
+    activity, but a single user with tens of millions of clicks is a
+    single-buffer OOM no other stage of the funnel has. The three step
+    instants are instead three chained min-over-partition windows on the
+    SAME user_id clustering (one Exchange, three Window nodes, no
+    per-user array ever materialized) — exactly the old
+    array_min(filter(...)) semantics including the null chain (no view
+    -> ts > NULL is NULL -> min skips -> t2 NULL). WindowExec buffers
+    one partition-key group at a time WITH spill support
+    (ExternalAppendOnlyUnsafeRowBuffer), so a whale user degrades to
+    disk instead of OOM; the per-user reduce shares the window's hash
+    clustering (no extra exchange), and per-user state from there on is
+    three timestamps. A/B at sf0.1 (same session, min-of-3, noop sink):
+    old 0.50-0.71 s vs new 0.51-0.58 s — flat; rows identical. Property
+    test: tests/test_properties.py whale fixture (one user, 10^5
+    events)."""
+    w = Window.partitionBy("user_id")
+    is_type = lambda tname: F.col("event_type") == tname  # noqa: E731
+    ev3 = (
+        ev.withColumn("t1", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(is_type("click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(is_type("purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    # t1/t2/t3 are per-user constants; max() is a null-safe "any"
+    return ev3.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+
+
 _Q145_SQL = """
     WITH s1 AS (
       SELECT user_id, min(ts) AS t1 FROM events
@@ -620,20 +668,7 @@ def q145(spark, sf_dir):
         .filter(F.col("event_type").isin("view", "click", "purchase"))
         .select("user_id", "ts", "event_type")
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
-        F.collect_list(
-            F.when(F.col("event_type") == "click", F.col("ts"))
-        ).alias("clicks"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.col("ts"))
-        ).alias("buys"),
-    )
-    stepped = per_user.withColumn(
-        "t2", F.array_min(F.filter("clicks", lambda c: c > F.col("t1")))
-    ).withColumn(
-        "t3", F.array_min(F.filter("buys", lambda b: b > F.col("t2")))
-    )
+    stepped = funnel_step_times(ev)
     one = stepped.agg(
         F.count("t1").alias("n1"),
         F.count("t2").alias("n2"),

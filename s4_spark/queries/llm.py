@@ -991,6 +991,12 @@ def q148(spark, sf_dir):
         D.verify_pairs_jaccard(cands, docs, "doc_id")
         .filter(F.col("jac") >= 0.5)
         .select("id_a", "id_b")
+        # second lazy cut (r14, VERDICT r13 item 5): CC's edge
+        # symmetrization checkpoint otherwise compiles the whole
+        # verify-over-LSH plan on the driver; stacked with the
+        # verify-internal candidate cut this measured 3.99 -> 3.06 s
+        # min-of-3 at sf0.1 (bench/r14_q148_probe.py), identical rows
+        .localCheckpoint(eager=False)
     )
     labels = D.connected_components(pairs)
     return (

@@ -18,6 +18,46 @@ from s4_spark.scratch import scratch_root
 
 _counter = itertools.count()
 
+#: Shuffle/state partition count for the deterministic REPLAY rigs
+#: (two_phase_replay / two_stream_two_phase) only. Replay fixtures are
+#: bounded by construction (each phase is one staged file of ~dozens of
+#: rows), while every state partition costs a RocksDB instance
+#: open/commit PER STORE PER MICRO-BATCH — a stream-stream join keeps 4
+#: stores per partition, so the session default (8) paid
+#: 8 x 4 x batches RocksDB cycles to join ~30 rows. Measured r14
+#: (sf0.01, min-of-2): q165 10.2 s -> 7.8 s at 4 (6.1 s at 2, but 2 was
+#: noisy/worse on q106), q106 3.2 -> 3.0. This is NOT a local[32] tune:
+#: the rig's input is rig-sized at ANY corpus scale, so its state
+#: partition count is a property of the rig, not the box; production
+#: streams (run_to_memory/run_to_parquet consumers) keep session
+#: defaults. Env-overridable for experiments.
+REPLAY_SHUFFLE_PARTITIONS = int(os.environ.get("S4_REPLAY_SHUFFLE_PARTITIONS", "4"))
+
+
+class _replay_partitions:
+    """Scope spark.sql.shuffle.partitions to a replay rig run, restoring
+    the previous value (or unsetting — the session-leak contract: a conf
+    that was unset must not come back pinned) on exit."""
+
+    _KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        # get with explicit None default: get(k) without a default would
+        # fetch the REGISTERED default and pin it on restore
+        self.saved = self.spark.conf.get(self._KEY, None)
+        self.spark.conf.set(self._KEY, str(REPLAY_SHUFFLE_PARTITIONS))
+        return self
+
+    def __exit__(self, *exc):
+        if self.saved is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.saved)
+        return False
+
 
 def scratch(tag: str) -> str:
     base = os.path.join(scratch_root(), "stream")
@@ -252,27 +292,28 @@ def two_phase_replay(
         shutil.copyfile(os.path.join(tmp, part), os.path.join(landing, fname))
 
     drop_file(phase1, "p1.parquet")
-    stream = (
-        spark.readStream.schema(phase1.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-    )
-    out = build_query(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch(f"ckpt_{name}"))
-        .start()
-    )
-    q.processAllAvailable()
-    drop_file(phase2, "p2.parquet")
-    q.processAllAvailable()
-    # a final tick (empty file) applies the watermark computed from
-    # phase 2 so its non-late windows close deterministically
-    drop_file(phase2.limit(0), "p3.parquet")
-    q.processAllAvailable()
-    q.stop()
+    with _replay_partitions(spark):
+        stream = (
+            spark.readStream.schema(phase1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = build_query(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch(f"ckpt_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        drop_file(phase2, "p2.parquet")
+        q.processAllAvailable()
+        # a final tick (empty file) applies the watermark computed from
+        # phase 2 so its non-late windows close deterministically
+        drop_file(phase2.limit(0), "p3.parquet")
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)
 
 
@@ -307,30 +348,31 @@ def two_stream_two_phase(
 
     drop_file(left1, landings[0], "p1.parquet")
     drop_file(right1, landings[1], "p1.parquet")
-    ls = (
-        spark.readStream.schema(left1.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landings[0])
-    )
-    rs = (
-        spark.readStream.schema(right1.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landings[1])
-    )
-    out = build_query(ls, rs)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch(f"ckpt_{name}"))
-        .start()
-    )
-    q.processAllAvailable()
-    drop_file(left2, landings[0], "p2.parquet")
-    drop_file(right2, landings[1], "p2.parquet")
-    q.processAllAvailable()
-    drop_file(left2.limit(0), landings[0], "p3.parquet")
-    drop_file(right2.limit(0), landings[1], "p3.parquet")
-    q.processAllAvailable()
-    q.stop()
+    with _replay_partitions(spark):
+        ls = (
+            spark.readStream.schema(left1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landings[0])
+        )
+        rs = (
+            spark.readStream.schema(right1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landings[1])
+        )
+        out = build_query(ls, rs)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch(f"ckpt_{name}"))
+            .start()
+        )
+        q.processAllAvailable()
+        drop_file(left2, landings[0], "p2.parquet")
+        drop_file(right2, landings[1], "p2.parquet")
+        q.processAllAvailable()
+        drop_file(left2.limit(0), landings[0], "p3.parquet")
+        drop_file(right2.limit(0), landings[1], "p3.parquet")
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name)

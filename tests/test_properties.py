@@ -746,3 +746,109 @@ def test_q121_exact_join_complete_at_threshold_boundary(spark, tmp_path):
     }
     assert set(got) == {(0, 1), (10, 11)}, got
     assert got[(0, 1)] == 0.5 and got[(10, 11)] == 0.5, got
+
+
+def test_lsh_hot_bucket_guard_equals_ungated_path(spark, monkeypatch):
+    """r14 hot-bucket guard (VERDICT r13 item 3): a degenerate corpus
+    whose docs are ALL identical puts every id into ONE bucket per band;
+    with the cap forced tiny the blocked fallback engages (multi-block
+    triangle decomposition + repartition) and must produce EXACTLY the
+    pair set of the ungated array path — the full C(n,2) clique here —
+    with the id_a < id_b normalization intact."""
+    n = 40
+    df = spark.createDataFrame(
+        [(i, "dup dup dup dup dup dup") for i in range(n)],
+        "doc_id long, text string",
+    )
+    ex = D.shingles_exploded(df, "doc_id", n=2)
+    sig = D.with_minhash_signature(ex, "doc_id", num_hashes=8)
+
+    monkeypatch.setattr(D, "_LSH_BUCKET_CAP", 10**9)
+    ungated = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=2).collect()
+    }
+    monkeypatch.setattr(D, "_LSH_BUCKET_CAP", 4)  # forces ceil(40/4) blocks
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=2).collect()
+    }
+    want = {(a, b) for a in range(n) for b in range(n) if a < b}
+    assert ungated == want
+    assert gated == want
+    assert all(x < y for x, y in gated)
+
+
+def test_lsh_hot_bucket_guard_mixed_bucket_sizes(spark, monkeypatch):
+    """The guard must split routing WITHIN one call: buckets at or below
+    the cap keep the array path, bigger ones go blocked, and the union
+    is the exact ungated pair set (mixed fixture: one 9-doc clique of
+    identical texts + distinct near-unique docs)."""
+    rows = [(i, "x y z w v u") for i in range(9)] + [
+        (100 + i, f"uniq{i} t{i} q{i} r{i} s{i}") for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = D.shingles_exploded(df, "doc_id", n=2)
+    sig = D.with_minhash_signature(ex, "doc_id", num_hashes=8)
+    monkeypatch.setattr(D, "_LSH_BUCKET_CAP", 10**9)
+    ungated = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=2).collect()
+    }
+    monkeypatch.setattr(D, "_LSH_BUCKET_CAP", 3)
+    gated = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=2).collect()
+    }
+    assert gated == ungated
+
+
+def test_funnel_step_times_whale_user(spark):
+    """r14 q145 shape (VERDICT r13 item 3): the chained min-over-window
+    step derivation must handle a whale user (10^5 events in one
+    partition key) without any per-user array, and reproduce the funnel
+    semantics exactly — t1 = first view, t2 = first click STRICTLY after
+    t1 (earlier clicks/purchases ignored), t3 = first purchase strictly
+    after t2; missing prior step nulls the chain."""
+    from s4_spark.queries.aggregates import funnel_step_times
+
+    whale = spark.range(100_000).select(
+        F.lit(1).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.when(F.col("id") == 1000, "view")
+        .when(F.col("id") == 999, "purchase")   # before the view: ignored
+        .when(F.col("id") == 50_000, "purchase")
+        .otherwise("click")
+        .alias("event_type"),
+    )
+    no_view = spark.range(10).select(
+        F.lit(2).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    no_click = spark.createDataFrame(
+        [(3, 0, "view"), (3, 5, "purchase")], "user_id long, i long, t string"
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("i") * 1_000_000).alias("ts"),
+        F.col("t").alias("event_type"),
+    )
+    ev = whale.unionByName(no_view).unionByName(no_click)
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_step_times(ev).collect()
+    }
+    us = lambda i: i * 1_000_000  # noqa: E731
+    import datetime as dt
+
+    def ts(i):
+        return dt.datetime.fromtimestamp(us(i) / 1e6, dt.timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # whale: view at 1000, first later click at 1001, purchase at 50000
+    assert got[1] == (ts(1000), ts(1001), ts(50_000)), got[1]
+    # clicks only: whole chain null
+    assert got[2] == (None, None, None)
+    # view + purchase but no click: t2 null kills t3
+    assert got[3] == (ts(0), None, None)
